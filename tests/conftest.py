@@ -1,0 +1,84 @@
+"""Test configuration: force CPU with 8 virtual devices so multi-chip
+sharding tests run without TPU hardware (mirrors the reference's split of
+CPU-only unit tests vs GPU system tests, SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REFERENCE_RESOURCES = Path("/root/reference/resources")
+
+
+@pytest.fixture
+def box_glb():
+    p = REFERENCE_RESOURCES / "Box.glb"
+    if not p.exists():
+        pytest.skip("Box.glb not available")
+    return p
+
+
+@pytest.fixture
+def shader_ball():
+    p = REFERENCE_RESOURCES / "shader_ball.gltf"
+    if not p.exists():
+        pytest.skip("shader_ball.gltf not available")
+    return p
+
+
+def make_triangle_gltf():
+    """Minimal in-memory triangle scene for procedural tests."""
+    import struct
+
+    positions = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    indices = np.array([0, 1, 2], np.uint16)
+    buf = positions.tobytes() + indices.tobytes()
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [
+            {
+                "primitives": [
+                    {"attributes": {"POSITION": 0}, "indices": 1, "material": 0}
+                ]
+            }
+        ],
+        "materials": [{"pbrMetallicRoughness": {"baseColorFactor": [1, 0, 0, 1]}}],
+        "accessors": [
+            {
+                "bufferView": 0,
+                "componentType": 5126,
+                "count": 3,
+                "type": "VEC3",
+                "min": [0, 0, 0],
+                "max": [1, 1, 0],
+            },
+            {"bufferView": 1, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 6},
+        ],
+        "buffers": [{"byteLength": len(buf)}],
+    }
+    return gltf, [buf]
+
+
+@pytest.fixture
+def triangle_model():
+    from vk_gltf_renderer_tpu.models.gltf import load_model_from_json
+
+    gltf, bufs = make_triangle_gltf()
+    return load_model_from_json(gltf, bufs)

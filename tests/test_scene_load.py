@@ -1,0 +1,184 @@
+"""Scene load / parse / round-trip tests.
+
+Mirrors reference tests: test_roundtrip.cpp (load/save fidelity),
+test_model_primary.cpp (render arrays always derived), and basic parse
+coverage over the bundled assets.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from vk_gltf_renderer_tpu.models import Scene, load_model, save_model
+from vk_gltf_renderer_tpu.models.gltf import load_model_from_json
+from vk_gltf_renderer_tpu.models.geometry import extract_primitive
+from vk_gltf_renderer_tpu.models.materials import MaterialConverter, detect_scene_features
+
+
+def test_load_box_glb(box_glb):
+    sc = Scene()
+    sc.load(box_glb)
+    assert len(sc.render_primitives) == 1
+    assert len(sc.render_nodes) == 1
+    prim = sc.render_primitives[0]
+    assert prim.index_count == 36  # a cube
+    data = extract_primitive(sc.model, prim.primitive(sc.model))
+    assert data.positions.shape == (24, 3)
+    assert data.indices.shape == (12, 3)
+    assert data.normals is not None
+
+
+def test_load_shader_ball(shader_ball):
+    sc = Scene()
+    sc.load(shader_ball)
+    assert len(sc.render_nodes) >= 1
+    total_tris = sum(p.index_count // 3 for p in sc.render_primitives)
+    assert total_tris > 1000
+    lo, hi = sc.scene_bounds()
+    assert np.all(hi > lo)
+
+
+def test_world_matrix_levels_match_serial(box_glb):
+    sc = Scene()
+    sc.load(box_glb)
+    serial = sc.world_matrices.copy()
+    sc.update_world_matrices_levels()
+    np.testing.assert_allclose(sc.world_matrices, serial, atol=1e-5)
+
+
+def test_hierarchy_world_matrices(triangle_model):
+    # parent translate + child scale compose as T*S
+    g = triangle_model.gltf
+    g["nodes"] = [
+        {"children": [1], "translation": [1, 2, 3]},
+        {"mesh": 0, "scale": [2, 2, 2]},
+    ]
+    g["scenes"] = [{"nodes": [0]}]
+    sc = Scene()
+    sc.load_from_model(triangle_model)
+    w = sc.render_nodes[0].world_matrix
+    np.testing.assert_allclose(w[:3, 3], [1, 2, 3], atol=1e-6)
+    np.testing.assert_allclose(np.diag(w)[:3], [2, 2, 2], atol=1e-6)
+    sc.update_world_matrices_levels()
+    np.testing.assert_allclose(sc.world_matrices[1], w, atol=1e-6)
+
+
+def test_primitive_dedup_deterministic(triangle_model):
+    # two nodes sharing one mesh -> 1 RenderPrimitive, 2 RenderNodes
+    g = triangle_model.gltf
+    g["nodes"] = [{"mesh": 0}, {"mesh": 0, "translation": [5, 0, 0]}]
+    g["scenes"] = [{"nodes": [0, 1]}]
+    sc = Scene()
+    sc.load_from_model(triangle_model)
+    assert len(sc.render_primitives) == 1
+    assert len(sc.render_nodes) == 2
+    assert sc.render_nodes[0].render_prim_id == sc.render_nodes[1].render_prim_id == 0
+
+
+def test_roundtrip_glb(tmp_path, box_glb):
+    model = load_model(box_glb)
+    out = tmp_path / "box2.glb"
+    save_model(model, out)
+    model2 = load_model(out)
+    assert model2.gltf["meshes"] == model.gltf["meshes"]
+    assert model2.gltf["accessors"] == model.gltf["accessors"]
+    sc = Scene()
+    sc.load_from_model(model2)
+    assert len(sc.render_nodes) == 1
+
+
+def test_roundtrip_gltf_embedded(tmp_path, triangle_model):
+    out = tmp_path / "tri.gltf"
+    save_model(triangle_model, out)
+    model2 = load_model(out)
+    sc = Scene()
+    sc.load_from_model(model2)
+    data = extract_primitive(sc.model, sc.render_primitives[0].primitive(sc.model))
+    np.testing.assert_allclose(data.positions, [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
+
+
+def test_extension_preservation_roundtrip(tmp_path, triangle_model):
+    # Unknown extension blobs must round-trip untouched
+    # (reference test_features_preserved.cpp behavior).
+    triangle_model.gltf["materials"][0]["extensions"] = {
+        "VENDOR_custom_thing": {"answer": 42}
+    }
+    triangle_model.gltf["extensionsUsed"] = ["VENDOR_custom_thing"]
+    out = tmp_path / "ext.gltf"
+    save_model(triangle_model, out)
+    model2 = load_model(out)
+    assert model2.gltf["materials"][0]["extensions"]["VENDOR_custom_thing"]["answer"] == 42
+
+
+def test_material_conversion(triangle_model):
+    triangle_model.gltf["materials"][0]["extensions"] = {
+        "KHR_materials_transmission": {"transmissionFactor": 0.75},
+        "KHR_materials_ior": {"ior": 1.33},
+    }
+    conv = MaterialConverter(triangle_model)
+    mats = conv.convert_all()
+    assert mats[0].transmission_factor == 0.75
+    assert mats[0].ior == pytest.approx(1.33)
+    np.testing.assert_allclose(mats[0].base_color_factor, [1, 0, 0, 1])
+    feats = detect_scene_features(triangle_model)
+    assert "transmission" in feats and "ior" in feats and "sheen" not in feats
+
+
+def test_texture_info_sentinel(triangle_model):
+    conv = MaterialConverter(triangle_model)
+    conv.convert_all()
+    assert conv.texture_infos[0].index == -1  # slot 0 = "no texture"
+
+
+def test_visibility_extension(triangle_model):
+    g = triangle_model.gltf
+    g["nodes"] = [
+        {"children": [1], "extensions": {"KHR_node_visibility": {"visible": False}}},
+        {"mesh": 0},
+    ]
+    g["scenes"] = [{"nodes": [0]}]
+    sc = Scene()
+    sc.load_from_model(triangle_model)
+    assert len(sc.render_nodes) == 1
+    assert not sc.render_nodes[0].visible  # inherited from parent
+
+
+def test_dirty_flags_lifecycle(triangle_model):
+    from vk_gltf_renderer_tpu.models import DirtyFlags
+
+    sc = Scene()
+    sc.load_from_model(triangle_model)
+    sc.clear_dirty_flags()
+    assert sc.get_dirty_flags() == DirtyFlags.NONE
+    sc.model.nodes[0]["translation"] = [1, 0, 0]
+    sc.mark_dirty(DirtyFlags.NODE_TRANSFORMS, nodes=[0])
+    assert DirtyFlags.NODE_TRANSFORMS in sc.get_dirty_flags()
+    sc.update_world_matrices_serial()
+    sc.refresh_render_node_matrices()
+    np.testing.assert_allclose(sc.render_nodes[0].world_matrix[:3, 3], [1, 0, 0])
+    sc.clear_dirty_flags()
+    assert sc.get_dirty_flags() == DirtyFlags.NONE
+
+
+def test_gpu_instancing(triangle_model):
+    import struct
+
+    # EXT_mesh_gpu_instancing: 3 translated instances
+    t = np.array([[0, 0, 0], [2, 0, 0], [4, 0, 0]], np.float32)
+    buf = triangle_model.buffers[0]
+    off = len(buf)
+    buf.extend(t.tobytes())
+    g = triangle_model.gltf
+    g["buffers"][0]["byteLength"] = len(buf)
+    g["bufferViews"].append({"buffer": 0, "byteOffset": off, "byteLength": t.nbytes})
+    g["accessors"].append(
+        {"bufferView": len(g["bufferViews"]) - 1, "componentType": 5126, "count": 3, "type": "VEC3"}
+    )
+    g["nodes"][0]["extensions"] = {
+        "EXT_mesh_gpu_instancing": {"attributes": {"TRANSLATION": len(g["accessors"]) - 1}}
+    }
+    sc = Scene()
+    sc.load_from_model(triangle_model)
+    assert len(sc.render_nodes) == 3
+    np.testing.assert_allclose(sc.render_nodes[2].world_matrix[:3, 3], [4, 0, 0])
