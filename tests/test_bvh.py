@@ -1,0 +1,116 @@
+"""BVH build + traversal correctness vs brute-force oracle."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from vk_gltf_renderer_tpu.models import Scene
+from vk_gltf_renderer_tpu.ops.bvh import build_scene_bvh, build_blas_forest
+from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+from vk_gltf_renderer_tpu.ops.traverse import INFINITE, intersect_brute, intersect_rays
+
+
+def _rays_at(flat, n, seed=0):
+    rng = np.random.default_rng(seed)
+    lo = np.asarray(flat.vtx_pos).min(axis=0)
+    hi = np.asarray(flat.vtx_pos).max(axis=0)
+    center = (lo + hi) / 2
+    radius = float(np.linalg.norm(hi - lo)) + 1e-3
+    origins = center + rng.normal(size=(n, 3)) * radius * 1.5
+    targets = center + rng.uniform(-0.5, 0.5, size=(n, 3)) * (hi - lo + 1e-3)
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    return jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32)
+
+
+def _check_matches_brute(flat, bvh, n_rays=128, seed=0):
+    ro, rd = _rays_at(flat, n_rays, seed)
+    got = intersect_rays(bvh, flat, ro, rd)
+    want = intersect_brute(flat, ro, rd)
+    got_hit = np.asarray(got["tri"] >= 0)
+    want_hit = np.asarray(want["tri"] >= 0)
+    np.testing.assert_array_equal(got_hit, want_hit)
+    gt = np.asarray(got["t"])[got_hit]
+    wt = np.asarray(want["t"])[want_hit]
+    np.testing.assert_allclose(gt, wt, rtol=1e-4, atol=1e-5)
+    # hit rate sanity: rays aimed at the scene should mostly hit
+    assert want_hit.mean() > 0.4
+
+
+def test_box_traversal_matches_brute(box_glb):
+    sc = Scene()
+    sc.load(box_glb)
+    flat = build_scene_flat(sc)
+    bvh = build_scene_bvh(flat)
+    _check_matches_brute(flat, bvh)
+
+
+def test_shader_ball_traversal_matches_brute(shader_ball):
+    sc = Scene()
+    sc.load(shader_ball)
+    flat = build_scene_flat(sc)
+    bvh = build_scene_bvh(flat)
+    _check_matches_brute(flat, bvh, n_rays=64)
+
+
+def test_random_soup_instanced(triangle_model):
+    # 50 random triangles + 3 instances of the mesh with different transforms
+    rng = np.random.default_rng(1)
+    tris = rng.uniform(-1, 1, size=(50, 3, 3)).astype(np.float32)
+    pos = tris.reshape(-1, 3)
+    idx = np.arange(150, dtype=np.uint32)
+    g = triangle_model.gltf
+    buf = triangle_model.buffers[0]
+    off = len(buf)
+    buf.extend(pos.tobytes())
+    g["bufferViews"].append({"buffer": 0, "byteOffset": off, "byteLength": pos.nbytes})
+    g["accessors"].append(
+        {"bufferView": len(g["bufferViews"]) - 1, "componentType": 5126, "count": 150, "type": "VEC3",
+         "min": pos.min(0).tolist(), "max": pos.max(0).tolist()}
+    )
+    g["buffers"][0]["byteLength"] = len(buf)
+    g["meshes"].append({"primitives": [{"attributes": {"POSITION": len(g["accessors"]) - 1}, "material": 0}]})
+    g["nodes"] = [
+        {"mesh": 1},
+        {"mesh": 1, "translation": [3, 0, 0]},
+        {"mesh": 1, "translation": [0, 3, 0], "scale": [2, 2, 2]},
+    ]
+    g["scenes"] = [{"nodes": [0, 1, 2]}]
+    sc = Scene()
+    sc.load_from_model(triangle_model)
+    flat = build_scene_flat(sc)
+    bvh = build_scene_bvh(flat)
+    _check_matches_brute(flat, bvh, n_rays=96, seed=7)
+
+
+def test_visibility_masks_instance(triangle_model):
+    g = triangle_model.gltf
+    g["nodes"] = [{"mesh": 0}, {"mesh": 0, "extensions": {"KHR_node_visibility": {"visible": False}}}]
+    g["scenes"] = [{"nodes": [0, 1]}]
+    sc = Scene()
+    sc.load_from_model(triangle_model)
+    flat = build_scene_flat(sc)
+    bvh = build_scene_bvh(flat)
+    # ray through both (stacked at same place) must report visible instance only
+    ro = jnp.array([[0.2, 0.2, 5.0]], jnp.float32)
+    rd = jnp.array([[0.0, 0.0, -1.0]], jnp.float32)
+    got = intersect_rays(bvh, flat, ro, rd)
+    assert int(got["rnode"][0]) == 0
+
+
+def test_blas_forest_counts(box_glb):
+    sc = Scene()
+    sc.load(box_glb)
+    flat = build_scene_flat(sc)
+    lo, hi, left, right, tri, parent, roots = build_blas_forest(
+        np.asarray(flat.vtx_pos), np.asarray(flat.tri_idx),
+        np.asarray(flat.prim_first_tri), np.asarray(flat.prim_tri_count),
+    )
+    n_tris = flat.tri_idx.shape[0]
+    assert (tri >= 0).sum() == n_tris  # one leaf per triangle
+    assert lo.shape[0] == 2 * n_tris - 1
+    # root AABB == scene AABB of the primitive
+    np.testing.assert_allclose(lo[roots[0]], np.asarray(flat.vtx_pos).min(axis=0), atol=1e-6)
+    np.testing.assert_allclose(hi[roots[0]], np.asarray(flat.vtx_pos).max(axis=0), atol=1e-6)

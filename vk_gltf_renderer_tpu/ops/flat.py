@@ -1,0 +1,288 @@
+"""SceneFlat: the device-side scene mirror as a pytree of arrays.
+
+TPU-native equivalent of SceneVk (gltf_scene_vk.hpp:53-245) + the
+buffer-device-address scene table (GltfScene, gltf_scene_io.h.slang:314-322).
+Where the reference uploads SSBOs behind pointers, we build ONE pytree of
+jnp-compatible numpy arrays:
+
+  geometry   concatenated SoA over all RenderPrimitives (vertex arrays with
+             per-primitive offsets, triangle indices pre-offset to global)
+  rnodes     render-node table {o2w, w2o, materialID, renderPrimID, visible}
+  materials  struct-of-arrays with GltfShadeMaterial field semantics
+  tex_infos  texture-info table (slot 0 = "no texture" sentinel)
+  textures   flat texel pool + per-(texture,mip) descriptors (ops/textures.py)
+  lights     punctual light table (KHR_lights_punctual)
+
+Missing attributes are synthesized exactly like SceneVk::createVertexBuffers
+(gltf_scene_vk.cpp:741): smooth normals when NORMAL is absent, UV-gradient
+tangents when TANGENT is absent (MikkTSpace parity later), white COLOR_0,
+zero UVs. Everything is float32/int32, static shapes — jit-stable as long as
+geometry doesn't change (geometry edits raise PRIMITIVES_CHANGED and force a
+rebuild, matching the reference's BLAS rebuild ladder renderer.hpp:82-116).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields as dc_fields
+
+import numpy as np
+
+from ..models import materials as mats
+from ..models.geometry import (
+    PrimitiveData,
+    compute_smooth_normals,
+    extract_primitive,
+    generate_tangents_uv,
+    _make_fast_tangent,
+)
+
+_LIGHT_TYPES = {"directional": 1, "spot": 2, "point": 3}
+
+
+@dataclass
+class SceneFlat:
+    """Pytree of scene arrays. All jnp-compatible numpy (or jnp) arrays."""
+
+    # geometry (concatenated)
+    vtx_pos: np.ndarray  # [V,3] f32
+    vtx_nrm: np.ndarray  # [V,3] f32
+    vtx_tan: np.ndarray  # [V,4] f32
+    vtx_uv0: np.ndarray  # [V,2] f32
+    vtx_uv1: np.ndarray  # [V,2] f32
+    vtx_color: np.ndarray  # [V,4] f32
+    tri_idx: np.ndarray  # [T,3] i32 global vertex indices
+    prim_first_tri: np.ndarray  # [P] i32
+    prim_tri_count: np.ndarray  # [P] i32
+    prim_first_vtx: np.ndarray  # [P] i32
+    prim_vtx_count: np.ndarray  # [P] i32
+    prim_has_nrm: np.ndarray  # [P] i32 (source had NORMAL)
+    prim_has_uv0: np.ndarray  # [P] i32
+    prim_has_color: np.ndarray  # [P] i32
+    # render nodes
+    rn_o2w: np.ndarray  # [N,4,4] f32
+    rn_w2o: np.ndarray  # [N,4,4] f32
+    rn_material: np.ndarray  # [N] i32 (clamped >= 0)
+    rn_prim: np.ndarray  # [N] i32
+    rn_visible: np.ndarray  # [N] i32
+    # materials SoA: field name -> [M, ...]
+    materials: dict
+    # texture infos
+    ti_index: np.ndarray  # [TI] i32 (into texture descriptor table; -1 none)
+    ti_texcoord: np.ndarray  # [TI] i32
+    ti_uvxform: np.ndarray  # [TI,2,3] f32
+    # lights
+    light_type: np.ndarray  # [L] i32 (1=dir,2=spot,3=point); L>=1 padded
+    light_pos: np.ndarray  # [L,3]
+    light_dir: np.ndarray  # [L,3]
+    light_color: np.ndarray  # [L,3]
+    light_intensity: np.ndarray  # [L]
+    light_radius: np.ndarray  # [L]
+    light_angular_or_invrange: np.ndarray  # [L] angular size (dir) / 1/range
+    light_cone: np.ndarray  # [L,2] cos(outer), 1/(cos(inner)-cos(outer))
+    num_lights: int  # static
+    # textures (filled by ops/textures.py; white 1x1 fallback)
+    tex_texels: np.ndarray  # [K,4] f32 flat pool
+    tex_desc: np.ndarray  # [D,4] i32 (offset, width, height, _)
+    tex_mip_table: np.ndarray  # [ntex, max_mips] i32 -> desc row (-1 pad)
+    tex_num_mips: np.ndarray  # [ntex] i32
+
+    def tree_flatten(self):
+        names = [f.name for f in dc_fields(self) if f.name not in ("num_lights",)]
+        return [getattr(self, n) for n in names], (self.num_lights,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        names = [f.name for f in dc_fields(cls) if f.name not in ("num_lights",)]
+        kw = dict(zip(names, children))
+        kw["num_lights"] = aux[0]
+        return cls(**kw)
+
+
+def _register():
+    import jax
+
+    jax.tree_util.register_pytree_node(SceneFlat, SceneFlat.tree_flatten, SceneFlat.tree_unflatten)
+
+
+_register()
+
+MATERIAL_ARRAY_FIELDS = None  # initialized on first build
+
+
+def _materials_soa(shade_materials: list) -> dict:
+    out = {}
+    for f in dc_fields(mats.ShadeMaterial):
+        vals = [np.asarray(getattr(m, f.name)) for m in shade_materials]
+        arr = np.stack(vals).astype(np.float32 if vals[0].dtype.kind == "f" else np.int32)
+        if arr.dtype == np.float64:
+            arr = arr.astype(np.float32)
+        if arr.dtype.kind in "iu":
+            arr = arr.astype(np.int32)
+        out[f.name] = arr
+    return out
+
+
+def build_scene_flat(scene, *, with_textures: bool = True) -> SceneFlat:
+    """Scene (host) -> SceneFlat (device arrays). Reference SceneVk::create
+    (gltf_scene_vk.cpp:218) + updateSceneDescBuffer (:330)."""
+    model = scene.model
+
+    pos_l, nrm_l, tan_l, uv0_l, uv1_l, col_l, tri_l = [], [], [], [], [], [], []
+    pft, ptc, pfv, pvc, phn, phu, phc = [], [], [], [], [], [], []
+    v_off = 0
+    t_off = 0
+    for rp in scene.render_primitives:
+        pd: PrimitiveData = extract_primitive(model, rp.primitive(model))
+        nv = pd.positions.shape[0]
+        nt = pd.indices.shape[0]
+        nrm = pd.normals if pd.normals is not None else compute_smooth_normals(pd.positions, pd.indices)
+        if pd.tangents is not None:
+            tan = pd.tangents.astype(np.float32)
+        elif pd.uv0 is not None:
+            tan = generate_tangents_uv(pd.positions, nrm, pd.uv0, pd.indices)
+        else:
+            t3 = _make_fast_tangent(nrm)
+            tan = np.concatenate([t3, np.ones((nv, 1), np.float32)], axis=1).astype(np.float32)
+        uv0 = pd.uv0 if pd.uv0 is not None else np.zeros((nv, 2), np.float32)
+        uv1 = pd.uv1 if pd.uv1 is not None else uv0
+        col = pd.color0 if pd.color0 is not None else np.ones((nv, 4), np.float32)
+
+        pos_l.append(pd.positions)
+        nrm_l.append(nrm.astype(np.float32))
+        tan_l.append(tan)
+        uv0_l.append(uv0.astype(np.float32))
+        uv1_l.append(uv1.astype(np.float32))
+        col_l.append(col.astype(np.float32))
+        tri_l.append(pd.indices.astype(np.int64) + v_off)
+        pft.append(t_off)
+        ptc.append(nt)
+        pfv.append(v_off)
+        pvc.append(nv)
+        phn.append(1 if pd.normals is not None else 0)
+        phu.append(1 if pd.uv0 is not None else 0)
+        phc.append(1 if pd.color0 is not None else 0)
+        v_off += nv
+        t_off += nt
+
+    if v_off == 0:  # empty scene: one degenerate triangle keeps shapes valid
+        pos_l = [np.zeros((3, 3), np.float32)]
+        nrm_l = [np.tile(np.array([[0, 0, 1]], np.float32), (3, 1))]
+        tan_l = [np.tile(np.array([[1, 0, 0, 1]], np.float32), (3, 1))]
+        uv0_l = uv1_l = [np.zeros((3, 2), np.float32)]
+        col_l = [np.ones((3, 4), np.float32)]
+        tri_l = [np.array([[0, 1, 2]], np.int64)]
+        pft, ptc, pfv, pvc, phn, phu, phc = [0], [1], [0], [3], [0], [0], [0]
+
+    rnodes = scene.render_nodes or []
+    n = max(len(rnodes), 1)
+    rn_o2w = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    rn_w2o = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    rn_material = np.zeros(n, np.int32)
+    rn_prim = np.zeros(n, np.int32)
+    rn_visible = np.zeros(n, np.int32)
+    for i, rn in enumerate(rnodes):
+        rn_o2w[i] = rn.world_matrix
+        rn_w2o[i] = np.linalg.inv(rn.world_matrix.astype(np.float64)).astype(np.float32)
+        rn_material[i] = max(rn.material_id, 0)
+        rn_prim[i] = rn.render_prim_id
+        rn_visible[i] = 1 if rn.visible else 0
+
+    conv = mats.MaterialConverter(model)
+    shade_mats = conv.convert_all()
+    mat_soa = _materials_soa(shade_mats)
+    ti = conv.texture_infos
+    ti_index = np.array([t.index for t in ti], np.int32)
+    ti_texcoord = np.array([t.tex_coord for t in ti], np.int32)
+    ti_uvxform = np.stack([t.uv_transform for t in ti]).astype(np.float32)
+
+    lights = _build_lights(scene)
+
+    if with_textures and model.images:
+        from .textures import build_texture_pool
+
+        tex = build_texture_pool(model, used_texinfos=ti)
+    else:
+        tex = _white_texture_pool()
+
+    return SceneFlat(
+        vtx_pos=np.concatenate(pos_l).astype(np.float32),
+        vtx_nrm=np.concatenate(nrm_l).astype(np.float32),
+        vtx_tan=np.concatenate(tan_l).astype(np.float32),
+        vtx_uv0=np.concatenate(uv0_l).astype(np.float32),
+        vtx_uv1=np.concatenate(uv1_l).astype(np.float32),
+        vtx_color=np.concatenate(col_l).astype(np.float32),
+        tri_idx=np.concatenate(tri_l).astype(np.int32),
+        prim_first_tri=np.array(pft, np.int32),
+        prim_tri_count=np.array(ptc, np.int32),
+        prim_first_vtx=np.array(pfv, np.int32),
+        prim_vtx_count=np.array(pvc, np.int32),
+        prim_has_nrm=np.array(phn, np.int32),
+        prim_has_uv0=np.array(phu, np.int32),
+        prim_has_color=np.array(phc, np.int32),
+        rn_o2w=rn_o2w,
+        rn_w2o=rn_w2o,
+        rn_material=rn_material,
+        rn_prim=rn_prim,
+        rn_visible=rn_visible,
+        materials=mat_soa,
+        ti_index=ti_index,
+        ti_texcoord=ti_texcoord,
+        ti_uvxform=ti_uvxform,
+        num_lights=len(scene.render_lights),
+        tex_texels=tex[0],
+        tex_desc=tex[1],
+        tex_mip_table=tex[2],
+        tex_num_mips=tex[3],
+        **lights,
+    )
+
+
+def _white_texture_pool():
+    texels = np.ones((1, 4), np.float32)
+    desc = np.array([[0, 1, 1, 0]], np.int32)
+    mip_table = np.zeros((1, 1), np.int32)
+    num_mips = np.ones(1, np.int32)
+    return texels, desc, mip_table, num_mips
+
+
+def _build_lights(scene) -> dict:
+    """Punctual lights -> SoA (reference SceneVk light SSBO + GltfLight
+    gltf_scene_io.h.slang:86-100)."""
+    model = scene.model
+    defs = model.gltf.get("extensions", {}).get("KHR_lights_punctual", {}).get("lights", [])
+    rls = scene.render_lights
+    n = max(len(rls), 1)
+    out = dict(
+        light_type=np.zeros(n, np.int32),
+        light_pos=np.zeros((n, 3), np.float32),
+        light_dir=np.tile(np.array([[0, -1, 0]], np.float32), (n, 1)),
+        light_color=np.ones((n, 3), np.float32),
+        light_intensity=np.zeros(n, np.float32),
+        light_radius=np.zeros(n, np.float32),
+        light_angular_or_invrange=np.zeros(n, np.float32),
+        light_cone=np.tile(np.array([[0.0, 1.0]], np.float32), (n, 1)),
+    )
+    for i, rl in enumerate(rls):
+        ld = defs[rl.light] if rl.light < len(defs) else {}
+        ltype = _LIGHT_TYPES.get(ld.get("type", "directional"), 1)
+        w = rl.world_matrix
+        out["light_type"][i] = ltype
+        out["light_pos"][i] = w[:3, 3]
+        d = -w[:3, 2]
+        out["light_dir"][i] = d / max(np.linalg.norm(d), 1e-9)
+        out["light_color"][i] = np.asarray(ld.get("color", [1, 1, 1]), np.float32)
+        out["light_intensity"][i] = ld.get("intensity", 1.0)
+        rng = ld.get("range", 0.0)
+        ext = ld.get("extensions", {}).get("KHR_lights_radius", {})
+        out["light_radius"][i] = ext.get("radius", 0.0)
+        if ltype == 1:
+            out["light_angular_or_invrange"][i] = np.radians(0.53)  # sun-like default
+        else:
+            out["light_angular_or_invrange"][i] = 1.0 / rng if rng > 0 else 0.0
+        if ltype == 2:
+            spot = ld.get("spot", {})
+            inner = spot.get("innerConeAngle", 0.0)
+            outer = spot.get("outerConeAngle", np.pi / 4)
+            ci, co = np.cos(inner), np.cos(outer)
+            out["light_cone"][i] = [co, 1.0 / max(ci - co, 1e-4)]
+    return out
