@@ -1,0 +1,101 @@
+"""End-to-end render smoke + correctness tests (CPU, tiny images).
+
+Mirrors the role of the reference's headless smoke runner (test.py) and the
+(stubbed-there) VisualValidator: render real assets, assert structural
+correctness of the output (hit/miss layout, energy conservation bounds,
+accumulation math).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from vk_gltf_renderer_tpu.renderer import GltfRenderer
+
+
+@pytest.fixture(scope="module")
+def box_render():
+    r = GltfRenderer(width=40, height=40, spp=1, max_depth=3)
+    r.create_scene("/root/reference/resources/Box.glb")
+    for _ in range(4):
+        aux = r.on_render()
+    return r, aux
+
+
+def test_render_finite(box_render):
+    r, aux = box_render
+    img = r.image_linear()
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0
+    assert img.mean() > 0.01  # not black
+
+
+def test_center_hits_box_corner_is_sky(box_render):
+    r, aux = box_render
+    img = r.image_linear()
+    # Box.glb's material is red: center pixel should be red-dominant
+    c = img[20, 20]
+    assert c[0] > c[1] * 2 and c[0] > c[2] * 2, f"center {c} not red"
+    # corner = sky: blue-ish, brighter blue than red
+    k = img[1, 1]
+    assert k[2] > k[0], f"corner {k} not sky"
+
+
+def test_first_hit_aux(box_render):
+    r, aux = box_render
+    solid = np.asarray(aux["solid"]).reshape(40, 40)
+    assert solid[20, 20]  # center hits geometry
+    assert not solid[1, 1]  # corner misses
+    rnode = np.asarray(aux["first_rnode"]).reshape(40, 40)
+    assert rnode[20, 20] == 0
+    assert rnode[1, 1] == -1
+
+
+def test_accumulation_reduces_variance():
+    r = GltfRenderer(width=24, height=24, spp=1, max_depth=2)
+    r.create_scene("/root/reference/resources/Box.glb")
+    r.on_render()
+    img1 = r.image_linear().copy()
+    for _ in range(7):
+        r.on_render()
+    img8 = r.image_linear().copy()
+    r2 = GltfRenderer(width=24, height=24, spp=1, max_depth=2)
+    r2.create_scene("/root/reference/resources/Box.glb")
+    r2.on_render()
+    # same frame-0 seed -> identical first frame (determinism)
+    np.testing.assert_allclose(img1, r2.image_linear(), atol=1e-6)
+    assert r.total_samples == 8
+
+
+def test_headless_cli(tmp_path, capsys):
+    from vk_gltf_renderer_tpu.headless import main
+
+    out = tmp_path / "o.png"
+    rc = main(
+        [
+            "--scenefile", "/root/reference/resources/Box.glb",
+            "--headless", "--size", "32", "32",
+            "--frames", "3", "--ptSamples", "1", "--ptDepth", "2",
+            "--output", str(out),
+        ]
+    )
+    assert rc == 0
+    assert out.exists()
+    captured = capsys.readouterr().out
+    assert "BENCHMARK_JSON" in captured
+    import json
+
+    line = [l for l in captured.splitlines() if l.startswith("BENCHMARK_JSON")][0]
+    rec = json.loads(line.split(" ", 1)[1])
+    assert rec["schema"] == 1 and rec["type"] == "headless_summary"
+    assert rec["frames"] == 2  # warmup excluded
+
+
+def test_shader_ball_renders():
+    r = GltfRenderer(width=32, height=32, spp=1, max_depth=2)
+    r.create_scene("/root/reference/resources/shader_ball.gltf")
+    aux = r.on_render()
+    img = r.image_linear()
+    assert np.isfinite(img).all()
+    assert np.asarray(aux["solid"]).any()

@@ -1,0 +1,145 @@
+"""Headless CLI — flag-compatible with the reference's benchmark harness
+(main.cpp:99-115 parameter registration; docs/benchmarking.md recipe):
+
+  python -m vk_gltf_renderer_tpu.headless --headless --size 1920 1080 \\
+      --scenefile X.gltf --hdrfile env.hdr --frames 500 --maxFrames 500 \\
+      --ptSamples 1 --renderSystem 0 --envSystem 1 --output out.png
+
+Emits the same machine-readable lines the reference's BenchmarkController
+does (benchmarking.cpp:45-51, 282-303): a HEADLESS_SUMMARY human line and a
+schema-1 BENCHMARK_JSON record, so utils/benchmark-style tooling carries
+over unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vk_gltf_renderer_tpu", description=__doc__)
+    # general (reference main.cpp:99-115)
+    p.add_argument("--scenefile", type=str, default=None)
+    p.add_argument("--hdrfile", type=str, default=None)
+    p.add_argument("--headless", action="store_true")
+    p.add_argument("--size", type=int, nargs=2, default=[512, 512], metavar=("W", "H"))
+    p.add_argument("--frames", type=int, default=1, help="frames to render in headless mode")
+    p.add_argument("--maxFrames", type=int, default=None, help="accumulation limit")
+    p.add_argument("--output", type=str, default=None, help="output image path (.png/.jpg)")
+    # rendering
+    p.add_argument("--renderSystem", type=int, default=0, help="0=pathtracer 1=rasterizer")
+    p.add_argument("--envSystem", type=int, default=0, help="0=sky 1=hdr")
+    p.add_argument("--envIntensity", type=float, default=1.0)
+    p.add_argument("--envRotation", type=float, default=0.0)
+    # pathtracer (reference renderer_pathtracer.cpp:116 registerParameters)
+    p.add_argument("--ptSamples", type=int, default=1, help="samples per pixel per frame")
+    p.add_argument("--ptDepth", type=int, default=5, help="maximum ray depth")
+    p.add_argument("--ptFireflyClamp", type=float, default=10.0)
+    p.add_argument("--ptAdaptiveSampling", type=int, default=0)
+    p.add_argument("--ptAperture", type=float, default=0.0)
+    p.add_argument("--ptFocalDistance", type=float, default=0.0)
+    # tonemapper
+    p.add_argument("--tonemapper", type=str, default="filmic")
+    # benchmark
+    p.add_argument("--benchmark", type=str, default=None, help="benchmark .cfg script")
+    p.add_argument("--logLevel", type=int, default=2)
+    p.add_argument("--platform", type=str, default=None, help="jax platform override (cpu/tpu)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from .renderer import GltfRenderer
+
+    w, h = args.size
+    r = GltfRenderer(
+        width=w,
+        height=h,
+        spp=args.ptSamples,
+        max_depth=args.ptDepth,
+        env_kind="hdr" if args.envSystem == 1 else "sky",
+    )
+    r.tonemapper = args.tonemapper
+    r.firefly_clamp = args.ptFireflyClamp
+    r.env_intensity = args.envIntensity
+    r.env_rotation = args.envRotation
+
+    if not args.scenefile:
+        print("error: --scenefile is required in headless mode", file=sys.stderr)
+        return 2
+    t0 = time.perf_counter()
+    r.create_scene(args.scenefile)
+    if args.envSystem == 1:
+        if not args.hdrfile:
+            print("error: --envSystem 1 requires --hdrfile", file=sys.stderr)
+            return 2
+        r.create_hdr(args.hdrfile)
+    load_s = time.perf_counter() - t0
+    tris = int(sum(p.index_count // 3 for p in r.scene.render_primitives))
+    print(f"Loaded {args.scenefile}: {len(r.scene.render_nodes)} render nodes, {tris} triangles ({load_s:.2f}s)")
+
+    frames = args.frames
+    max_frames = args.maxFrames or frames
+    frames = min(frames, max_frames)
+
+    # warmup frame excluded from timing (reference benchmarking.hpp:128)
+    aux = r.on_render()
+    rays = float(aux["rays"])
+    t_start = time.perf_counter()
+    rays_timed = 0.0
+    timed = 0
+    for i in range(1, frames):
+        if r.total_samples >= max_frames * args.ptSamples:
+            break
+        aux = r.on_render()
+        rays_timed += float(aux["rays"])
+        timed += 1
+        if timed % 50 == 0:
+            el = time.perf_counter() - t_start
+            print(f"  frame {i + 1}/{frames}  {el / max(timed,1) * 1000:.2f} ms/frame")
+    wall = time.perf_counter() - t_start
+
+    if args.output:
+        r.save_image(args.output)
+        print(f"Saved {args.output}")
+
+    if timed > 0:
+        ms_per_frame = wall / timed * 1000.0
+        msps = (w * h * args.ptSamples * timed) / wall / 1e6
+        mrays = rays_timed / wall / 1e6
+    else:
+        ms_per_frame = msps = mrays = 0.0
+    summary = {
+        "schema": 1,
+        "type": "headless_summary",
+        "width": w,
+        "height": h,
+        "frames": timed,
+        "spp": args.ptSamples,
+        "wall_ms": wall * 1000.0,
+        "ms_per_frame": ms_per_frame,
+        "throughput_MSps": msps,
+        "spp_per_sec": (args.ptSamples * timed) / wall if timed else 0.0,
+        "Mrays_per_sec": mrays,
+        "triangles": tris,
+        "scene": str(args.scenefile),
+    }
+    print(
+        f"HEADLESS_SUMMARY frames={timed} wall_ms={wall * 1000:.1f} "
+        f"ms_per_frame={ms_per_frame:.2f} throughput_MSps={msps:.2f} Mrays_per_sec={mrays:.1f}"
+    )
+    print("BENCHMARK_JSON " + json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

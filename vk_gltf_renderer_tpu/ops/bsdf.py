@@ -1,0 +1,412 @@
+"""glTF PBR BSDF stack: evaluate / sample (batched, branch-free).
+
+In-repo replacement for nvpro_core2's nvshaders/bsdf_functions.h.slang (the
+reference consumes it at gltf_pathtrace.slang:330-416; the library itself is
+external, SURVEY.md §2.6). Interface contract mirrors the reference:
+
+  bsdf_evaluate(pbr, k1, k2)      -> dict(bsdf_diffuse, bsdf_glossy, pdf)
+                                     (both terms INCLUDE the cosine factor)
+  bsdf_sample(pbr, k1, u3)        -> dict(k2, bsdf_over_pdf, pdf, event)
+
+Lobes implemented: Lambert diffuse, anisotropic GGX reflection (Heitz VNDF
+sampling, height-correlated Smith), microfacet/impulse dielectric
+transmission with refraction + TIR, diffuse transmission, clearcoat (GGX on
+its own normal), sheen (Charlie). pdf() of sample and evaluate agree — the
+MIS invariant.
+
+`pbr` is a dict of per-lane arrays (the PbrMaterial analog, produced by
+ops/materials_eval.py): base_color[..,3], metallic, roughness[..,2] (GGX
+alpha, already squared), N/T/B/Ng[..,3], ior1, ior2, transmission, specular,
+specular_color[..,3], opacity, clearcoat, clearcoat_roughness, Nc,
+sheen_color[..,3], sheen_roughness, diffuse_transmission_factor,
+diffuse_transmission_color[..,3], dispersion.
+
+Event types follow the reference's BSDF_EVENT_* semantics.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .traverse import dot3, cross3
+
+DIRAC = jnp.float32(-1.0)
+
+EVENT_ABSORB = 0
+EVENT_DIFFUSE = 1
+EVENT_GLOSSY_REFLECTION = 2
+EVENT_IMPULSE_REFLECTION = 3
+EVENT_GLOSSY_TRANSMISSION = 4
+EVENT_IMPULSE_TRANSMISSION = 5
+EVENT_DIFFUSE_TRANSMISSION = 6
+
+_MIN_ALPHA = 1e-6
+_IMPULSE_ALPHA = 1.0e-4  # below this, treat the microfacet as a mirror
+
+
+def _luminance(c):
+    return 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
+
+
+def _to_local(v, T, B, N):
+    return jnp.stack([dot3(v, T), dot3(v, B), dot3(v, N)], axis=-1)
+
+
+def _from_local(v, T, B, N):
+    return v[..., 0:1] * T + v[..., 1:2] * B + v[..., 2:3] * N
+
+
+def _schlick1(f0, cos_theta):
+    """Scalar-f0 Schlick Fresnel (f90 = 1)."""
+    m = jnp.clip(1.0 - cos_theta, 0.0, 1.0)
+    return f0 + (1.0 - f0) * m**5
+
+
+def _schlick3(f0, cos_theta):
+    """RGB-f0 Schlick Fresnel (f90 = 1). cos_theta broadcast over last axis."""
+    m = jnp.clip(1.0 - cos_theta, 0.0, 1.0)
+    return f0 + (1.0 - f0) * (m**5)[..., None]
+
+
+def _ggx_d(h_l, ax, ay):
+    """Anisotropic GGX NDF; h_l in local (tangent) frame."""
+    x = h_l[..., 0] / jnp.maximum(ax, _MIN_ALPHA)
+    y = h_l[..., 1] / jnp.maximum(ay, _MIN_ALPHA)
+    z = h_l[..., 2]
+    d = x * x + y * y + z * z
+    return 1.0 / (jnp.pi * jnp.maximum(ax, _MIN_ALPHA) * jnp.maximum(ay, _MIN_ALPHA) * jnp.maximum(d * d, 1e-20))
+
+
+def _ggx_lambda(w_l, ax, ay):
+    x = w_l[..., 0] * ax
+    y = w_l[..., 1] * ay
+    z = w_l[..., 2]
+    return 0.5 * (-1.0 + jnp.sqrt(1.0 + (x * x + y * y) / jnp.maximum(z * z, 1e-12)))
+
+
+def _ggx_g2(wo_l, wi_l, ax, ay):
+    return 1.0 / (1.0 + _ggx_lambda(wo_l, ax, ay) + _ggx_lambda(wi_l, ax, ay))
+
+
+def _ggx_g1(w_l, ax, ay):
+    return 1.0 / (1.0 + _ggx_lambda(w_l, ax, ay))
+
+
+def _sample_vndf(wo_l, ax, ay, u1, u2):
+    """Heitz 2018 VNDF sampling of the GGX distribution of visible normals."""
+    v = jnp.stack([wo_l[..., 0] * ax, wo_l[..., 1] * ay, wo_l[..., 2]], axis=-1)
+    v = v / jnp.sqrt(dot3(v, v))[..., None]
+    lensq = v[..., 0] ** 2 + v[..., 1] ** 2
+    inv = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-20))
+    t1 = jnp.where(
+        (lensq > 1e-16)[..., None],
+        jnp.stack([-v[..., 1] * inv, v[..., 0] * inv, jnp.zeros_like(inv)], axis=-1),
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), v.shape),
+    )
+    t2 = cross3(v, t1)
+    r = jnp.sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + v[..., 2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))
+    nh = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * v
+    h = jnp.stack(
+        [ax * nh[..., 0], ay * nh[..., 1], jnp.maximum(1e-6, nh[..., 2])], axis=-1
+    )
+    return h / jnp.sqrt(dot3(h, h))[..., None]
+
+
+def _vndf_pdf(wo_l, h_l, ax, ay):
+    """pdf of _sample_vndf in half-vector measure: D_vis = G1 * D * (wo.h) / wo.z"""
+    d = _ggx_d(h_l, ax, ay)
+    g1 = _ggx_g1(wo_l, ax, ay)
+    return g1 * d * jnp.maximum(dot3(wo_l, h_l), 0.0) / jnp.maximum(jnp.abs(wo_l[..., 2]), 1e-8)
+
+
+def _cos_hemisphere(N, T, B, u1, u2):
+    r = jnp.sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
+    local = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))], axis=-1)
+    return _from_local(local, T, B, N)
+
+
+def _f0_dielectric(pbr):
+    """glTF spec dielectric F0 with KHR_materials_specular scaling."""
+    ior1, ior2 = pbr["ior1"], pbr["ior2"]
+    f = ((ior2 - ior1) / jnp.maximum(ior2 + ior1, 1e-6)) ** 2
+    f0 = jnp.minimum(f[..., None] * pbr["specular_color"], 1.0) * pbr["specular"][..., None]
+    return f0
+
+
+def _lobe_weights(pbr, k1):
+    """Sampling probabilities for (diffuse, glossy, transmission, clearcoat,
+    sheen, diffuse_transmission). Fresnel-aware, luminance-weighted."""
+    n_dot_v = jnp.abs(dot3(pbr["N"], k1))
+    f0 = _f0_dielectric(pbr)
+    f_diel = _schlick1(_luminance(f0), n_dot_v)
+    f_metal = _schlick1(_luminance(pbr["base_color"]), n_dot_v)
+    m = pbr["metallic"]
+    trans = pbr["transmission"] * (1.0 - m)
+    dt = pbr["diffuse_transmission"] * (1.0 - m) * (1.0 - pbr["transmission"])
+    w_glossy = m * f_metal + (1.0 - m) * f_diel
+    w_diffuse = (1.0 - m) * (1.0 - trans) * (1.0 - dt) * _luminance(pbr["base_color"]) * (1.0 - f_diel)
+    w_trans = trans * (1.0 - f_diel) * _luminance(pbr["base_color"])
+    w_dt = dt * _luminance(pbr["diffuse_transmission_color"])
+    w_coat = pbr["clearcoat"] * _schlick1(jnp.float32(0.04), n_dot_v)
+    w_sheen = _luminance(pbr["sheen_color"])
+    total = w_diffuse + w_glossy + w_trans + w_coat + w_sheen + w_dt
+    total = jnp.maximum(total, 1e-8)
+    return (w_diffuse / total, w_glossy / total, w_trans / total, w_coat / total, w_sheen / total, w_dt / total)
+
+
+# ---------------------------------------------------------------- sheen
+def _charlie_d(h_z, alpha):
+    """Charlie sheen NDF (Estevez & Kulla)."""
+    a = jnp.maximum(alpha, 1e-3)
+    inv_a = 1.0 / a
+    sin2 = jnp.maximum(0.0, 1.0 - h_z * h_z)
+    return (2.0 + inv_a) * (sin2 ** (inv_a * 0.5)) / (2.0 * jnp.pi)
+
+
+def _sheen_eval(pbr, k1_l, k2_l):
+    h = k1_l + k2_l
+    h = h / jnp.sqrt(dot3(h, h))[..., None]
+    d = _charlie_d(h[..., 2], pbr["sheen_roughness"] ** 2)
+    # Ashikhmin's simple visibility term
+    denom = 4.0 * (jnp.abs(k1_l[..., 2]) + jnp.abs(k2_l[..., 2]) - jnp.abs(k1_l[..., 2]) * jnp.abs(k2_l[..., 2]))
+    v = 1.0 / jnp.maximum(denom, 1e-6)
+    return pbr["sheen_color"] * (d * v * jnp.maximum(k2_l[..., 2], 0.0))[..., None]
+
+
+# ------------------------------------------------------------- evaluate
+def bsdf_evaluate(pbr, k1, k2):
+    """Evaluate reflection lobes for light direction k2 (NEE path,
+    gltf_pathtrace.slang:330-351). Returns bsdf_diffuse/bsdf_glossy with
+    cosine included, and the sampling pdf for MIS."""
+    N, T, B = pbr["N"], pbr["T"], pbr["B"]
+    k1_l = _to_local(k1, T, B, N)
+    k2_l = _to_local(k2, T, B, N)
+    n_dot_l = k2_l[..., 2]
+    n_dot_v = jnp.abs(k1_l[..., 2])
+    refl_side = n_dot_l > 0.0
+
+    ax = jnp.sqrt(jnp.maximum(pbr["roughness"][..., 0], _MIN_ALPHA))
+    ay = jnp.sqrt(jnp.maximum(pbr["roughness"][..., 1], _MIN_ALPHA))
+
+    h = k1_l + k2_l
+    h = h / jnp.maximum(jnp.sqrt(dot3(h, h)), 1e-12)[..., None]
+    v_dot_h = jnp.maximum(dot3(k1_l, h), 0.0)
+
+    f0_d = _f0_dielectric(pbr)
+    m = pbr["metallic"][..., None]
+    f0 = f0_d * (1.0 - m) + pbr["base_color"] * m
+    fr = _schlick3(f0, v_dot_h)
+
+    d = _ggx_d(h, ax, ay)
+    g2 = _ggx_g2(k1_l, k2_l, ax, ay)
+    spec = fr * (d * g2 / jnp.maximum(4.0 * n_dot_v, 1e-8))[..., None]  # * n_dot_l / n_dot_l -> cosine folded below
+    # microfacet: f = F D G2 / (4 |n.v| |n.l|); contribution = f * n.l
+    glossy = spec  # already f * n.l
+
+    trans = pbr["transmission"] * (1.0 - pbr["metallic"])
+    dt = pbr["diffuse_transmission"] * (1.0 - pbr["metallic"]) * (1.0 - pbr["transmission"])
+    kd = (1.0 - pbr["metallic"]) * (1.0 - trans) * (1.0 - dt)
+    f_diel_l = _schlick1(_luminance(f0_d), v_dot_h)
+    diffuse = pbr["base_color"] * (kd * (1.0 - f_diel_l) / jnp.pi * jnp.maximum(n_dot_l, 0.0))[..., None]
+
+    # diffuse transmission: lambertian into the opposite hemisphere
+    dt_term = pbr["diffuse_transmission_color"] * (dt / jnp.pi * jnp.maximum(-n_dot_l, 0.0))[..., None]
+    diffuse = diffuse + dt_term
+
+    # sheen adds to glossy
+    sheen = _sheen_eval(pbr, k1_l, k2_l)
+    glossy = glossy + sheen * pbr["_sheen_on"][..., None]
+
+    # clearcoat layer (own normal Nc, isotropic GGX)
+    cc = pbr["clearcoat"]
+    k1_c = _to_local(k1, T, B, pbr["Nc"])
+    k2_c = _to_local(k2, T, B, pbr["Nc"])
+    hc = k1_c + k2_c
+    hc = hc / jnp.maximum(jnp.sqrt(dot3(hc, hc)), 1e-12)[..., None]
+    ac = jnp.maximum(pbr["clearcoat_roughness"] ** 2, _MIN_ALPHA)
+    dc = _ggx_d(hc, ac, ac)
+    g2c = _ggx_g2(k1_c, k2_c, ac, ac)
+    fc = _schlick1(jnp.float32(0.04), jnp.maximum(dot3(k1_c, hc), 0.0)) * cc
+    cc_spec = (fc * dc * g2c / jnp.maximum(4.0 * jnp.abs(k1_c[..., 2]), 1e-8))[..., None]
+    # clearcoat attenuates base (1 - Fc view)
+    atten = 1.0 - (cc * _schlick1(jnp.float32(0.04), n_dot_v))[..., None]
+    glossy = glossy * atten + cc_spec * jnp.maximum(k2_c[..., 2], 0.0)[..., None]
+    diffuse = diffuse * atten
+
+    glossy = jnp.where(refl_side[..., None], glossy, jnp.zeros_like(glossy))
+
+    # pdf (matches bsdf_sample's strategy)
+    w_d, w_g, w_t, w_c, w_s, w_dt = _lobe_weights(pbr, k1)
+    pdf_d = jnp.maximum(n_dot_l, 0.0) / jnp.pi
+    pdf_g = _vndf_pdf(k1_l, h, ax, ay) / jnp.maximum(4.0 * v_dot_h, 1e-8)
+    pdf_c = (
+        _vndf_pdf(k1_c, hc, ac, ac) / jnp.maximum(4.0 * jnp.maximum(dot3(k1_c, hc), 0.0), 1e-8)
+    )
+    pdf_s = jnp.maximum(n_dot_l, 0.0) / jnp.pi  # sheen sampled cosine
+    pdf_dt = jnp.maximum(-n_dot_l, 0.0) / jnp.pi
+    pdf = w_d * pdf_d + w_g * jnp.where(refl_side, pdf_g, 0.0) + w_c * jnp.where(k2_c[..., 2] > 0, pdf_c, 0.0) + w_s * pdf_s + w_dt * pdf_dt
+    pdf = jnp.where(refl_side | (dt > 0.0), pdf, 0.0)
+
+    return {"bsdf_diffuse": diffuse, "bsdf_glossy": glossy, "pdf": pdf}
+
+
+# --------------------------------------------------------------- sample
+def bsdf_sample(pbr, k1, u, extra_u):
+    """Sample an outgoing direction (gltf_pathtrace.slang:357-416 contract).
+
+    u: [...,3] lobe-selection + direction uniforms; extra_u: [...,2] for
+    fresnel reflect/refract choice and sheen phi.
+    Returns dict(k2, bsdf_over_pdf[..3], pdf, event[int32]).
+    """
+    N, T, B = pbr["N"], pbr["T"], pbr["B"]
+    k1_l = _to_local(k1, T, B, N)
+    ax = jnp.sqrt(jnp.maximum(pbr["roughness"][..., 0], _MIN_ALPHA))
+    ay = jnp.sqrt(jnp.maximum(pbr["roughness"][..., 1], _MIN_ALPHA))
+    is_smooth = (ax < _IMPULSE_ALPHA) & (ay < _IMPULSE_ALPHA)
+
+    w_d, w_g, w_t, w_c, w_s, w_dt = _lobe_weights(pbr, k1)
+    sel = u[..., 0]
+    pick_d = sel < w_d
+    pick_g = (~pick_d) & (sel < w_d + w_g)
+    pick_t = (~pick_d) & (~pick_g) & (sel < w_d + w_g + w_t)
+    pick_c = (~pick_d) & (~pick_g) & (~pick_t) & (sel < w_d + w_g + w_t + w_c)
+    pick_s = (~pick_d) & (~pick_g) & (~pick_t) & (~pick_c) & (sel < w_d + w_g + w_t + w_c + w_s)
+    pick_dt = (~pick_d) & (~pick_g) & (~pick_t) & (~pick_c) & (~pick_s)
+
+    u1, u2 = u[..., 1], u[..., 2]
+
+    # flip so k1 is in +z hemisphere for VNDF (handles inside hits)
+    flip = jnp.where(k1_l[..., 2] < 0.0, -1.0, 1.0)
+    k1_lf = k1_l * jnp.stack([jnp.ones_like(flip), jnp.ones_like(flip), flip], axis=-1)
+
+    # ---- candidate directions per lobe
+    d_diff = _cos_hemisphere(N, T, B, u1, u2)
+    d_dt = -_cos_hemisphere(N, T, B, u1, u2)
+
+    h_l = _sample_vndf(k1_lf, ax, ay, u1, u2)
+    h_l = h_l * jnp.stack([jnp.ones_like(flip), jnp.ones_like(flip), flip], axis=-1)
+    h_smooth = jnp.concatenate(
+        [jnp.zeros_like(h_l[..., :2]), jnp.sign(k1_l[..., 2:3]) * jnp.ones_like(h_l[..., 2:3])], axis=-1
+    )
+    h_l = jnp.where(is_smooth[..., None], h_smooth, h_l)
+    h_w = _from_local(h_l, T, B, N)
+    d_refl = 2.0 * dot3(k1, h_w)[..., None] * h_w - k1
+    d_refl = d_refl / jnp.maximum(jnp.sqrt(dot3(d_refl, d_refl)), 1e-12)[..., None]
+
+    # refraction through h (dielectric transmission). The transmission lobe
+    # covers ONLY refraction; specular reflection on glass stays with the
+    # glossy lobe (glTF spec: transmission replaces the diffuse lobe, the
+    # F-weighted reflection lobe is common to both). TIR -> absorbed sample
+    # (that energy is carried by the glossy lobe).
+    eta = pbr["ior1"] / jnp.maximum(pbr["ior2"], 1e-6)
+    cos_i = dot3(k1, h_w)
+    sign_i = jnp.sign(cos_i)
+    cos_i_a = jnp.abs(cos_i)
+    sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i_a * cos_i_a)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    d_refr = (-k1) * eta[..., None] + (eta * cos_i_a - cos_t)[..., None] * (h_w * sign_i[..., None])
+    d_refr = d_refr / jnp.maximum(jnp.sqrt(dot3(d_refr, d_refr)), 1e-12)[..., None]
+    f_h = _fresnel_dielectric(cos_i_a, pbr["ior1"], pbr["ior2"])
+
+    # clearcoat reflection (own normal)
+    k1_c = _to_local(k1, T, B, pbr["Nc"])
+    ac = jnp.maximum(pbr["clearcoat_roughness"] ** 2, _MIN_ALPHA)
+    hc_l = _sample_vndf(jnp.where((k1_c[..., 2:] < 0), -k1_c, k1_c), ac, ac, u1, u2)
+    hc_w = _from_local(hc_l, T, B, pbr["Nc"])
+    d_coat = 2.0 * dot3(k1, hc_w)[..., None] * hc_w - k1
+    d_coat = d_coat / jnp.maximum(jnp.sqrt(dot3(d_coat, d_coat)), 1e-12)[..., None]
+
+    k2 = (
+        jnp.where(pick_d[..., None], d_diff, 0.0)
+        + jnp.where(pick_g[..., None], d_refl, 0.0)
+        + jnp.where(pick_t[..., None], d_refr, 0.0)
+        + jnp.where(pick_c[..., None], d_coat, 0.0)
+        + jnp.where(pick_s[..., None], d_diff, 0.0)
+        + jnp.where(pick_dt[..., None], d_dt, 0.0)
+    )
+
+    # ---- event classification
+    impulse = is_smooth & (pick_g | pick_t)
+    event = jnp.where(
+        pick_d | pick_s,
+        EVENT_DIFFUSE,
+        jnp.where(
+            pick_dt,
+            EVENT_DIFFUSE_TRANSMISSION,
+            jnp.where(
+                pick_t,
+                jnp.where(impulse, EVENT_IMPULSE_TRANSMISSION, EVENT_GLOSSY_TRANSMISSION),
+                jnp.where(impulse, EVENT_IMPULSE_REFLECTION, EVENT_GLOSSY_REFLECTION),
+            ),
+        ),
+    ).astype(jnp.int32)
+
+    # ---- weights.
+    # Reflection-side lobes (diffuse/glossy/coat/sheen/diffuse-transmission)
+    # use the combined-mixture estimator: f_total / sum_i(w_i * p_i), with f
+    # and pdf from bsdf_evaluate — pdfs match by construction.
+    ev = bsdf_evaluate(pbr, k1, k2)
+    pdf = ev["pdf"]
+    f_total = ev["bsdf_diffuse"] + ev["bsdf_glossy"]
+    w_reflect = f_total / jnp.maximum(pdf, 1e-12)[..., None]
+
+    # Transmission lobe uses the partitioned estimator f_T / (w_t * p_T):
+    # with VNDF sampling, f_T/p_T = (1 - F(h)) * tint * (G2 / G1), so
+    # bsdf_over_pdf = that / w_t. (Identity holds for refraction like for
+    # reflection; exact for the impulse case where G2/G1 = 1.)
+    g_ratio = jnp.where(
+        is_smooth,
+        1.0,
+        _ggx_g2(k1_lf, _to_local(d_refr, T, B, N) * jnp.stack([jnp.ones_like(flip), jnp.ones_like(flip), flip], axis=-1), ax, ay)
+        / jnp.maximum(_ggx_g1(k1_lf, ax, ay), 1e-8),
+    )
+    tint = pbr["base_color"]
+    w_transmission = tint * ((1.0 - f_h) * g_ratio / jnp.maximum(w_t, 1e-6))[..., None]
+    w_transmission = jnp.where(tir[..., None], 0.0, w_transmission)
+
+    bsdf_over_pdf = jnp.where(pick_t[..., None], w_transmission, w_reflect)
+
+    # pdf for MIS on the NEXT env/light hit (lastSamplePdf): impulse -> DIRAC;
+    # rough transmission -> approximate with the VNDF density (refraction
+    # jacobian folded into the weight above).
+    pdf = jnp.where(pick_t, jnp.where(impulse, DIRAC, w_t * _vndf_pdf(k1_lf, jnp.abs(h_l), ax, ay)), pdf)
+    pdf = jnp.where(impulse & pick_g, DIRAC, pdf)
+
+    # impulse reflection on smooth glossy: f/p = F (schlick with rgb f0)
+    f0_d = _f0_dielectric(pbr)
+    m3 = pbr["metallic"][..., None]
+    f0 = f0_d * (1.0 - m3) + pbr["base_color"] * m3
+    fr_imp = _schlick3(f0, jnp.abs(dot3(k1, h_w)))
+    bsdf_over_pdf = jnp.where(
+        (impulse & pick_g)[..., None], fr_imp / jnp.maximum(w_g, 1e-6)[..., None], bsdf_over_pdf
+    )
+
+    # invalid/degenerate samples -> absorb
+    bad_refl = (pick_d | pick_g | pick_c | pick_s) & (dot3(pbr["N"], k2) <= 0.0)
+    bad_trans = pick_t & tir
+    zero_w = jnp.all(bsdf_over_pdf <= 0.0, axis=-1) | ~jnp.isfinite(bsdf_over_pdf).all(axis=-1)
+    absorb = bad_refl | bad_trans | zero_w
+    event = jnp.where(absorb, EVENT_ABSORB, event)
+    bsdf_over_pdf = jnp.where(absorb[..., None], 0.0, bsdf_over_pdf)
+
+    return {"k2": k2, "bsdf_over_pdf": bsdf_over_pdf, "pdf": pdf, "event": event}
+
+
+def _fresnel_dielectric(cos_i, ior1, ior2):
+    """Exact unpolarized dielectric Fresnel."""
+    eta = ior2 / jnp.maximum(ior1, 1e-6)
+    sin2_t = jnp.maximum(0.0, 1.0 - cos_i * cos_i) / jnp.maximum(eta * eta, 1e-12)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    rs = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, 1e-12)
+    rp = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, 1e-12)
+    f = 0.5 * (rs * rs + rp * rp)
+    return jnp.where(tir, 1.0, jnp.clip(f, 0.0, 1.0))

@@ -1,0 +1,165 @@
+"""Hit-state reconstruction: barycentric attribute interpolation, normal
+handling, shadow-terminator offset (reference get_hit.h.slang:59-173).
+
+Batched over ray lanes: every input is [...,] shaped; gathers use the
+SceneFlat concatenated vertex arrays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .traverse import cross3, dot3, xform_dir, xform_point
+
+
+def _xform_point_b(m, p):
+    """Batched 4x4 point transform. m: [...,4,4], p: [...,3]."""
+    return (
+        m[..., :3, 0] * p[..., 0:1] + m[..., :3, 1] * p[..., 1:2] + m[..., :3, 2] * p[..., 2:3] + m[..., :3, 3]
+    )
+
+
+def _xform_dir_b(m, d):
+    return m[..., :3, 0] * d[..., 0:1] + m[..., :3, 1] * d[..., 1:2] + m[..., :3, 2] * d[..., 2:3]
+
+
+def _xform_normal_b(w2o, n):
+    """Normals transform by the inverse-transpose: rows of w2o."""
+    return (
+        w2o[..., 0, :3] * n[..., 0:1] + w2o[..., 1, :3] * n[..., 1:2] + w2o[..., 2, :3] * n[..., 2:3]
+    )
+
+
+def _normalize(v):
+    return v / jnp.maximum(jnp.sqrt(dot3(v, v)), 1e-20)[..., None]
+
+
+def _point_offset(p, p0, p1, p2, n0, n1, n2, bary):
+    """Shadow-terminator offset (Hanika 2021, 'Hacking the Shadow Terminator'
+    — reference pointOffset via get_hit.h.slang:105). Object space."""
+    u, v, w = bary[..., 0:1], bary[..., 1:2], bary[..., 2:3]
+    tmp_u = p - p0
+    tmp_v = p - p1
+    tmp_w = p - p2
+    du = jnp.minimum(0.0, dot3(tmp_u, n0))[..., None] * n0
+    dv = jnp.minimum(0.0, dot3(tmp_v, n1))[..., None] * n1
+    dw = jnp.minimum(0.0, dot3(tmp_w, n2))[..., None] * n2
+    return p - (u * du + v * dv + w * dw)
+
+
+def _make_fast_tangent(n):
+    s = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t = jnp.stack([1.0 + s * n[..., 0] ** 2 * a, s * b, -s * n[..., 0]], axis=-1)
+    return t
+
+
+def get_hit_state(flat, hit, ray_dir):
+    """Reconstruct the shading frame at hit points.
+
+    hit: dict from intersect_rays (t, rnode, tri, u, v) — lanes with tri<0
+    produce garbage values that the caller masks. Returns dict with
+    pos, nrm, geonrm, tangent, bitangent, uv0, uv1, color, shadow_pos,
+    texel_density, front_face.
+    """
+    tri = jnp.maximum(hit["tri"], 0)
+    rnode = jnp.maximum(hit["rnode"], 0)
+    idx = flat.tri_idx[tri]  # [...,3]
+    i0, i1, i2 = idx[..., 0], idx[..., 1], idx[..., 2]
+    u = hit["u"][..., None]
+    v = hit["v"][..., None]
+    w = 1.0 - u - v
+    bary = jnp.concatenate([w, u, v], axis=-1)
+
+    o2w = flat.rn_o2w[rnode]
+    w2o = flat.rn_w2o[rnode]
+
+    p0 = flat.vtx_pos[i0]
+    p1 = flat.vtx_pos[i1]
+    p2 = flat.vtx_pos[i2]
+    pos_obj = p0 * w + p1 * u + p2 * v
+    pos = _xform_point_b(o2w, pos_obj)
+
+    geo_n_obj = _normalize(cross3(p1 - p0, p2 - p0))
+    geonrm = _normalize(_xform_normal_b(w2o, geo_n_obj))
+
+    n0 = flat.vtx_nrm[i0]
+    n1 = flat.vtx_nrm[i1]
+    n2 = flat.vtx_nrm[i2]
+    nrm_obj = _normalize(n0 * w + n1 * u + n2 * v)
+    nrm = _normalize(_xform_normal_b(w2o, nrm_obj))
+
+    front_face = dot3(geonrm, ray_dir) < 0.0
+    side = jnp.where(front_face, 1.0, -1.0)[..., None]
+
+    # shadow-terminator offset position (object space, then to world)
+    sp_obj = _point_offset(pos_obj, p0, p1, p2, n0 * side, n1 * side, n2 * side, bary)
+    shadow_pos = _xform_point_b(o2w, sp_obj)
+
+    uv0 = flat.vtx_uv0[i0] * w + flat.vtx_uv0[i1] * u + flat.vtx_uv0[i2] * v
+    uv1 = flat.vtx_uv1[i0] * w + flat.vtx_uv1[i1] * u + flat.vtx_uv1[i2] * v
+    color = flat.vtx_color[i0] * w + flat.vtx_color[i1] * u + flat.vtx_color[i2] * v
+
+    # texel density for ray-cone LOD (get_hit.h.slang:44-55)
+    we1 = _xform_dir_b(o2w, p1 - p0)
+    we2 = _xform_dir_b(o2w, p2 - p0)
+    w_area = jnp.sqrt(dot3(cross3(we1, we2), cross3(we1, we2)))
+    duv1 = flat.vtx_uv0[i1] - flat.vtx_uv0[i0]
+    duv2 = flat.vtx_uv0[i2] - flat.vtx_uv0[i0]
+    uv_area = jnp.abs(duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0])
+    prim = flat.rn_prim[rnode]
+    has_uv = flat.prim_has_uv0[prim] > 0
+    texel_density = jnp.where(
+        has_uv, jnp.sqrt(jnp.maximum(uv_area, 1e-20) / jnp.maximum(w_area, 1e-20)), 0.0
+    )
+
+    # tangent: vertex tangents (always present in SceneFlat — synthesized at
+    # flatten time when missing), orthonormalized against the shading normal
+    t0 = flat.vtx_tan[i0]
+    tan_obj = _normalize((t0[..., :3] * w + flat.vtx_tan[i1][..., :3] * u + flat.vtx_tan[i2][..., :3] * v))
+    tangent = _xform_dir_b(o2w, tan_obj)
+    tangent = _normalize(tangent - nrm * dot3(nrm, tangent)[..., None])
+    bitangent = cross3(nrm, tangent) * t0[..., 3:4]
+
+    # flip geometric normal toward ray origin for back-face hits
+    geonrm = jnp.where(front_face[..., None], geonrm, -geonrm)
+    # shading normal on the same side as the geometric normal
+    flip_sh = dot3(geonrm, nrm) < 0.0
+    nrm = jnp.where(flip_sh[..., None], -nrm, nrm)
+    tangent = jnp.where(flip_sh[..., None], -tangent, tangent)
+    bitangent = jnp.where(flip_sh[..., None], -bitangent, bitangent)
+
+    # low-tessellation internal-reflection guard (get_hit.h.slang:166-170)
+    r = ray_dir - 2.0 * dot3(ray_dir, nrm)[..., None] * nrm
+    nrm = jnp.where((dot3(r, geonrm) < 0.0)[..., None], geonrm, nrm)
+
+    return {
+        "pos": pos,
+        "nrm": nrm,
+        "geonrm": geonrm,
+        "shadow_pos": shadow_pos,
+        "tangent": tangent,
+        "bitangent": bitangent,
+        "uv0": uv0,
+        "uv1": uv1,
+        "color": color,
+        "texel_density": texel_density,
+        "front_face": front_face,
+    }
+
+
+def safe_offset_ray(pos, offset_dir):
+    """Self-intersection offset, Wächter & Binder 2019 (reference
+    pathtrace_functions.h.slang:151-167): integer ULP nudge scaled by
+    magnitude, float fallback near the origin."""
+    import jax
+
+    int_scale = (256.0 * offset_dir).astype(jnp.int32)
+    pi = jax.lax.bitcast_convert_type(pos, jnp.int32)
+    moved = jax.lax.bitcast_convert_type(
+        pi + jnp.where(pos < 0, -int_scale, int_scale), jnp.float32
+    )
+    origin = 1.0 / 32.0
+    float_scale = 1.0 / 65536.0
+    return jnp.where(jnp.abs(pos) < origin, pos + float_scale * offset_dir, moved)

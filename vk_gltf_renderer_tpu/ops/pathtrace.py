@@ -1,0 +1,509 @@
+"""Wavefront path tracer: the TPU-native re-architecture of the reference's
+megakernel (gltf_pathtrace.slang pathTrace / samplePixel / processPixel).
+
+Design (SURVEY.md §7): instead of one divergent megakernel per pixel, rays
+live in big SoA batches with an `alive` mask; each bounce is a fixed-shape
+stage (intersect -> shade -> NEE -> next-dir -> RR). XLA fuses the
+elementwise stages; traversal is the nested while-loop in ops/traverse.py
+(Pallas kernel planned). The bounce loop is a static Python loop of
+`max_depth` iterations — no dynamic shapes, one compile per (resolution,
+spp, depth, feature-set) exactly like the reference's shader variant cache
+(renderer_pathtracer.hpp:114-149).
+
+`bvh` here is the flattened world-space BVH (ops/bvh_flatten.WorldBvh).
+Traversal dispatches to the Pallas packet kernel on TPU (~550 Mrays/s
+coherent primary on v5e; packet divergence degrades incoherent bounces —
+treelet-binned reordering is the planned fix) or the portable stackless
+XLA wavefront elsewhere.
+
+Faithfully reproduced semantics (with reference anchors):
+  * seed = xxhash32(px, py, frame)                 gltf_pathtrace.slang:560
+  * Gaussian subpixel AA, sigma=0.4246609          :576, functions:37
+  * env-miss MIS vs NEE                            :129-156, functions:483-492
+  * emissive add, unlit early-out                  :293, :298-304
+  * NEE: 50/50 punctual/env technique MIS          functions:357-464
+  * deferred shadow ray after BSDF sample          :462-471
+  * Russian roulette from depth 3, cap 0.95        :476-482
+  * firefly clamp on mean luminance                :534-538
+  * running-mean accumulation                      :626-630
+  * max-roughness clamp ("roughness regularization") :267-268
+  * Beer-Lambert volume absorption between bounces  functions:604-645
+  * stochastic alpha (re-trace on rejection)        :744-773
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import rng
+from .bsdf import (
+    DIRAC,
+    EVENT_ABSORB,
+    EVENT_IMPULSE_REFLECTION,
+    EVENT_IMPULSE_TRANSMISSION,
+    bsdf_evaluate,
+    bsdf_sample,
+)
+from .camera import apply_depth_of_field, generate_rays
+from .hitstate import get_hit_state, safe_offset_ray
+from .lights import sample_one_light
+from .materials_eval import evaluate_material, get_opacity
+from .sky import eval_sky, pdf_sky, sample_sky
+from .traverse import INFINITE, dot3
+from .traverse_wavefront import intersect_rays_wavefront
+from .textures import sample_texture
+
+ANTIALIASING_STD = 0.4246609
+RR_MIN_DEPTH = 3
+MIN_TRANSMISSION = 0.01
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static (jit-specializing) render parameters — the analog of the
+    reference's shader-variant key + push-constant statics."""
+
+    width: int = 512
+    height: int = 512
+    spp: int = 1
+    max_depth: int = 5
+    features: frozenset = frozenset()
+    env_kind: str = "sky"  # "sky" | "hdr" | "solid"
+    has_lights: bool = False
+    alpha_any: bool = False  # any MASK/BLEND material in scene
+    alpha_rounds: int = 4  # max stochastic-alpha re-traces per bounce
+    firefly_clamp: float = 10.0
+    aperture: float = 0.0
+    focal_distance: float = 0.0
+    orthographic: bool = False
+    transmission_rounds: int = 4  # shadow-ray transmission marches
+    traversal: str = "packet"  # "packet" (Pallas, TPU) | "wavefront" (XLA)
+
+
+def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None):
+    """Traversal dispatch: Pallas packet kernel on TPU (553 Mrays/s coherent
+    on v5e), stackless XLA wavefront elsewhere (portable, same results)."""
+    if cfg.traversal == "packet":
+        from .pallas_traverse import intersect_rays_packet
+
+        return intersect_rays_packet(bvh, ro, rd, tmin=tmin, tmax=tmax)
+    return intersect_rays_wavefront(bvh, ro, rd, tmin=tmin, tmax=tmax)
+
+
+def sample_environment(env, d, cfg: RenderConfig):
+    """(radiance, pdf) of the environment in direction d
+    (pathtrace_functions.h.slang:466-481)."""
+    if cfg.env_kind == "hdr":
+        from .hdr import eval_hdr
+
+        return eval_hdr(env, d)
+    color = eval_sky(env, d)
+    pdf = pdf_sky(env, d)
+    return color, pdf
+
+
+def sample_environment_dir(env, u3, cfg: RenderConfig):
+    """Importance-sample an env direction: (dir, radiance, pdf)."""
+    if cfg.env_kind == "hdr":
+        from .hdr import sample_hdr
+
+        return sample_hdr(env, u3)
+    return sample_sky(env, u3)
+
+
+def _env_mis_weight(last_pdf, env_pdf, cfg):
+    """computeEnvHitMisWeight (pathtrace_functions.h.slang:483-492)."""
+    env_w = 0.5 if cfg.has_lights else 1.0
+    w = last_pdf / jnp.maximum(last_pdf + env_w * env_pdf, 1e-20)
+    return jnp.where(last_pdf == DIRAC, 1.0, w)
+
+
+def _sample_lights(flat, env, pos, normal, seed, cfg: RenderConfig):
+    """NEE technique mix: punctual lights vs environment, 50/50 when both
+    exist (pathtrace_functions.h.slang:357-464). Returns DirectLight dict +
+    new seed."""
+    light_w = 0.5 if cfg.has_lights else 0.0
+    env_w = 0.5 if cfg.has_lights else 1.0
+
+    u_pick, seed = rng.rand(seed)
+    pick_light = u_pick < light_w if cfg.has_lights else jnp.zeros(pos.shape[:-1], bool)
+
+    direction = jnp.zeros_like(pos)
+    radiance = jnp.zeros_like(pos)
+    distance = jnp.full(pos.shape[:-1], INFINITE)
+    pdf = jnp.zeros(pos.shape[:-1])
+    env_pdf = jnp.zeros(pos.shape[:-1])
+
+    if cfg.has_lights:
+        u_sel, seed = rng.rand(seed)
+        nl = max(flat.num_lights, 1)
+        li = jnp.minimum((u_sel * nl).astype(jnp.int32), nl - 1)
+        sel_pdf = 1.0 / nl
+        u2, seed = rng.rand2(seed)
+        lc = sample_one_light(flat, li, pos, normal, u2)
+        direction = jnp.where(pick_light[..., None], lc["direction"], direction)
+        distance = jnp.where(pick_light, lc["distance"], distance)
+        radiance = jnp.where(
+            pick_light[..., None], lc["intensity"] / (sel_pdf * light_w), radiance
+        )
+        pdf = jnp.where(pick_light, jnp.where(lc["pdf"] == DIRAC, DIRAC, sel_pdf * lc["pdf"]), pdf)
+
+    # environment technique
+    u3, seed = rng.rand3(seed)
+    e_dir, e_rad, e_pdf = sample_environment_dir(env, u3, cfg)
+    pick_env = ~pick_light
+    direction = jnp.where(pick_env[..., None], e_dir, direction)
+    radiance = jnp.where(
+        pick_env[..., None], e_rad / jnp.maximum(e_pdf * env_w, 1e-20)[..., None], radiance
+    )
+    env_pdf = jnp.where(pick_env, e_pdf, env_pdf)
+    # env pdf of the light-sampled direction (for technique MIS)
+    _, env_pdf_of_light_dir = sample_environment(env, direction, cfg)
+    env_pdf = jnp.where(pick_light, env_pdf_of_light_dir, env_pdf)
+
+    # technique MIS combine (pathtrace_functions.h.slang:452-461)
+    not_dirac = pdf != DIRAC
+    pdf_sum = light_w * jnp.maximum(pdf, 0.0) + env_w * env_pdf
+    mis = jnp.where(
+        pick_light, light_w * jnp.maximum(pdf, 0.0), env_w * env_pdf
+    ) / jnp.maximum(pdf_sum, 1e-20)
+    mis = jnp.where(not_dirac, mis, 1.0)
+    radiance = radiance * mis[..., None]
+    pdf = jnp.where(not_dirac, pdf_sum, DIRAC)
+    return {"direction": direction, "radiance_over_pdf": radiance, "distance": distance, "pdf": pdf}, seed
+
+
+def _trace_shadow(flat, bvh, ro, rd, dist, seed, cfg: RenderConfig):
+    """Shadow transmission factor [N,3]. Opaque-only scenes: single
+    occlusion test. With transmission enabled: march up to
+    transmission_rounds surfaces accumulating colored transmission
+    (gltf_pathtrace.slang:776-820 semantics)."""
+    n = ro.shape[0]
+    if "transmission" not in cfg.features and not cfg.alpha_any:
+        hits = trace_closest(bvh, ro, rd, cfg, tmin=0.0, tmax=dist)
+        occluded = hits["tri"] >= 0
+        return jnp.where(occluded[..., None], 0.0, 1.0), seed
+
+    transmission = jnp.ones((n, 3))
+    org = ro
+    remaining = dist
+    alive = jnp.ones(n, bool)
+    for _ in range(cfg.transmission_rounds):
+        hits = trace_closest(bvh, org, rd, cfg, tmin=1e-4, tmax=remaining)
+        hit_mask = alive & (hits["tri"] >= 0)
+        hs = get_hit_state(flat, hits, rd)
+        mat_id = flat.rn_material[jnp.maximum(hits["rnode"], 0)]
+
+        # alpha: probability (1 - opacity) of passing through untouched
+        if cfg.alpha_any:
+            opacity = get_opacity(flat, mat_id, hs)
+        else:
+            opacity = jnp.ones(n)
+        u, seed = rng.rand(seed)
+        pass_alpha = u >= opacity
+
+        if "transmission" in cfg.features:
+            tfac = flat.materials["transmission_factor"][mat_id]
+            bc = flat.materials["base_color_factor"][mat_id][..., :3]
+            ior = flat.materials["ior"][mat_id] if "ior" in cfg.features else jnp.full(n, 1.5)
+            cos_theta = jnp.abs(dot3(rd, hs["nrm"]))
+            f0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+            fres = f0 + (1.0 - f0) * (1.0 - cos_theta) ** 5
+            surface_trans = tfac[..., None] * bc * (1.0 - fres)[..., None]
+        else:
+            surface_trans = jnp.zeros((n, 3))
+
+        this_trans = jnp.where(pass_alpha[..., None], 1.0, surface_trans)
+        transmission = jnp.where(hit_mask[..., None], transmission * this_trans, transmission)
+        blocked = jnp.max(transmission, axis=-1) <= MIN_TRANSMISSION
+        transmission = jnp.where(blocked[..., None], 0.0, transmission)
+        # continue past the surface
+        step = hits["t"] + 1e-4
+        org = jnp.where(hit_mask[..., None], org + rd * step[..., None], org)
+        remaining = jnp.where(hit_mask, remaining - step, remaining)
+        alive = hit_mask & ~blocked & (remaining > 1e-4)
+    # any remaining hit after the budget -> fully occluded
+    hits = trace_closest(bvh, org, rd, cfg, tmin=1e-4, tmax=remaining)
+    transmission = jnp.where((alive & (hits["tri"] >= 0))[..., None], 0.0, transmission)
+    return transmission, seed
+
+
+def _trace_with_alpha(flat, bvh, ro, rd, seed, cfg: RenderConfig):
+    """Closest hit with stochastic alpha: re-trace past rejected hits
+    (the TPU analog of the RayQuery any-hit Proceed loop,
+    raytracer_interface.h.slang:82-122)."""
+    hits = trace_closest(bvh, ro, rd, cfg)
+    if not cfg.alpha_any:
+        return hits, seed
+    org = ro
+    t_accum = jnp.zeros(ro.shape[0])
+    for _ in range(cfg.alpha_rounds):
+        hs = get_hit_state(flat, hits, rd)
+        mat_id = flat.rn_material[jnp.maximum(hits["rnode"], 0)]
+        opacity = get_opacity(flat, mat_id, hs)
+        u, seed = rng.rand(seed)
+        reject = (hits["tri"] >= 0) & (u > opacity)
+        step = hits["t"] + 1e-4
+        org2 = org + rd * step[..., None]
+        t_accum2 = t_accum + step
+        re = trace_closest(bvh, org2, rd, cfg, tmin=0.0)
+        hits = {
+            "t": jnp.where(reject, re["t"], hits["t"]),
+            "rnode": jnp.where(reject, re["rnode"], hits["rnode"]),
+            "tri": jnp.where(reject, re["tri"], hits["tri"]),
+            "u": jnp.where(reject, re["u"], hits["u"]),
+            "v": jnp.where(reject, re["v"], hits["v"]),
+        }
+        org = jnp.where(reject[..., None], org2, org)
+        t_accum = jnp.where(reject, t_accum2, t_accum)
+    hits = dict(hits)
+    hits["t"] = hits["t"] + t_accum  # restore world-distance from the camera
+    return hits, seed
+
+
+def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig):
+    """Trace one sample per lane. Returns (radiance [N,3], aux dict, seed).
+
+    The bounce loop is a lax.scan with a depth-uniform body (first-hit
+    captures and Russian roulette are masked by the carried depth index), so
+    the traversal graph is compiled ONCE instead of max_depth times — the
+    compile-time analog of the reference's single megakernel loop.
+    """
+    n = ro.shape[0]
+    state = dict(
+        ro=ro,
+        rd=rd,
+        radiance=jnp.zeros((n, 3)),
+        throughput=jnp.ones((n, 3)),
+        alive=jnp.ones(n, bool),
+        last_pdf=jnp.full(n, DIRAC),
+        max_rough=jnp.zeros((n, 2)),
+        is_inside=jnp.zeros(n, bool),
+        solid=jnp.ones(n, bool),
+        first_pos=jnp.full((n, 3), 1e34),
+        first_rnode=jnp.full(n, -1, jnp.int32),
+        guide_albedo=jnp.zeros((n, 3)),
+        guide_normal=jnp.zeros((n, 3)),
+        guide_rough=jnp.zeros(n),
+        att_sigma=jnp.zeros((n, 3)),
+        seed=seed,
+        rays=jnp.zeros((), jnp.float32),
+    )
+
+    def bounce(state, depth):
+        ro, rd = state["ro"], state["rd"]
+        alive = state["alive"]
+        seed = state["seed"]
+        radiance = state["radiance"]
+        throughput = state["throughput"]
+        first = depth == 0
+
+        state["rays"] = state["rays"] + jnp.sum(alive.astype(jnp.float32))
+        hits, seed = _trace_with_alpha(flat, bvh, ro, rd, seed, cfg)
+        miss = hits["tri"] < 0
+
+        # ---------------- environment hit
+        env_color, env_pdf = sample_environment(env, rd, cfg)
+        mis_w = _env_mis_weight(state["last_pdf"], env_pdf, cfg)
+        radiance = radiance + jnp.where(
+            (alive & miss)[..., None], throughput * mis_w[..., None] * env_color, 0.0
+        )
+        first_miss = first & alive & miss
+        state["solid"] = jnp.where(first_miss, False, state["solid"])
+        state["first_pos"] = jnp.where(first_miss[..., None], rd, state["first_pos"])
+
+        lane_hit = alive & ~miss
+        alive = lane_hit
+
+        # ---------------- surface shading
+        hs = get_hit_state(flat, hits, rd)
+        mat_id = flat.rn_material[jnp.maximum(hits["rnode"], 0)]
+        pbr = evaluate_material(flat, mat_id, hs, features=cfg.features, is_inside=state["is_inside"])
+
+        first_hit = first & lane_hit
+        state["first_pos"] = jnp.where(first_hit[..., None], hs["pos"], state["first_pos"])
+        state["first_rnode"] = jnp.where(first_hit, hits["rnode"], state["first_rnode"])
+        state["guide_albedo"] = jnp.where(first_hit[..., None], pbr["base_color"], state["guide_albedo"])
+        state["guide_normal"] = jnp.where(first_hit[..., None], pbr["N"], state["guide_normal"])
+        state["guide_rough"] = jnp.where(first_hit, jnp.sqrt(pbr["roughness"][..., 0]), state["guide_rough"])
+
+        # Beer-Lambert absorption through the current medium
+        if "volume" in cfg.features:
+            seg_att = jnp.exp(-hits["t"][..., None] * state["att_sigma"])
+            throughput = jnp.where(
+                (lane_hit & state["is_inside"])[..., None], throughput * seg_att, throughput
+            )
+
+        # roughness regularization (gltf_pathtrace.slang:267-268)
+        state["max_rough"] = jnp.maximum(state["max_rough"], pbr["roughness"])
+        pbr["roughness"] = jnp.where(lane_hit[..., None], state["max_rough"], pbr["roughness"])
+
+        # emissive
+        radiance = radiance + jnp.where(lane_hit[..., None], pbr["emissive"] * throughput, 0.0)
+
+        # unlit early-out
+        if "unlit" in cfg.features:
+            unlit = lane_hit & (pbr["unlit"] > 0)
+            radiance = radiance + jnp.where(unlit[..., None], pbr["base_color"], 0.0)
+            alive = alive & ~unlit
+            lane_hit = lane_hit & ~unlit
+
+        # ---------------- NEE
+        dl, seed = _sample_lights(flat, env, hs["pos"], pbr["N"], seed, cfg)
+        next_event = (
+            lane_hit
+            & ((dot3(dl["direction"], hs["nrm"]) > 0.0) | (pbr["diffuse_transmission"] > 0.0))
+            & (dl["pdf"] != 0.0)
+        )
+        ev = bsdf_evaluate(pbr, -rd, dl["direction"])
+        light_mis = jnp.where(
+            dl["pdf"] == DIRAC, 1.0, dl["pdf"] / jnp.maximum(dl["pdf"] + ev["pdf"], 1e-20)
+        )
+        contrib = (
+            throughput
+            * dl["radiance_over_pdf"]
+            * light_mis[..., None]
+            * (ev["bsdf_diffuse"] + ev["bsdf_glossy"])
+        )
+        next_event = next_event & (ev["pdf"] > 0.0)
+
+        # ---------------- BSDF sample for the next segment
+        u3b, seed = rng.rand3(seed)
+        ue, seed = rng.rand2(seed)
+        samp = bsdf_sample(pbr, -rd, u3b, ue)
+        throughput = jnp.where(lane_hit[..., None], throughput * samp["bsdf_over_pdf"], throughput)
+        state["last_pdf"] = jnp.where(lane_hit, samp["pdf"], state["last_pdf"])
+        new_dir = samp["k2"]
+        absorbed = lane_hit & (samp["event"] == EVENT_ABSORB)
+
+        is_trans = (samp["event"] == EVENT_IMPULSE_TRANSMISSION) | (samp["event"] == 4)
+        if "transmission" in cfg.features:
+            toggled = lane_hit & is_trans
+            new_inside = jnp.where(toggled, ~state["is_inside"], state["is_inside"])
+            if "volume" in cfg.features:
+                att = -jnp.log(jnp.maximum(pbr["attenuation_color"], 0.001)) / jnp.maximum(
+                    pbr["attenuation_distance"], 0.001
+                )[..., None]
+                has_vol = (pbr["thickness"] > 0.0) & (pbr["attenuation_distance"] > 0.0)
+                att = jnp.where(has_vol[..., None], att, 0.0)
+                state["att_sigma"] = jnp.where((toggled & new_inside)[..., None], att, state["att_sigma"])
+            state["is_inside"] = new_inside
+
+        offset_dir = jnp.where(dot3(new_dir, hs["geonrm"])[..., None] > 0, hs["geonrm"], -hs["geonrm"])
+        new_org = safe_offset_ray(hs["pos"], offset_dir)
+
+        # ---------------- deferred shadow ray (gltf_pathtrace.slang:462-471)
+        state["rays"] = state["rays"] + jnp.sum(next_event.astype(jnp.float32))
+        sh_fwd = dot3(dl["direction"], hs["nrm"]) > 0.0
+        sh_base = jnp.where(sh_fwd[..., None], hs["shadow_pos"], hs["pos"])
+        sh_off = jnp.where(sh_fwd[..., None], hs["geonrm"], -hs["geonrm"])
+        sh_org = safe_offset_ray(sh_base, sh_off)
+        shadow, seed = _trace_shadow(flat, bvh, sh_org, dl["direction"], dl["distance"], seed, cfg)
+        radiance = radiance + jnp.where(next_event[..., None], contrib * shadow, 0.0)
+
+        alive = alive & ~absorbed
+        ro = jnp.where(alive[..., None], new_org, ro)
+        rd = jnp.where(alive[..., None], new_dir, rd)
+
+        # ---------------- Russian roulette (gltf_pathtrace.slang:476-482)
+        rr_p = jnp.minimum(jnp.max(throughput, axis=-1) + 0.001, 0.95)
+        u_rr, seed = rng.rand(seed)
+        rr_on = depth >= RR_MIN_DEPTH
+        die = alive & rr_on & (u_rr >= rr_p)
+        alive = alive & ~die
+        throughput = jnp.where((alive & rr_on)[..., None], throughput / rr_p[..., None], throughput)
+
+        state.update(ro=ro, rd=rd, radiance=radiance, throughput=throughput, alive=alive, seed=seed)
+        return state, None
+
+    state, _ = jax.lax.scan(bounce, state, jnp.arange(cfg.max_depth, dtype=jnp.int32))
+
+    aux = {
+        "first_pos": state["first_pos"],
+        "solid": state["solid"],
+        "first_rnode": state["first_rnode"],
+        "albedo": state["guide_albedo"],
+        "normal": state["guide_normal"],
+        "roughness": state["guide_rough"],
+        "rays": state["rays"],
+    }
+    return state["radiance"], aux, state["seed"]
+
+
+def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
+    """Render one frame's samples for all pixels (flattened [W*H] lanes).
+
+    frame: dict(proj_inv [4,4], view_inv [4,4], frame_idx int32,
+    accum [W*H,3], total_samples int32).
+    Returns (new_accum, aux). Samples loop via lax.scan — one traversal
+    graph regardless of spp.
+    """
+    w, h = cfg.width, cfg.height
+    n = w * h
+    px = jnp.tile(jnp.arange(w, dtype=jnp.uint32), h)
+    py = jnp.repeat(jnp.arange(h, dtype=jnp.uint32), w)
+    seed0 = rng.xxhash32(px, py, frame["frame_idx"])
+    sample_pos = jnp.stack([px, py], axis=-1).astype(jnp.float32)
+    image_size = jnp.array([w, h], jnp.float32)
+
+    def one_sample(carry, s):
+        seed, total, rays_total, aux_prev = carry
+        ug, seed = rng.rand2(seed)
+        gauss = 0.5 + ANTIALIASING_STD * rng.sample_gaussian(ug)
+        uu, seed = rng.rand2(seed)
+        jitter = jnp.where((s == 0), gauss, uu)
+        ro, rd = generate_rays(
+            sample_pos, jitter, image_size, frame["proj_inv"], frame["view_inv"], orthographic=cfg.orthographic
+        )
+        if cfg.aperture > 0.0:
+            u1, seed = rng.rand(seed)
+            u2, seed = rng.rand(seed)
+            ro, rd = apply_depth_of_field(ro, rd, frame["view_inv"], cfg.focal_distance, cfg.aperture, u1, u2)
+        rad, aux, seed = path_trace_batch(flat, bvh, env, ro, rd, seed, cfg)
+        # sanitize: a rare degenerate sample (0*inf through a near-zero pdf)
+        # must not poison the accumulation buffer
+        rad = jnp.nan_to_num(rad, nan=0.0, posinf=0.0, neginf=0.0)
+        # firefly clamp (gltf_pathtrace.slang:534-538)
+        lum = jnp.mean(rad, axis=-1)
+        scale = jnp.where(lum > cfg.firefly_clamp, cfg.firefly_clamp / jnp.maximum(lum, 1e-20), 1.0)
+        rad = rad * scale[..., None]
+        aux_keep = jax.tree.map(lambda new, old: jnp.where(s == 0, new, old), aux, aux_prev)
+        return (seed, total + rad, rays_total + aux["rays"], aux_keep), None
+
+    aux0 = {
+        "first_pos": jnp.zeros((n, 3)),
+        "solid": jnp.zeros(n, bool),
+        "first_rnode": jnp.full(n, -1, jnp.int32),
+        "albedo": jnp.zeros((n, 3)),
+        "normal": jnp.zeros((n, 3)),
+        "roughness": jnp.zeros(n),
+        "rays": jnp.zeros((), jnp.float32),
+    }
+    (seed, total, rays_total, aux_out), _ = jax.lax.scan(
+        one_sample,
+        (seed0, jnp.zeros((n, 3)), jnp.zeros((), jnp.float32), aux0),
+        jnp.arange(cfg.spp, dtype=jnp.int32),
+    )
+    mean = total / cfg.spp
+
+    # progressive accumulation (gltf_pathtrace.slang:626-630)
+    ts = frame["total_samples"].astype(jnp.float32)
+    new_accum = (frame["accum"] * ts[..., None] + mean * cfg.spp) / (ts + cfg.spp)
+    aux_out = dict(aux_out)
+    aux_out["rays"] = rays_total
+    return new_accum, aux_out
+
+
+def make_render_fn(cfg: RenderConfig):
+    """jit-compiled frame renderer, specialized on the static config
+    (the variant-cache analog)."""
+
+    @partial(jax.jit, static_argnames=())
+    def fn(flat, bvh, env, frame):
+        return render_frame_flat(flat, bvh, env, frame, cfg)
+
+    return fn

@@ -1,0 +1,221 @@
+"""GltfRenderer: the frame-loop orchestrator (reference src/renderer.cpp
+GltfRenderer : IAppElement — scene lifecycle, dirty-flag sync, accumulation
+reset, tonemap, headless output).
+
+Owns: host Scene (Model-primary), SceneFlat device mirror, two-level BVH,
+environment (sky or HDR), camera state, progressive accumulation buffer.
+Each on_render():
+  1. animation update (if playing) -> dirty flags          renderer.cpp:658
+  2. dirty-flag sync -> functional SceneFlat/BVH updates   renderer.cpp:659, 2269
+  3. any change -> reset accumulation (frame 0)            renderer.cpp:660-663
+  4. path-trace one frame of spp samples; accumulate
+  5. tonemap on demand
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from .models import DirtyFlags, Scene
+from .models.materials import detect_scene_features
+from .ops.bvh_flatten import build_world_bvh
+from .ops.flat import build_scene_flat
+from .ops.pathtrace import RenderConfig, make_render_fn
+from .ops.sky import SkyParams
+from .ops.camera import pixel_angle
+from .utils import mathutil as mu
+
+
+@dataclass
+class CameraState:
+    eye: np.ndarray
+    center: np.ndarray
+    up: np.ndarray
+    yfov: float = np.radians(45.0)
+    znear: float = 0.01
+    zfar: float = 1000.0
+
+
+def fit_camera(scene: Scene, yfov=np.radians(45.0)) -> CameraState:
+    """Frame the scene bounds (the camera-manipulator fit the reference runs
+    on load, renderer.cpp wireSceneToUi/fit)."""
+    lo, hi = scene.scene_bounds()
+    center = (lo + hi) / 2.0
+    radius = float(np.linalg.norm(hi - lo)) * 0.5 + 1e-6
+    dist = radius / np.tan(yfov * 0.5) * 1.2
+    eye = center + np.array([0.4, 0.35, 0.85]) / np.linalg.norm([0.4, 0.35, 0.85]) * dist
+    return CameraState(
+        eye=eye, center=center, up=np.array([0.0, 1.0, 0.0]), yfov=yfov,
+        znear=radius * 0.01, zfar=radius * 100.0,
+    )
+
+
+class GltfRenderer:
+    def __init__(self, width=512, height=512, spp=1, max_depth=5, env_kind="sky", tonemapper="filmic"):
+        self.width = width
+        self.height = height
+        self.spp = spp
+        self.max_depth = max_depth
+        self.env_kind = env_kind
+        self.tonemapper = tonemapper
+        self.scene = Scene()
+        self.flat = None
+        self.bvh = None
+        self.env = None
+        self.sky_params = SkyParams()
+        self.hdr = None
+        self.camera: CameraState | None = None
+        self.frame_idx = 0
+        self.total_samples = 0
+        self.accum = None
+        self._render_fn = None
+        self._cfg = None
+        self.animate = False
+        self.firefly_clamp = 10.0
+        self.env_intensity = 1.0
+        self.env_rotation = 0.0
+
+    # -------------------------------------------------------------- scene
+    def create_scene(self, path) -> None:
+        """Load + build device mirrors (reference createScene renderer.cpp:1238)."""
+        self.scene.load(path)
+        if self.camera is None:
+            if self.scene.render_cameras:
+                rc = self.scene.render_cameras[0]
+                self.camera = CameraState(
+                    eye=np.asarray(rc.eye), center=np.asarray(rc.center), up=np.asarray(rc.up),
+                    yfov=rc.yfov or np.radians(45.0), znear=rc.znear or 0.01, zfar=rc.zfar or 1000.0,
+                )
+            else:
+                self.camera = fit_camera(self.scene)
+        self.rebuild_device_scene()
+
+    def create_hdr(self, path) -> None:
+        """Load HDR environment (reference createHDR renderer.hpp:82-116)."""
+        from .ops.hdr import load_hdr_environment
+
+        self.hdr = load_hdr_environment(path, intensity=self.env_intensity, rotation=self.env_rotation)
+        self.env_kind = "hdr"
+        self._render_fn = None
+        self.reset_frame()
+
+    def rebuild_device_scene(self) -> None:
+        """Full device rebuild (reference rebuildVulkanSceneFull)."""
+        self.flat = build_scene_flat(self.scene)
+        self.bvh = build_world_bvh(self.flat)
+        self.scene.clear_dirty_flags()
+        self._render_fn = None
+        self.reset_frame()
+
+    def sync_scene_changes(self) -> bool:
+        """Dirty-flag driven surgical update (reference updateSceneChanges
+        renderer.cpp:2269). Returns True if anything changed."""
+        df = self.scene.get_dirty_flags()
+        if df == DirtyFlags.NONE:
+            return False
+        if df & (DirtyFlags.PRIMITIVES_CHANGED | DirtyFlags.VERTICES | DirtyFlags.TANGENTS):
+            self.rebuild_device_scene()
+            return True
+        if df & (DirtyFlags.NODE_TRANSFORMS | DirtyFlags.RENDER_NODES | DirtyFlags.VISIBILITY):
+            self.scene.update_world_matrices_serial()
+            self.scene.refresh_render_node_matrices()
+            # instance transforms changed -> re-bake world BVH (rebuild; a
+            # jitted refit fast path is a follow-up optimization)
+            self.flat = build_scene_flat(self.scene)
+            self.bvh = build_world_bvh(self.flat)
+        elif df & (DirtyFlags.MATERIALS | DirtyFlags.LIGHTS):
+            self.flat = build_scene_flat(self.scene)
+        self.scene.clear_dirty_flags()
+        self.reset_frame()
+        return True
+
+    # -------------------------------------------------------------- frames
+    def reset_frame(self) -> None:
+        """Accumulation restart (reference resetFrame renderer.cpp:1939)."""
+        self.total_samples = 0
+        self.accum = np.zeros((self.width * self.height, 3), np.float32)
+
+    def _config(self) -> RenderConfig:
+        import jax
+
+        feats = detect_scene_features(self.scene.model)
+        alpha_any = any(m.get("alphaMode", "OPAQUE") != "OPAQUE" for m in self.scene.model.materials)
+        on_tpu = jax.devices()[0].platform != "cpu"
+        return RenderConfig(
+            traversal="packet" if on_tpu else "wavefront",
+            width=self.width,
+            height=self.height,
+            spp=self.spp,
+            max_depth=self.max_depth,
+            features=feats,
+            env_kind=self.env_kind,
+            has_lights=len(self.scene.render_lights) > 0,
+            alpha_any=alpha_any,
+            firefly_clamp=self.firefly_clamp,
+        )
+
+    def _ensure_render_fn(self):
+        cfg = self._config()
+        if self._render_fn is None or cfg != self._cfg:
+            self._cfg = cfg
+            self._render_fn = make_render_fn(cfg)
+        return self._render_fn
+
+    def _frame_inputs(self):
+        import jax.numpy as jnp
+
+        cam = self.camera
+        view = mu.look_at(cam.eye, cam.center, cam.up)
+        proj = mu.perspective(cam.yfov, self.width / self.height, cam.znear, cam.zfar)
+        return {
+            "proj_inv": jnp.asarray(np.linalg.inv(proj.astype(np.float64)).astype(np.float32)),
+            "view_inv": jnp.asarray(np.linalg.inv(view.astype(np.float64)).astype(np.float32)),
+            "frame_idx": jnp.uint32(self.frame_idx),
+            "accum": jnp.asarray(self.accum),
+            "total_samples": jnp.int32(self.total_samples),
+        }
+
+    def _env_arrays(self):
+        if self.env_kind == "hdr" and self.hdr is not None:
+            return self.hdr
+        return self.sky_params.as_arrays()
+
+    def on_render(self) -> dict:
+        """Render one frame; returns aux (ray counters etc.)."""
+        if self.animate and self.scene.animations:
+            from .models.animation import update_animation
+
+            info = self.scene.animations[self.scene.current_animation]
+            info.increment_time(1.0 / 60.0)
+            update_animation(self.scene, self.scene.current_animation)
+        self.sync_scene_changes()
+        fn = self._ensure_render_fn()
+        frame = self._frame_inputs()
+        accum, aux = fn(self.flat, self.bvh, self._env_arrays(), frame)
+        accum.block_until_ready()
+        self.accum = np.asarray(accum)
+        self.total_samples += self.spp
+        self.frame_idx += 1
+        return aux
+
+    # -------------------------------------------------------------- output
+    def image_linear(self) -> np.ndarray:
+        return self.accum.reshape(self.height, self.width, 3)
+
+    def image_tonemapped(self) -> np.ndarray:
+        from .ops.tonemap import tonemap
+        import jax.numpy as jnp
+
+        img = tonemap(jnp.asarray(self.image_linear()), self.tonemapper)
+        return np.asarray(img)
+
+    def save_image(self, path) -> None:
+        """Headless image save (reference saveHeadlessOutputImage
+        renderer.cpp:557-574)."""
+        from PIL import Image
+
+        img = (np.clip(self.image_tonemapped(), 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(img).save(path)
