@@ -181,6 +181,10 @@ def traverse_packets(nodes_f, nodes_i, tris, rays_ro, rays_rd, interpret=False):
         out_specs=pl.BlockSpec((1, 4, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, 4, SUB, LANE), jnp.float32),
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(nodes_f, nodes_i, tris, rays_ro, rays_rd)
 

@@ -443,9 +443,14 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
     graph regardless of spp.
     """
     w, h = cfg.width, cfg.height
-    n = w * h
-    px = jnp.tile(jnp.arange(w, dtype=jnp.uint32), h)
-    py = jnp.repeat(jnp.arange(h, dtype=jnp.uint32), w)
+    if "px" in frame:
+        # sharded path: the caller supplies this shard's pixel coordinates
+        px, py = frame["px"], frame["py"]
+        n = px.shape[0]
+    else:
+        n = w * h
+        px = jnp.tile(jnp.arange(w, dtype=jnp.uint32), h)
+        py = jnp.repeat(jnp.arange(h, dtype=jnp.uint32), w)
     seed0 = rng.xxhash32(px, py, frame["frame_idx"])
     sample_pos = jnp.stack([px, py], axis=-1).astype(jnp.float32)
     image_size = jnp.array([w, h], jnp.float32)

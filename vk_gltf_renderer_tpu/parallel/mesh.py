@@ -1,0 +1,92 @@
+"""Pixel-tile data parallelism over a jax.sharding.Mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.7); this module is the
+TPU-native scaling design it lacks: shard the pixel domain across chips
+(each chip renders its rows with the scene/BVH/environment replicated —
+scene data is O(100 MB), far below per-chip HBM), accumulate locally, and
+psum only tiny global statistics (ray counters; later adaptive-sampling
+stats). Collectives ride ICI; nothing crosses DCN per frame except the
+final framebuffer gather, which jax handles lazily.
+
+Determinism: the per-pixel xxhash32(px, py, frame) seeding makes the image
+bit-identical regardless of the mesh shape — device placement cannot
+change the picture (SURVEY.md §7 design stance).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.pathtrace import RenderConfig, render_frame_flat
+
+
+def make_sharded_render_fn(cfg: RenderConfig, mesh: Mesh, axis: str = "tiles"):
+    """Build a jitted frame renderer sharded over pixel rows.
+
+    The returned fn takes (flat, bvh, env, frame) where frame contains
+    px/py/accum sharded on their leading axis; scene pytrees are replicated.
+    """
+
+    def shard_body(flat, bvh, env, frame):
+        accum, aux = render_frame_flat(flat, bvh, env, frame, cfg)
+        # global ray counter: the one cross-chip collective per frame
+        aux = dict(aux)
+        aux["rays"] = jax.lax.psum(aux["rays"], axis)
+        return accum, aux
+
+    rep = P()
+    shd = P(axis)
+    frame_specs = {
+        "proj_inv": rep,
+        "view_inv": rep,
+        "frame_idx": rep,
+        "total_samples": rep,
+        "accum": shd,
+        "px": shd,
+        "py": shd,
+    }
+    aux_specs = {
+        "first_pos": shd,
+        "solid": shd,
+        "first_rnode": shd,
+        "albedo": shd,
+        "normal": shd,
+        "roughness": shd,
+        "rays": rep,
+    }
+    fn = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, frame_specs),
+        out_specs=(shd, aux_specs),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def render_mesh(renderer, mesh: Mesh, axis: str = "tiles"):
+    """One sharded frame through a GltfRenderer's state. Returns aux."""
+    cfg = renderer._config()
+    fn = make_sharded_render_fn(cfg, mesh, axis)
+    frame = renderer._frame_inputs()
+    w, h = cfg.width, cfg.height
+    n = w * h
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert n % ndev == 0, f"pixels {n} must divide evenly over {ndev} devices"
+    px = jnp.tile(jnp.arange(w, dtype=jnp.uint32), h)
+    py = jnp.repeat(jnp.arange(h, dtype=jnp.uint32), w)
+    frame = dict(frame)
+    frame["px"] = px
+    frame["py"] = py
+    accum, aux = fn(renderer.flat, renderer.bvh, renderer._env_arrays(), frame)
+    accum.block_until_ready()
+    renderer.accum = np.asarray(accum)
+    renderer.total_samples += cfg.spp
+    renderer.frame_idx += 1
+    return aux
