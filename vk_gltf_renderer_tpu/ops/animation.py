@@ -1,0 +1,152 @@
+"""Device animation compute: skinning, morphing, world-matrix propagation.
+
+TPU equivalents of the reference's GPU compute animation
+(gltf_scene_animation_vk.* + shaders/skinning.comp.slang:28-70 /
+morph.comp.slang:28-70) and the transform compute path
+(gltf_scene_transform_vk.* + world_matrix_propagate.comp.slang:19-32).
+All are batched jnp expressions — XLA turns the vertex loops into MXU/VPU
+work; the per-BFS-level propagation mirrors the reference's one-dispatch-
+per-level strategy with padded level arrays (static shapes).
+
+CPU oracles live in models/animation.py (cpu_skin / cpu_morph) — the same
+oracle relationship the reference's test_compute_animation.cpp uses.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def skin_vertices(positions, normals, joints0, weights0, joint_matrices):
+    """4-influence linear-blend skinning (skinning.comp.slang:28-70).
+
+    positions [V,3], normals [V,3], joints0 [V,4] i32, weights0 [V,4],
+    joint_matrices [J,4,4]. Returns (positions', normals').
+    """
+    w = weights0
+    ws = jnp.sum(w, axis=1, keepdims=True)
+    w = jnp.where(ws > 0, w / jnp.maximum(ws, 1e-9), w)
+    m = joint_matrices[joints0]  # [V,4,4,4]
+    skin_m = jnp.einsum("vj,vjkl->vkl", w, m)
+    p1 = jnp.concatenate([positions, jnp.ones((positions.shape[0], 1))], axis=1)
+    pos = jnp.einsum("vkl,vl->vk", skin_m, p1)[:, :3]
+    nrm = jnp.einsum("vkl,vl->vk", skin_m[:, :3, :3], normals)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+    return pos, nrm
+
+
+def morph_vertices(base, deltas, weights):
+    """Weighted morph-target blend (morph.comp.slang:28-70).
+
+    base [V,3], deltas [T,V,3], weights [T]. Returns blended [V,3].
+    """
+    return base + jnp.einsum("t,tvc->vc", weights, deltas)
+
+
+def propagate_world_matrices(locals_, parents_padded, levels_padded, level_mask):
+    """Level-order world-matrix propagation
+    (world_matrix_propagate.comp.slang:19-32; buildTopologicalLevels
+    gltf_scene.cpp:1867).
+
+    locals_ [N,4,4]; levels_padded [L,K] node ids (-1 pad);
+    parents_padded [L,K] parent ids (-1 for roots); level_mask [L,K] bool.
+    Returns world [N,4,4]. Jit-friendly: static level count/width.
+    """
+    n = locals_.shape[0]
+    world0 = jnp.tile(jnp.eye(4, dtype=locals_.dtype), (n, 1, 1))
+
+    def per_level(world, args):
+        nodes, parents, mask = args
+        safe_nodes = jnp.maximum(nodes, 0)
+        safe_parents = jnp.maximum(parents, 0)
+        parent_world = jnp.where(
+            (parents >= 0)[:, None, None], world[safe_parents], jnp.eye(4, dtype=world.dtype)
+        )
+        new = jnp.einsum("nij,njk->nik", parent_world, locals_[safe_nodes])
+        upd = jnp.where(mask[:, None, None], new, world[safe_nodes])
+        world = world.at[safe_nodes].set(upd)
+        return world, None
+
+    world, _ = jax.lax.scan(per_level, world0, (levels_padded, parents_padded, level_mask))
+    return world
+
+
+def pack_levels(topo_levels: list, parents: np.ndarray):
+    """Host-side: pad BFS levels to a rectangle for the jitted propagation."""
+    if not topo_levels:
+        z = np.zeros((1, 1), np.int32)
+        return z - 1, z - 1, np.zeros((1, 1), bool)
+    k = max(len(l) for l in topo_levels)
+    L = len(topo_levels)
+    nodes = np.full((L, k), -1, np.int32)
+    pars = np.full((L, k), -1, np.int32)
+    mask = np.zeros((L, k), bool)
+    for i, lev in enumerate(topo_levels):
+        nodes[i, : len(lev)] = lev
+        pars[i, : len(lev)] = parents[lev]
+        mask[i, : len(lev)] = True
+    return nodes, pars, mask
+
+
+def refit_world_bvh(wb, new_tris):
+    """Refit node AABBs after vertex/transform animation (the reference's
+    BLAS ALLOW_UPDATE path, gltf_scene_rtx.cpp:551 updateBottomLevelAS).
+
+    wb: WorldBvh with precomputed refit levels; new_tris [T',16].
+    Returns (nodes_f', tris') — topology unchanged.
+    """
+    v0 = new_tris[:, 0:3]
+    v1 = new_tris[:, 3:6]
+    v2 = new_tris[:, 6:9]
+    tlo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    thi = jnp.maximum(jnp.maximum(v0, v1), v2)
+
+    nodes_f = jnp.asarray(wb.nodes_f)
+    tri_of = wb.nodes_i[:, 2]
+    leaf_mask = tri_of >= 0
+    safe_tri = jnp.maximum(tri_of, 0)
+    leaf_lo = tlo[safe_tri]
+    leaf_hi = thi[safe_tri]
+    nn = nodes_f.shape[0]
+    # one extra dummy row absorbs pad (-1) writes — a pad lane scattering to
+    # a REAL node id would race the genuine update (scatter is last-wins)
+    lo = jnp.concatenate([jnp.where(leaf_mask[:, None], leaf_lo, nodes_f[:, 0:3]), jnp.zeros((1, 3))])
+    hi = jnp.concatenate([jnp.where(leaf_mask[:, None], leaf_hi, nodes_f[:, 3:6]), jnp.zeros((1, 3))])
+
+    left = jnp.asarray(wb.nodes_i[:, 0])
+    right = jnp.asarray(wb.nodes_i[:, 1])
+
+    def per_level(carry, nodes):
+        lo, hi = carry
+        safe = jnp.where(nodes >= 0, nodes, nn)
+        l = jnp.maximum(left[jnp.minimum(safe, nn - 1)], 0)
+        r = jnp.maximum(right[jnp.minimum(safe, nn - 1)], 0)
+        nlo = jnp.minimum(lo[l], lo[r])
+        nhi = jnp.maximum(hi[l], hi[r])
+        lo = lo.at[safe].set(nlo)
+        hi = hi.at[safe].set(nhi)
+        return (lo, hi), None
+
+    (lo, hi), _ = jax.lax.scan(per_level, (lo, hi), jnp.asarray(wb.refit_levels))
+    nodes_f = jnp.concatenate([lo[:nn], hi[:nn], jnp.zeros((nn, 2))], axis=1)
+    return nodes_f.astype(jnp.float32), new_tris
+
+
+def bake_world_tris(vtx_pos, tri_idx, rn_o2w, wtri_rnode, wtri_tri):
+    """Recompute world-space triangle vertices (the animation rebake):
+    vtx_pos may be post-skin/morph; rn_o2w may have moved."""
+    idx = tri_idx[wtri_tri]  # [T',3]
+    m = rn_o2w[wtri_rnode]  # [T',4,4]
+
+    def xf(p):
+        return (
+            m[:, :3, 0] * p[:, 0:1] + m[:, :3, 1] * p[:, 1:2] + m[:, :3, 2] * p[:, 2:3] + m[:, :3, 3]
+        )
+
+    w0 = xf(vtx_pos[idx[:, 0]])
+    w1 = xf(vtx_pos[idx[:, 1]])
+    w2 = xf(vtx_pos[idx[:, 2]])
+    pad = jnp.zeros((w0.shape[0], 7), vtx_pos.dtype)
+    return jnp.concatenate([w0, w1, w2, pad], axis=1).astype(jnp.float32)

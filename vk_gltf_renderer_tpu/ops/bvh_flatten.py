@@ -34,6 +34,7 @@ class WorldBvh:
     tris: np.ndarray
     wtri_rnode: np.ndarray
     wtri_tri: np.ndarray
+    refit_levels: np.ndarray  # [L,K] internal-node ids, deepest level first (-1 pad)
     num_world_tris: int
 
     def tree_flatten(self):
@@ -131,12 +132,39 @@ def build_world_bvh(flat) -> WorldBvh:
 
     tris16 = np.zeros((nt, 16), np.float32)
     tris16[:, :9] = wv
+
+    # refit schedule: internal nodes grouped by depth, deepest first, so a
+    # bottom-up scan sees children before parents (jitted refit,
+    # ops/animation.refit_world_bvh)
+    depth = np.full(nn, -1, np.int64)
+    depth[0] = 0
+    order = [0]
+    for nd in order:  # BFS (children appended after parents)
+        if tri[nd] < 0:
+            for c in (left[nd], right[nd]):
+                depth[c] = depth[nd] + 1
+                order.append(int(c))
+    internal_ids = np.nonzero(tri < 0)[0]
+    levels = []
+    if internal_ids.size:
+        for d in range(int(depth[internal_ids].max()), -1, -1):
+            lv = internal_ids[depth[internal_ids] == d]
+            if lv.size:
+                levels.append(lv)
+        k = max(len(l) for l in levels)
+        refit_levels = np.full((len(levels), k), -1, np.int32)
+        for i, lv in enumerate(levels):
+            refit_levels[i, : len(lv)] = lv
+    else:
+        refit_levels = np.full((1, 1), -1, np.int32)
+
     return WorldBvh(
         nodes_f=nodes_f,
         nodes_i=nodes_i,
         tris=tris16,
         wtri_rnode=wtri_rnode,
         wtri_tri=wtri_tri,
+        refit_levels=refit_levels,
         num_world_tris=nt,
     )
 

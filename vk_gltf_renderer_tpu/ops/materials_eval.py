@@ -18,6 +18,9 @@ from .textures import sample_texture
 MICROFACET_MIN_ROUGHNESS = 0.0014142
 
 
+_TEXTURED = True  # module-level gate set per-call via evaluate_material
+
+
 def _tex(flat, slot, hit, lod):
     return sample_texture(flat, slot, hit["uv0"], hit["uv1"], lod)
 
@@ -27,7 +30,22 @@ def _present(slot):
 
 
 def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None, tex_lod=None):
-    """mat_id: [..] int32. Returns the PbrMaterial dict for ops/bsdf.py."""
+    """mat_id: [..] int32. Returns the PbrMaterial dict for ops/bsdf.py.
+
+    When the feature set contains "textured", texture lookups are compiled
+    in; otherwise every sampling subgraph is dropped (the NO_TEXTURES
+    specialization of the reference, gltf_material_eval.h.slang:67-74) —
+    a large compile-time and runtime win for untextured scenes.
+    """
+    global _tex
+    if "textured" not in features:
+        def _tex(flat, slot, hit, lod):  # noqa: F811 - local specialization
+            return jnp.ones(slot.shape + (4,), jnp.float32)
+    else:
+        from .textures import sample_texture as _st
+
+        def _tex(flat, slot, hit, lod):  # noqa: F811
+            return _st(flat, slot, hit["uv0"], hit["uv1"], lod)
     m = {k: v[mat_id] for k, v in flat.materials.items()}
     lod = jnp.zeros_like(hit["texel_density"]) if tex_lod is None else tex_lod
     if is_inside is None:
@@ -273,7 +291,7 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
     return pbr
 
 
-def get_opacity(flat, mat_id, hit):
+def get_opacity(flat, mat_id, hit, *, textured: bool = True):
     """Stochastic-alpha opacity at a hit (reference getOpacity,
     pathtrace_functions.h.slang:189-234): baseColor alpha x texture alpha x
     vertex alpha; MASK mode thresholds at cutoff."""
@@ -281,7 +299,10 @@ def get_opacity(flat, mat_id, hit):
     m_cutoff = flat.materials["alpha_cutoff"][mat_id]
     bc = flat.materials["base_color_factor"][mat_id]
     slot = flat.materials["base_color_texture"][mat_id]
-    tex = sample_texture(flat, slot, hit["uv0"], hit["uv1"], jnp.zeros_like(hit["u"] if "u" in hit else hit["texel_density"]))
-    a = bc[..., 3] * jnp.where(slot > 0, tex[..., 3], 1.0) * hit["color"][..., 3]
+    if textured:
+        tex = sample_texture(flat, slot, hit["uv0"], hit["uv1"], jnp.zeros_like(hit["texel_density"]))
+        a = bc[..., 3] * jnp.where(slot > 0, tex[..., 3], 1.0) * hit["color"][..., 3]
+    else:
+        a = bc[..., 3] * hit["color"][..., 3]
     a = jnp.where(m_alpha_mode == 1, jnp.where(a >= m_cutoff, 1.0, 0.0), a)
     return jnp.where(m_alpha_mode == 0, 1.0, a)

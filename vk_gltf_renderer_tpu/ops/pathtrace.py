@@ -82,16 +82,72 @@ class RenderConfig:
     orthographic: bool = False
     transmission_rounds: int = 4  # shadow-ray transmission marches
     traversal: str = "packet"  # "packet" (Pallas, TPU) | "wavefront" (XLA)
+    sort_rays: bool = True  # reorder rays (octant+Morton) before each trace
 
 
-def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None):
+def _sort_keys(bvh, ro, rd, alive):
+    """Ray-reorder key: dead-last | direction octant | Morton10 of origin —
+    the TPU analog of SER ReorderThread (raytracer_interface.h.slang:199-222).
+    Dead lanes cluster into packets that exit in one step."""
+    lo = bvh.nodes_f[0, 0:3]
+    hi = bvh.nodes_f[0, 3:6]
+    q = jnp.clip((ro - lo) / jnp.maximum(hi - lo, 1e-9) * 1023.0, 0, 1023).astype(jnp.uint32)
+
+    def expand(v):
+        v = (v | (v << jnp.uint32(16))) & jnp.uint32(0xFF0000FF)
+        v = (v | (v << jnp.uint32(8))) & jnp.uint32(0x0F00F00F)
+        v = (v | (v << jnp.uint32(4))) & jnp.uint32(0xC30C30C3)
+        v = (v | (v << jnp.uint32(2))) & jnp.uint32(0x49249249)
+        return v
+
+    morton = (expand(q[:, 0]) << jnp.uint32(2)) | (expand(q[:, 1]) << jnp.uint32(1)) | expand(q[:, 2])
+    octant = (
+        (rd[:, 0] >= 0).astype(jnp.uint64)
+        | ((rd[:, 1] >= 0).astype(jnp.uint64) << jnp.uint64(1))
+        | ((rd[:, 2] >= 0).astype(jnp.uint64) << jnp.uint64(2))
+    )
+    dead = (~alive).astype(jnp.uint64)
+    return (dead << jnp.uint64(40)) | (octant << jnp.uint64(30)) | morton.astype(jnp.uint64)
+
+
+def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=None):
     """Traversal dispatch: Pallas packet kernel on TPU (553 Mrays/s coherent
-    on v5e), stackless XLA wavefront elsewhere (portable, same results)."""
+    on v5e), stackless XLA wavefront elsewhere (portable, same results).
+
+    With `alive` given and sort_rays on, rays are reordered by
+    (liveness, octant, origin Morton) before tracing and results scattered
+    back — wavefront compaction without dynamic shapes. Dead lanes trace
+    with tmax=-1 so their packets terminate at the root test.
+    """
+    n = ro.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n,), INFINITE)
+    elif jnp.ndim(tmax) == 0:
+        tmax = jnp.full((n,), tmax)
+    if alive is not None:
+        tmax = jnp.where(alive, tmax, -1.0)
+    do_sort = cfg.sort_rays and cfg.traversal == "packet" and n >= 4096
+    if do_sort:
+        keys = _sort_keys(bvh, ro, rd, alive if alive is not None else jnp.ones(n, bool))
+        order = jnp.argsort(keys)
+        ro_s, rd_s = ro[order], rd[order]
+        tmax_s = tmax[order]
+        tmin_s = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))[order]
+    else:
+        order = None
+        ro_s, rd_s, tmax_s, tmin_s = ro, rd, tmax, tmin
+
     if cfg.traversal == "packet":
         from .pallas_traverse import intersect_rays_packet
 
-        return intersect_rays_packet(bvh, ro, rd, tmin=tmin, tmax=tmax)
-    return intersect_rays_wavefront(bvh, ro, rd, tmin=tmin, tmax=tmax)
+        hits = intersect_rays_packet(bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s)
+    else:
+        hits = intersect_rays_wavefront(bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s)
+
+    if order is not None:
+        inv = jnp.argsort(order)
+        hits = {k: v[inv] for k, v in hits.items()}
+    return hits
 
 
 def sample_environment(env, d, cfg: RenderConfig):
@@ -177,14 +233,14 @@ def _sample_lights(flat, env, pos, normal, seed, cfg: RenderConfig):
     return {"direction": direction, "radiance_over_pdf": radiance, "distance": distance, "pdf": pdf}, seed
 
 
-def _trace_shadow(flat, bvh, ro, rd, dist, seed, cfg: RenderConfig):
+def _trace_shadow(flat, bvh, ro, rd, dist, seed, cfg: RenderConfig, alive=None):
     """Shadow transmission factor [N,3]. Opaque-only scenes: single
     occlusion test. With transmission enabled: march up to
     transmission_rounds surfaces accumulating colored transmission
     (gltf_pathtrace.slang:776-820 semantics)."""
     n = ro.shape[0]
     if "transmission" not in cfg.features and not cfg.alpha_any:
-        hits = trace_closest(bvh, ro, rd, cfg, tmin=0.0, tmax=dist)
+        hits = trace_closest(bvh, ro, rd, cfg, tmin=0.0, tmax=dist, alive=alive)
         occluded = hits["tri"] >= 0
         return jnp.where(occluded[..., None], 0.0, 1.0), seed
 
@@ -200,7 +256,7 @@ def _trace_shadow(flat, bvh, ro, rd, dist, seed, cfg: RenderConfig):
 
         # alpha: probability (1 - opacity) of passing through untouched
         if cfg.alpha_any:
-            opacity = get_opacity(flat, mat_id, hs)
+            opacity = get_opacity(flat, mat_id, hs, textured="textured" in cfg.features)
         else:
             opacity = jnp.ones(n)
         u, seed = rng.rand(seed)
@@ -232,11 +288,11 @@ def _trace_shadow(flat, bvh, ro, rd, dist, seed, cfg: RenderConfig):
     return transmission, seed
 
 
-def _trace_with_alpha(flat, bvh, ro, rd, seed, cfg: RenderConfig):
+def _trace_with_alpha(flat, bvh, ro, rd, seed, cfg: RenderConfig, alive=None):
     """Closest hit with stochastic alpha: re-trace past rejected hits
     (the TPU analog of the RayQuery any-hit Proceed loop,
     raytracer_interface.h.slang:82-122)."""
-    hits = trace_closest(bvh, ro, rd, cfg)
+    hits = trace_closest(bvh, ro, rd, cfg, alive=alive)
     if not cfg.alpha_any:
         return hits, seed
     org = ro
@@ -244,7 +300,7 @@ def _trace_with_alpha(flat, bvh, ro, rd, seed, cfg: RenderConfig):
     for _ in range(cfg.alpha_rounds):
         hs = get_hit_state(flat, hits, rd)
         mat_id = flat.rn_material[jnp.maximum(hits["rnode"], 0)]
-        opacity = get_opacity(flat, mat_id, hs)
+        opacity = get_opacity(flat, mat_id, hs, textured="textured" in cfg.features)
         u, seed = rng.rand(seed)
         reject = (hits["tri"] >= 0) & (u > opacity)
         step = hits["t"] + 1e-4
@@ -303,7 +359,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig):
         first = depth == 0
 
         state["rays"] = state["rays"] + jnp.sum(alive.astype(jnp.float32))
-        hits, seed = _trace_with_alpha(flat, bvh, ro, rd, seed, cfg)
+        hits, seed = _trace_with_alpha(flat, bvh, ro, rd, seed, cfg, alive=alive)
         miss = hits["tri"] < 0
 
         # ---------------- environment hit
@@ -402,7 +458,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig):
         sh_base = jnp.where(sh_fwd[..., None], hs["shadow_pos"], hs["pos"])
         sh_off = jnp.where(sh_fwd[..., None], hs["geonrm"], -hs["geonrm"])
         sh_org = safe_offset_ray(sh_base, sh_off)
-        shadow, seed = _trace_shadow(flat, bvh, sh_org, dl["direction"], dl["distance"], seed, cfg)
+        shadow, seed = _trace_shadow(flat, bvh, sh_org, dl["direction"], dl["distance"], seed, cfg, alive=next_event)
         radiance = radiance + jnp.where(next_event[..., None], contrib * shadow, 0.0)
 
         alive = alive & ~absorbed

@@ -141,7 +141,10 @@ class GltfRenderer:
     def _config(self) -> RenderConfig:
         import jax
 
-        feats = detect_scene_features(self.scene.model)
+        feats = set(detect_scene_features(self.scene.model))
+        if self.scene.model.images:
+            feats.add("textured")
+        feats = frozenset(feats)
         alpha_any = any(m.get("alphaMode", "OPAQUE") != "OPAQUE" for m in self.scene.model.materials)
         on_tpu = jax.devices()[0].platform != "cpu"
         return RenderConfig(
