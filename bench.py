@@ -25,7 +25,7 @@ def main() -> int:
     from vk_gltf_renderer_tpu.renderer import GltfRenderer
 
     width, height, spp, depth = 1920, 1080, 1, 5
-    warmup, timed_frames = 1, 5
+    warmup, timed_frames = 1, 3
 
     r = GltfRenderer(width=width, height=height, spp=spp, max_depth=depth)
     r.create_scene(SCENE)
@@ -40,10 +40,10 @@ def main() -> int:
             for _ in range(warmup):
                 r.on_render()
             t0 = time.perf_counter()
-            rays = 0.0
-            for _ in range(timed_frames):
-                aux = r.on_render()
-                rays += float(aux["rays"])
+            auxes = [r.on_render() for _ in range(timed_frames)]
+            # ONE host readback syncs the whole batch (the remote tunnel has
+            # ~26 ms round-trip latency; per-frame syncs would distort timing)
+            rays = float(sum(a["rays"] for a in auxes))
             wall = time.perf_counter() - t0
             break
         except Exception as e:

@@ -91,21 +91,22 @@ def main(argv=None) -> int:
     max_frames = args.maxFrames or frames
     frames = min(frames, max_frames)
 
-    # warmup frame excluded from timing (reference benchmarking.hpp:128)
+    # warmup frame excluded from timing (reference benchmarking.hpp:128);
+    # aux ray counters stay on device — one readback after the loop
     aux = r.on_render()
     rays = float(aux["rays"])
     t_start = time.perf_counter()
-    rays_timed = 0.0
+    aux_list = []
     timed = 0
     for i in range(1, frames):
         if r.total_samples >= max_frames * args.ptSamples:
             break
-        aux = r.on_render()
-        rays_timed += float(aux["rays"])
+        aux_list.append(r.on_render())
         timed += 1
         if timed % 50 == 0:
             el = time.perf_counter() - t_start
             print(f"  frame {i + 1}/{frames}  {el / max(timed,1) * 1000:.2f} ms/frame")
+    rays_timed = float(sum(a["rays"] for a in aux_list)) if aux_list else 0.0
     wall = time.perf_counter() - t_start
 
     if args.output:

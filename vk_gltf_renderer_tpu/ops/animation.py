@@ -94,8 +94,9 @@ def refit_world_bvh(wb, new_tris):
     """Refit node AABBs after vertex/transform animation (the reference's
     BLAS ALLOW_UPDATE path, gltf_scene_rtx.cpp:551 updateBottomLevelAS).
 
-    wb: WorldBvh with precomputed refit levels; new_tris [T',16].
-    Returns (nodes_f', tris') — topology unchanged.
+    wb: WorldBvh (child-box layout, <=4-tri leaves) with precomputed refit
+    levels; new_tris [T'+4,16] in BVH order.
+    Returns (nodes_f', nodes_self', tris') — topology unchanged.
     """
     v0 = new_tris[:, 0:3]
     v1 = new_tris[:, 3:6]
@@ -103,24 +104,32 @@ def refit_world_bvh(wb, new_tris):
     tlo = jnp.minimum(jnp.minimum(v0, v1), v2)
     thi = jnp.maximum(jnp.maximum(v0, v1), v2)
 
-    nodes_f = jnp.asarray(wb.nodes_f)
-    tri_of = wb.nodes_i[:, 2]
-    leaf_mask = tri_of >= 0
-    safe_tri = jnp.maximum(tri_of, 0)
-    leaf_lo = tlo[safe_tri]
-    leaf_hi = thi[safe_tri]
-    nn = nodes_f.shape[0]
-    # one extra dummy row absorbs pad (-1) writes — a pad lane scattering to
-    # a REAL node id would race the genuine update (scatter is last-wins)
-    lo = jnp.concatenate([jnp.where(leaf_mask[:, None], leaf_lo, nodes_f[:, 0:3]), jnp.zeros((1, 3))])
-    hi = jnp.concatenate([jnp.where(leaf_mask[:, None], leaf_hi, nodes_f[:, 3:6]), jnp.zeros((1, 3))])
+    ni = jnp.asarray(wb.nodes_i)
+    nn = ni.shape[0]
+    first = ni[:, 2]
+    count = ni[:, 3]
+    leaf_mask = count > 0
 
-    left = jnp.asarray(wb.nodes_i[:, 0])
-    right = jnp.asarray(wb.nodes_i[:, 1])
+    # leaf self boxes: min/max over up to LEAF_SIZE padded rows
+    big = jnp.float32(3e37)
+    leaf_lo = jnp.full((nn, 3), big)
+    leaf_hi = jnp.full((nn, 3), -big)
+    for c in range(4):
+        row = first + c
+        valid = (leaf_mask & (c < count))[:, None]
+        leaf_lo = jnp.where(valid, jnp.minimum(leaf_lo, tlo[row]), leaf_lo)
+        leaf_hi = jnp.where(valid, jnp.maximum(leaf_hi, thi[row]), leaf_hi)
+
+    old_self = jnp.asarray(wb.nodes_self)
+    lo = jnp.concatenate([jnp.where(leaf_mask[:, None], leaf_lo, old_self[:, 0:3]), jnp.zeros((1, 3))])
+    hi = jnp.concatenate([jnp.where(leaf_mask[:, None], leaf_hi, old_self[:, 3:6]), jnp.zeros((1, 3))])
+
+    left = ni[:, 0]
+    right = ni[:, 1]
 
     def per_level(carry, nodes):
         lo, hi = carry
-        safe = jnp.where(nodes >= 0, nodes, nn)
+        safe = jnp.where(nodes >= 0, nodes, nn)  # pad -> dummy row
         l = jnp.maximum(left[jnp.minimum(safe, nn - 1)], 0)
         r = jnp.maximum(right[jnp.minimum(safe, nn - 1)], 0)
         nlo = jnp.minimum(lo[l], lo[r])
@@ -130,8 +139,15 @@ def refit_world_bvh(wb, new_tris):
         return (lo, hi), None
 
     (lo, hi), _ = jax.lax.scan(per_level, (lo, hi), jnp.asarray(wb.refit_levels))
-    nodes_f = jnp.concatenate([lo[:nn], hi[:nn], jnp.zeros((nn, 2))], axis=1)
-    return nodes_f.astype(jnp.float32), new_tris
+    lo, hi = lo[:nn], hi[:nn]
+    nodes_self = jnp.concatenate([lo, hi, jnp.zeros((nn, 2))], axis=1).astype(jnp.float32)
+    # child-box rows for the packet kernel
+    lsafe = jnp.maximum(left, 0)
+    rsafe = jnp.maximum(right, 0)
+    nodes_f = jnp.concatenate(
+        [lo[lsafe], hi[lsafe], lo[rsafe], hi[rsafe], jnp.zeros((nn, 4))], axis=1
+    ).astype(jnp.float32)
+    return nodes_f, nodes_self, new_tris
 
 
 def bake_world_tris(vtx_pos, tri_idx, rn_o2w, wtri_rnode, wtri_tri):

@@ -8,14 +8,23 @@ then needs no per-instance matrix fetch. The two-level BLAS/TLAS contract
 when PRIMITIVES_CHANGED and re-bakeable (refit) on transform-only changes.
 
 Tables (see pallas_traverse._traverse_kernel and traverse_wavefront):
-  nodes_f [Nn, 8] f32   lo.xyz, hi.xyz, 0, 0
-  nodes_i [Nn, 8] i32   left, right, tri(or -1), parent, axis, 0, 0, 0
-                        (root = node 0; children ordered so LEFT has the
-                        smaller centroid along `axis` — the stackless
-                        traversal's near-child contract)
-  tris    [T', 16] f32  v0.xyz v1.xyz v2.xyz pad
-  wtri_rnode [T'] i32   world tri -> render node
-  wtri_tri   [T'] i32   world tri -> global tri id (flat.tri_idx row)
+  nodes_f  [Nn, 16] f32  BOTH child AABBs: l_lo, l_hi, r_lo, r_hi, pad4 —
+                         one scalar fetch tests both children (garbage for
+                         leaves, never read)
+  nodes_self [Nn, 8] f32 the node's OWN AABB (stackless traversal + refit)
+  nodes_i  [Nn, 8] i32   left, right, first, count, parent, axis, 0, 0
+                         count > 0 -> leaf covering world-tri rows
+                         [first, first+count) (triangles stored in BVH
+                         order, so leaf ranges are contiguous);
+                         root = node 0; LEFT child has the smaller centroid
+                         along `axis` (near-child contract)
+  tris     [T', 16] f32  v0.xyz v1.xyz v2.xyz pad — BVH (Morton) order
+  wtri_rnode [T'] i32    world tri -> render node
+  wtri_tri   [T'] i32    world tri -> global tri id (flat.tri_idx row)
+
+Leaves are collapsed radix-tree subtrees of up to LEAF_SIZE triangles —
+fewer node visits per ray at the cost of a few extra triangle tests, a
+good trade when triangle tests are vectorized over the packet.
 """
 
 from __future__ import annotations
@@ -24,12 +33,15 @@ from dataclasses import dataclass, fields as dc_fields
 
 import numpy as np
 
-from .bvh import _build_single
+from .bvh import _build_radix_tree, morton3d
+
+LEAF_SIZE = 4
 
 
 @dataclass
 class WorldBvh:
     nodes_f: np.ndarray
+    nodes_self: np.ndarray
     nodes_i: np.ndarray
     tris: np.ndarray
     wtri_rnode: np.ndarray
@@ -98,74 +110,237 @@ def build_world_bvh(flat) -> WorldBvh:
     tlo = np.minimum(np.minimum(v0, v1), v2)
     thi = np.maximum(np.maximum(v0, v1), v2)
     cen = (tlo + thi) * 0.5
-    lo, hi, left, right, tri, parent = _build_single(tlo, thi, cen, np.arange(nt, dtype=np.int64))
 
-    nn = lo.shape[0]
-    # split axis per internal node + spatial child ordering: left child must
-    # have the smaller center along that axis (near-child contract of the
-    # stackless traversal; also improves packet near-first ordering).
-    internal = tri < 0
-    ii = np.nonzero(internal)[0]
-    if ii.size:
-        cl = (lo[left[ii]] + hi[left[ii]]) * 0.5
-        cr = (lo[right[ii]] + hi[right[ii]]) * 0.5
-        axis_i = np.argmax(np.abs(cr - cl), axis=1)
-        swap = cr[np.arange(ii.size), axis_i] < cl[np.arange(ii.size), axis_i]
-        l_new = np.where(swap, right[ii], left[ii])
-        r_new = np.where(swap, left[ii], right[ii])
-        left[ii] = l_new
-        right[ii] = r_new
-        # reattach parents after swap (parent array unchanged by swap)
-    axis = np.zeros(nn, np.int64)
-    if ii.size:
-        axis[ii] = axis_i
+    # ---- radix tree over morton-sorted triangles
+    if nt == 1:
+        order = np.zeros(1, np.int64)
+        nodes_i = np.zeros((1, 8), np.int32)
+        nodes_i[0] = [0, 0, 0, 1, -1, 0, 0, 0]
+        nodes_f = np.zeros((1, 16), np.float32)
+        nodes_self = np.zeros((1, 8), np.float32)
+        nodes_self[0, 0:3] = tlo[0]
+        nodes_self[0, 3:6] = thi[0]
+        tris16 = np.zeros((1 + LEAF_SIZE, 16), np.float32)
+        tris16[0, :9] = wv[0]
+        wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
+        wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
+        return WorldBvh(
+            nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
+            wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
+            refit_levels=np.full((1, 1), -1, np.int32), num_world_tris=1,
+        )
 
-    nodes_f = np.zeros((nn, 8), np.float32)
-    nodes_f[:, 0:3] = lo
-    nodes_f[:, 3:6] = hi
-    nodes_i = np.zeros((nn, 8), np.int32)
-    nodes_i[:, 0] = left
-    nodes_i[:, 1] = right
-    nodes_i[:, 2] = tri  # -1 for internal; world-tri id for leaves
-    nodes_i[:, 3] = parent
-    nodes_i[:, 4] = axis
+    scene_lo = tlo.min(axis=0)
+    scene_hi = thi.max(axis=0)
+    codes = morton3d(cen, scene_lo, scene_hi)
+    order = np.argsort(codes, kind="stable")
+    keys = (codes[order].astype(np.uint64) << np.uint64(32)) | np.arange(nt, dtype=np.uint64)
+    lc, rc, leaf_l, leaf_r = _build_radix_tree(keys)
 
-    tris16 = np.zeros((nt, 16), np.float32)
-    tris16[:, :9] = wv
+    # reorder triangle storage into morton order (leaf ranges contiguous)
+    wv = wv[order]
+    tlo, thi = tlo[order], thi[order]
+    wtri_rnode = wtri_rnode[order]
+    wtri_tri = wtri_tri[order]
 
-    # refit schedule: internal nodes grouped by depth, deepest first, so a
-    # bottom-up scan sees children before parents (jitted refit,
-    # ops/animation.refit_world_bvh)
-    depth = np.full(nn, -1, np.int64)
-    depth[0] = 0
-    order = [0]
-    for nd in order:  # BFS (children appended after parents)
-        if tri[nd] < 0:
-            for c in (left[nd], right[nd]):
-                depth[c] = depth[nd] + 1
-                order.append(int(c))
-    internal_ids = np.nonzero(tri < 0)[0]
-    levels = []
-    if internal_ids.size:
+    # ---- subtree leaf ranges (internal node i of the radix tree covers a
+    # contiguous sorted range [range_lo, range_hi])
+    ni = nt - 1  # internal nodes
+    range_lo = np.full(ni, -1, np.int64)
+    range_hi = np.full(ni, -1, np.int64)
+
+    # children encoding: value j is a LEAF (sorted index) if flag set
+    # compute ranges bottom-up with passes
+    child_l = lc
+    child_r = rc
+    lo_l = np.where(leaf_l, child_l, -1)
+    hi_l = np.where(leaf_l, child_l, -1)
+    lo_r = np.where(leaf_r, child_r, -1)
+    hi_r = np.where(leaf_r, child_r, -1)
+    pend = np.ones(ni, bool)
+    cl_i = np.clip(child_l, 0, ni - 1)  # only valid where ~leaf_l
+    cr_i = np.clip(child_r, 0, ni - 1)
+    while pend.any():
+        need_l = ~leaf_l & (lo_l < 0)
+        lo_l = np.where(need_l & (range_lo[cl_i] >= 0), range_lo[cl_i], lo_l)
+        hi_l = np.where(need_l & (range_hi[cl_i] >= 0), range_hi[cl_i], hi_l)
+        need_r = ~leaf_r & (lo_r < 0)
+        lo_r = np.where(need_r & (range_lo[cr_i] >= 0), range_lo[cr_i], lo_r)
+        hi_r = np.where(need_r & (range_hi[cr_i] >= 0), range_hi[cr_i], hi_r)
+        ready = pend & (lo_l >= 0) & (lo_r >= 0)
+        if not ready.any():
+            raise RuntimeError("range propagation deadlock")
+        range_lo[ready] = np.minimum(lo_l[ready], lo_r[ready])
+        range_hi[ready] = np.maximum(hi_l[ready], hi_r[ready])
+        pend &= ~ready
+
+    counts = range_hi - range_lo + 1
+
+    # ---- choose collapse roots: subtrees with <= LEAF_SIZE tris whose
+    # parent has more; plus bare leaves hanging from kept internal nodes
+    parent_int = np.full(ni, -1, np.int64)
+    parent_int[child_l[~leaf_l].astype(np.int64)] = np.nonzero(~leaf_l)[0]
+    parent_int[child_r[~leaf_r].astype(np.int64)] = np.nonzero(~leaf_r)[0]
+    small = counts <= LEAF_SIZE
+    par_small = np.zeros(ni, bool)
+    has_par = parent_int >= 0
+    par_small[has_par] = small[parent_int[has_par]]
+    collapse_root_int = small & ~par_small  # internal node becomes a leaf
+
+    kept_int = ~small  # internal nodes that survive
+    # map old internal id -> new node id; collapsed roots + single-tri leaf
+    # children of kept internals become leaf nodes
+    new_ids = {}
+    nodes = []  # (kind, payload)
+
+    def add_node(kind, payload):
+        nodes.append((kind, payload))
+        return len(nodes) - 1
+
+    # BFS from root (internal 0) over kept internals for deterministic layout
+    order_nodes = [0]
+    for i in order_nodes:
+        if not kept_int[i]:
+            continue
+        for c, is_leaf_child in ((child_l[i], leaf_l[i]), (child_r[i], leaf_r[i])):
+            if not is_leaf_child and kept_int[c]:
+                order_nodes.append(int(c))
+
+    # assign ids: internals first in BFS order, then leaves as encountered
+    if kept_int.any():
+        for i in order_nodes:
+            if kept_int[i]:
+                new_ids[("i", i)] = add_node("i", i)
+        for i in order_nodes:
+            if not kept_int[i]:
+                continue
+            for c, is_leaf_child in ((child_l[i], leaf_l[i]), (child_r[i], leaf_r[i])):
+                if is_leaf_child:
+                    new_ids[("t", int(c), i, "lr")] = None  # placeholder below
+    else:
+        pass
+
+    # simpler: build arrays by walking kept internals and materializing children
+    n_new = 0
+    id_of_int = {}
+    for i in order_nodes:
+        if kept_int[i]:
+            id_of_int[i] = n_new
+            n_new += 1
+    leaf_rows = []  # (first, count, self_lo, self_hi) appended after internals
+
+    def child_ref(i, c, is_leaf_child):
+        """Return (new_id, lo, hi) for child c of kept-internal i."""
+        if is_leaf_child:
+            first, count = int(c), 1
+        elif kept_int[c]:
+            nid = id_of_int[c]
+            lo, hi = subtree_box(c)
+            return nid, lo, hi
+        else:  # collapsed subtree -> leaf
+            first, count = int(range_lo[c]), int(counts[c])
+        lo = tlo[first : first + count].min(axis=0)
+        hi = thi[first : first + count].max(axis=0)
+        leaf_rows.append((first, count, lo, hi))
+        return n_new + len(leaf_rows) - 1, lo, hi
+
+    box_cache = {}
+
+    def subtree_box(i):
+        if i in box_cache:
+            return box_cache[i]
+        f, c = int(range_lo[i]), int(counts[i])
+        lo = tlo[f : f + c].min(axis=0)
+        hi = thi[f : f + c].max(axis=0)
+        box_cache[i] = (lo, hi)
+        return lo, hi
+
+    if not kept_int.any():
+        # whole tree collapses to one leaf node (nt <= LEAF_SIZE)
+        nn = 1
+        nodes_i = np.zeros((1, 8), np.int32)
+        nodes_i[0] = [0, 0, 0, nt, -1, 0, 0, 0]
+        nodes_f = np.zeros((1, 16), np.float32)
+        nodes_self = np.zeros((1, 8), np.float32)
+        nodes_self[0, 0:3] = tlo.min(axis=0)
+        nodes_self[0, 3:6] = thi.max(axis=0)
+        refit_levels = np.full((1, 1), -1, np.int32)
+    else:
+        child_info = {}
+        for i in order_nodes:
+            if not kept_int[i]:
+                continue
+            l_id, l_lo, l_hi = child_ref(i, child_l[i], bool(leaf_l[i]))
+            r_id, r_lo, r_hi = child_ref(i, child_r[i], bool(leaf_r[i]))
+            child_info[i] = (l_id, r_id, l_lo, l_hi, r_lo, r_hi)
+
+        nn = n_new + len(leaf_rows)
+        nodes_i = np.zeros((nn, 8), np.int32)
+        nodes_f = np.zeros((nn, 16), np.float32)
+        nodes_self = np.zeros((nn, 8), np.float32)
+        parent_new = np.full(nn, -1, np.int32)
+        for i in order_nodes:
+            if not kept_int[i]:
+                continue
+            nid = id_of_int[i]
+            l_id, r_id, l_lo, l_hi, r_lo, r_hi = child_info[i]
+            # near-child contract: left = smaller centroid on split axis
+            cl = (l_lo + l_hi) * 0.5
+            cr = (r_lo + r_hi) * 0.5
+            axis = int(np.argmax(np.abs(cr - cl)))
+            if cr[axis] < cl[axis]:
+                l_id, r_id = r_id, l_id
+                l_lo, l_hi, r_lo, r_hi = r_lo, r_hi, l_lo, l_hi
+            nodes_i[nid, 0] = l_id
+            nodes_i[nid, 1] = r_id
+            nodes_i[nid, 5] = axis
+            nodes_f[nid, 0:3] = l_lo
+            nodes_f[nid, 3:6] = l_hi
+            nodes_f[nid, 6:9] = r_lo
+            nodes_f[nid, 9:12] = r_hi
+            slo, shi = subtree_box(i)
+            nodes_self[nid, 0:3] = slo
+            nodes_self[nid, 3:6] = shi
+            parent_new[l_id] = nid
+            parent_new[r_id] = nid
+        for k, (first, count, lo, hi) in enumerate(leaf_rows):
+            nid = n_new + k
+            nodes_i[nid, 2] = first
+            nodes_i[nid, 3] = count
+            nodes_self[nid, 0:3] = lo
+            nodes_self[nid, 3:6] = hi
+        nodes_i[:, 4] = parent_new
+
+        # refit levels over internal nodes (deepest first)
+        depth = np.full(nn, -1, np.int64)
+        depth[0] = 0
+        bfs = [0]
+        for nd in bfs:
+            if nodes_i[nd, 3] == 0:  # internal
+                for c in (nodes_i[nd, 0], nodes_i[nd, 1]):
+                    depth[c] = depth[nd] + 1
+                    bfs.append(int(c))
+        internal_ids = np.nonzero(nodes_i[:, 3] == 0)[0]
+        levels = []
         for d in range(int(depth[internal_ids].max()), -1, -1):
             lv = internal_ids[depth[internal_ids] == d]
             if lv.size:
                 levels.append(lv)
-        k = max(len(l) for l in levels)
-        refit_levels = np.full((len(levels), k), -1, np.int32)
-        for i, lv in enumerate(levels):
-            refit_levels[i, : len(lv)] = lv
-    else:
-        refit_levels = np.full((1, 1), -1, np.int32)
+        kmax = max(len(l) for l in levels)
+        refit_levels = np.full((len(levels), kmax), -1, np.int32)
+        for idx, lv in enumerate(levels):
+            refit_levels[idx, : len(lv)] = lv
 
+    # LEAF_SIZE padding rows let leaf loops fetch fixed-size slabs without
+    # bounds checks (degenerate zero triangles never hit)
+    tris16 = np.zeros((nt + LEAF_SIZE, 16), np.float32)
+    tris16[:nt, :9] = wv
+    wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
+    wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
     return WorldBvh(
-        nodes_f=nodes_f,
-        nodes_i=nodes_i,
-        tris=tris16,
-        wtri_rnode=wtri_rnode,
-        wtri_tri=wtri_tri,
-        refit_levels=refit_levels,
-        num_world_tris=nt,
+        nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
+        wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
+        refit_levels=refit_levels, num_world_tris=nt,
     )
 
 

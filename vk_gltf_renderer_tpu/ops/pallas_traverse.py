@@ -46,16 +46,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 INFINITE = jnp.float32(1e32)
 SUB, LANE = 8, 128
-PACKET = SUB * LANE  # 1024 rays per grid step
+PACKET = SUB * LANE  # base packet: 1024 rays (bounce rays)
+PACKET_BIG_TILES = 8  # coherent rays: 8 tiles (8192 rays) share one stack
 STACK = 128
 
 
 def _traverse_kernel(nodes_f_ref, nodes_i_ref, tris_ref, ro_ref, rd_ref, out_ref, stack_ref):
     """One packet vs the whole VMEM-resident BVH.
 
-    nodes_f: [Nn, 8]  f32 (lo.xyz, hi.xyz, 0, 0)
-    nodes_i: [Nn, 4]  i32 (left, right, tri, 0)   tri >= 0 -> leaf
-    tris:    [T, 16]  f32 (v0.xyz, v1.xyz, v2.xyz, pad...)
+    nodes_f: [Nn, 16] f32 (l_lo, l_hi, r_lo, r_hi, pad) — child AABB pairs
+    nodes_i: [Nn, 8]  i32 (left, right, first, count, parent, axis, 0, 0)
+                      count > 0 -> leaf over tris rows [first, first+count)
+    tris:    [T+4, 16] f32 (v0.xyz, v1.xyz, v2.xyz, pad...) BVH order
     ro:      [1, 4, 8, 128] f32 (x, y, z, tmax) per lane
     rd:      [1, 4, 8, 128] f32 (x, y, z, tmin)
     out:     [1, 4, 8, 128] f32 (t, tri(as f32), u, v)
@@ -69,6 +71,7 @@ def _traverse_kernel(nodes_f_ref, nodes_i_ref, tris_ref, ro_ref, rd_ref, out_ref
     rdy = rd_ref[0, 1]
     rdz = rd_ref[0, 2]
     tmin = rd_ref[0, 3]
+    sub = rox.shape[0]  # 8 per tile; multi-tile packets share ONE stack
 
     def inv(d):
         return jnp.where(jnp.abs(d) < 1e-20, jnp.where(d >= 0, 1e30, -1e30), 1.0 / d)
@@ -76,79 +79,105 @@ def _traverse_kernel(nodes_f_ref, nodes_i_ref, tris_ref, ro_ref, rd_ref, out_ref
     ix, iy, iz = inv(rdx), inv(rdy), inv(rdz)
 
     t0_ = tmax
-    tri0 = jnp.full((SUB, LANE), -1.0)
-    u0 = jnp.zeros((SUB, LANE))
-    v0 = jnp.zeros((SUB, LANE))
+    tri0 = jnp.full((sub, LANE), -1.0)
+    u0 = jnp.zeros((sub, LANE))
+    v0 = jnp.zeros((sub, LANE))
+
+    # packet-majority direction signs (computed once): drives near-child
+    # ordering by the node's split axis — no per-step reduction needed
+    sx = jnp.sum(jnp.where(rdx >= 0, 1, -1)) >= 0
+    sy = jnp.sum(jnp.where(rdy >= 0, 1, -1)) >= 0
+    sz = jnp.sum(jnp.where(rdz >= 0, 1, -1)) >= 0
 
     stack_ref[0] = 0  # root is node 0
 
-    def aabb_hit(node, t_cur):
-        f = nodes_f_ref[pl.ds(node, 1), :]  # [1, 8]
-        t0x = (f[0, 0] - rox) * ix
-        t1x = (f[0, 3] - rox) * ix
-        t0y = (f[0, 1] - roy) * iy
-        t1y = (f[0, 4] - roy) * iy
-        t0z = (f[0, 2] - roz) * iz
-        t1z = (f[0, 5] - roz) * iz
-        tnear = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
-        )
-        tfar = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.minimum(jnp.maximum(t0z, t1z), t_cur),
-        )
-        return tnear <= tfar, tnear
+    def aabb_pair(f, t_cur):
+        """Both child slab tests from one fetched [1,16] row."""
+
+        def one(o):
+            t0x = (f[0, o + 0] - rox) * ix
+            t1x = (f[0, o + 3] - rox) * ix
+            t0y = (f[0, o + 1] - roy) * iy
+            t1y = (f[0, o + 4] - roy) * iy
+            t0z = (f[0, o + 2] - roz) * iz
+            t1z = (f[0, o + 5] - roz) * iz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), t_cur),
+            )
+            return tnear <= tfar, tnear
+
+        hit_l, tn_l = one(0)
+        hit_r, tn_r = one(6)
+        return hit_l, tn_l, hit_r, tn_r
+
+    def tri_test(row, t_best, tri_best, u_best, v_best, valid):
+        tv = tris_ref[pl.ds(row, 1), :]  # [1, 16]
+        v0x, v0y, v0z = tv[0, 0], tv[0, 1], tv[0, 2]
+        e1x, e1y, e1z = tv[0, 3] - v0x, tv[0, 4] - v0y, tv[0, 5] - v0z
+        e2x, e2y, e2z = tv[0, 6] - v0x, tv[0, 7] - v0y, tv[0, 8] - v0z
+        px = rdy * e2z - rdz * e2y
+        py = rdz * e2x - rdx * e2z
+        pz = rdx * e2y - rdy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = valid & (jnp.abs(det) >= 1e-12)
+        inv_det = 1.0 / jnp.where(jnp.abs(det) >= 1e-12, det, 1.0)
+        tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+        uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        hit = ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) & (tt > tmin) & (tt < t_best)
+        t_best = jnp.where(hit, tt, t_best)
+        tri_best = jnp.where(hit, row.astype(jnp.float32), tri_best)
+        u_best = jnp.where(hit, uu, u_best)
+        v_best = jnp.where(hit, vv, v_best)
+        return t_best, tri_best, u_best, v_best
 
     def body(state):
         sp, t_best, tri_best, u_best, v_best = state
         sp = sp - 1
         node = stack_ref[sp]
-        meta = nodes_i_ref[pl.ds(node, 1), :]  # [1, 4]
-        tri_id = meta[0, 2]
-        is_leaf = tri_id >= 0
+        meta = nodes_i_ref[pl.ds(node, 1), :]  # [1, 8]
+        first = meta[0, 2]
+        count = meta[0, 3]
+        is_leaf = count > 0
 
         def leaf(sp, t_best, tri_best, u_best, v_best):
-            tv = tris_ref[pl.ds(tri_id, 1), :]  # [1, 16]
-            v0x, v0y, v0z = tv[0, 0], tv[0, 1], tv[0, 2]
-            e1x, e1y, e1z = tv[0, 3] - v0x, tv[0, 4] - v0y, tv[0, 5] - v0z
-            e2x, e2y, e2z = tv[0, 6] - v0x, tv[0, 7] - v0y, tv[0, 8] - v0z
-            px = rdy * e2z - rdz * e2y
-            py = rdz * e2x - rdx * e2z
-            pz = rdx * e2y - rdy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            ok = jnp.abs(det) >= 1e-12
-            inv_det = 1.0 / jnp.where(ok, det, 1.0)
-            tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
-            uu = (tvx * px + tvy * py + tvz * pz) * inv_det
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
-            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            hit = ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) & (tt > tmin) & (tt < t_best)
-            t_best = jnp.where(hit, tt, t_best)
-            tri_best = jnp.where(hit, tri_id.astype(jnp.float32), tri_best)
-            u_best = jnp.where(hit, uu, u_best)
-            v_best = jnp.where(hit, vv, v_best)
+            for c in range(4):  # LEAF_SIZE (tris table is padded)
+                t_best, tri_best, u_best, v_best = tri_test(
+                    first + c, t_best, tri_best, u_best, v_best, c < count
+                )
             return sp, t_best, tri_best, u_best, v_best
 
         def internal(sp, t_best, tri_best, u_best, v_best):
+            f = nodes_f_ref[pl.ds(node, 1), :]  # [1, 16] both child boxes
+            hit_l, tn_l, hit_r, tn_r = aabb_pair(f, t_best)
             l = meta[0, 0]
             r = meta[0, 1]
-            hit_l, tn_l = aabb_hit(l, t_best)
-            hit_r, tn_r = aabb_hit(r, t_best)
-            any_l = jnp.any(hit_l)
-            any_r = jnp.any(hit_r)
-            vote = jnp.sum(jnp.where(hit_l & hit_r, jnp.where(tn_l <= tn_r, 1, -1), 0))
-            l_nearer = vote >= 0
-            first = jnp.where(l_nearer, l, r)
+            # ONE reduction for both any() flags (reductions to scalar are
+            # expensive; lanes <= 8192 < 2^16 so the packing is exact)
+            packed = jnp.sum(hit_l.astype(jnp.int32) * 65536 + hit_r.astype(jnp.int32))
+            any_l = packed >= 65536
+            any_r = (packed & 65535) > 0
+            # near-child by majority direction sign vs split axis (children
+            # are spatially ordered at build: LEFT = smaller centroid)
+            axis = meta[0, 5]
+            sign = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+            l_nearer = sign
+            first_c = jnp.where(l_nearer, l, r)
             second = jnp.where(l_nearer, r, l)
             any_first = jnp.where(l_nearer, any_l, any_r)
             any_second = jnp.where(l_nearer, any_r, any_l)
             stack_ref[sp] = second
             sp = sp + jnp.where(any_second, 1, 0)
-            stack_ref[sp] = first
+            stack_ref[sp] = first_c
             sp = sp + jnp.where(any_first, 1, 0)
             return sp, t_best, tri_best, u_best, v_best
 
@@ -163,11 +192,12 @@ def _traverse_kernel(nodes_f_ref, nodes_i_ref, tris_ref, ro_ref, rd_ref, out_ref
     out_ref[0, 3] = v_best
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def traverse_packets(nodes_f, nodes_i, tris, rays_ro, rays_rd, interpret=False):
-    """rays_ro/rays_rd: [G, 4, 8, 128] packed (x,y,z,tmax|tmin).
-    Returns [G, 4, 8, 128] (t, tri, u, v)."""
+@functools.partial(jax.jit, static_argnames=("interpret", "tiles"))
+def traverse_packets(nodes_f, nodes_i, tris, rays_ro, rays_rd, interpret=False, tiles=1):
+    """rays_ro/rays_rd: [G, 4, tiles*8, 128] packed (x,y,z,tmax|tmin).
+    Returns [G, 4, tiles*8, 128] (t, tri, u, v)."""
     g = rays_ro.shape[0]
+    sub = tiles * SUB
     return pl.pallas_call(
         _traverse_kernel,
         grid=(g,),
@@ -175,11 +205,11 @@ def traverse_packets(nodes_f, nodes_i, tris, rays_ro, rays_rd, interpret=False):
             pl.BlockSpec(nodes_f.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(nodes_i.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(tris.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, 4, SUB, LANE), jnp.float32),
+        out_specs=pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 4, sub, LANE), jnp.float32),
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -189,25 +219,28 @@ def traverse_packets(nodes_f, nodes_i, tris, rays_ro, rays_rd, interpret=False):
     )(nodes_f, nodes_i, tris, rays_ro, rays_rd)
 
 
-def _pack(ro, rd, tmin, tmax):
+def _pack(ro, rd, tmin, tmax, packet):
     n = ro.shape[0]
-    pad = (-n) % PACKET
+    pad = (-n) % packet
     ro4 = jnp.concatenate([ro, tmax[:, None]], axis=-1)
     rd4 = jnp.concatenate([rd, tmin[:, None]], axis=-1)
     if pad:
         ro4 = jnp.concatenate([ro4, jnp.zeros((pad, 4))], axis=0)
         rd4 = jnp.concatenate([rd4, jnp.zeros((pad, 4))], axis=0)
     m = ro4.shape[0]
-    g = m // PACKET
-    # [m,4] -> [G, 4, 8, 128] component-major
-    ro_p = ro4.reshape(g, SUB, LANE, 4).transpose(0, 3, 1, 2)
-    rd_p = rd4.reshape(g, SUB, LANE, 4).transpose(0, 3, 1, 2)
+    g = m // packet
+    sub = packet // LANE
+    ro_p = ro4.reshape(g, sub, LANE, 4).transpose(0, 3, 1, 2)
+    rd_p = rd4.reshape(g, sub, LANE, 4).transpose(0, 3, 1, 2)
     return ro_p, rd_p, n
 
 
-def intersect_rays_packet(wb, ro, rd, tmin=0.0, tmax=None, interpret=False):
+def intersect_rays_packet(wb, ro, rd, tmin=0.0, tmax=None, interpret=False, coherent=False):
     """intersect_rays-compatible API over the flattened world BVH.
 
+    coherent=True uses 8x bigger packets (8192 lanes, one shared stack) —
+    the scalar traversal cost amortizes over 8x more rays, which pays off
+    exactly when rays agree on nodes (primary / shadow batches).
     Returns dict(t, rnode, tri(global per-prim tri id), u, v)."""
     n = ro.shape[0]
     if tmax is None:
@@ -215,9 +248,9 @@ def intersect_rays_packet(wb, ro, rd, tmin=0.0, tmax=None, interpret=False):
     elif jnp.ndim(tmax) == 0:
         tmax = jnp.full((n,), tmax)
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
-    ro_p, rd_p, n0 = _pack(ro, rd, tmin, tmax)
-    out = traverse_packets(wb.nodes_f, wb.nodes_i, wb.tris, ro_p, rd_p, interpret=interpret)
-    # [G,4,8,128] -> [m,4] -> [n,...]
+    tiles = PACKET_BIG_TILES if (coherent and n >= PACKET * PACKET_BIG_TILES) else 1
+    ro_p, rd_p, n0 = _pack(ro, rd, tmin, tmax, PACKET * tiles)
+    out = traverse_packets(wb.nodes_f, wb.nodes_i, wb.tris, ro_p, rd_p, interpret=interpret, tiles=tiles)
     flatd = out.transpose(0, 2, 3, 1).reshape(-1, 4)[:n0]
     t = flatd[:, 0]
     wtri = flatd[:, 1].astype(jnp.int32)

@@ -89,28 +89,34 @@ def _sort_keys(bvh, ro, rd, alive):
     """Ray-reorder key: dead-last | direction octant | Morton10 of origin —
     the TPU analog of SER ReorderThread (raytracer_interface.h.slang:199-222).
     Dead lanes cluster into packets that exit in one step."""
-    lo = bvh.nodes_f[0, 0:3]
-    hi = bvh.nodes_f[0, 3:6]
-    q = jnp.clip((ro - lo) / jnp.maximum(hi - lo, 1e-9) * 1023.0, 0, 1023).astype(jnp.uint32)
+    # 32-bit key: dead(1) | origin morton 5 bits/axis (15) | direction
+    # morton 4 bits/axis (12). x64 is disabled, so it must fit uint32.
+    # Rays sharing an origin (primary) sort into direction blocks (square
+    # pixel tiles); scattered-origin bounce rays sort spatially first.
+    lo = bvh.nodes_self[0, 0:3]
+    hi = bvh.nodes_self[0, 3:6]
+    qo = jnp.clip((ro - lo) / jnp.maximum(hi - lo, 1e-9) * 31.0, 0, 31).astype(jnp.uint32)
+    qd = jnp.clip((rd * 0.5 + 0.5) * 15.0, 0, 15).astype(jnp.uint32)
 
-    def expand(v):
-        v = (v | (v << jnp.uint32(16))) & jnp.uint32(0xFF0000FF)
-        v = (v | (v << jnp.uint32(8))) & jnp.uint32(0x0F00F00F)
-        v = (v | (v << jnp.uint32(4))) & jnp.uint32(0xC30C30C3)
-        v = (v | (v << jnp.uint32(2))) & jnp.uint32(0x49249249)
+    def expand5(v):  # 5 bits -> every 3rd bit
+        v = (v | (v << jnp.uint32(8))) & jnp.uint32(0x0100F00F)
+        v = (v | (v << jnp.uint32(4))) & jnp.uint32(0x010C30C3)
+        v = (v | (v << jnp.uint32(2))) & jnp.uint32(0x09249249)
         return v
 
-    morton = (expand(q[:, 0]) << jnp.uint32(2)) | (expand(q[:, 1]) << jnp.uint32(1)) | expand(q[:, 2])
-    octant = (
-        (rd[:, 0] >= 0).astype(jnp.uint64)
-        | ((rd[:, 1] >= 0).astype(jnp.uint64) << jnp.uint64(1))
-        | ((rd[:, 2] >= 0).astype(jnp.uint64) << jnp.uint64(2))
-    )
-    dead = (~alive).astype(jnp.uint64)
-    return (dead << jnp.uint64(40)) | (octant << jnp.uint64(30)) | morton.astype(jnp.uint64)
+    def expand4(v):
+        v = (v | (v << jnp.uint32(8))) & jnp.uint32(0x00F00F)
+        v = (v | (v << jnp.uint32(4))) & jnp.uint32(0x0C30C3)
+        v = (v | (v << jnp.uint32(2))) & jnp.uint32(0x249249)
+        return v
+
+    m_o = (expand5(qo[:, 0]) << jnp.uint32(2)) | (expand5(qo[:, 1]) << jnp.uint32(1)) | expand5(qo[:, 2])
+    m_d = (expand4(qd[:, 0]) << jnp.uint32(2)) | (expand4(qd[:, 1]) << jnp.uint32(1)) | expand4(qd[:, 2])
+    dead = (~alive).astype(jnp.uint32)
+    return (dead << jnp.uint32(27)) | (m_o << jnp.uint32(12)) | m_d
 
 
-def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=None):
+def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=None, coherent=False):
     """Traversal dispatch: Pallas packet kernel on TPU (553 Mrays/s coherent
     on v5e), stackless XLA wavefront elsewhere (portable, same results).
 
@@ -140,7 +146,7 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
     if cfg.traversal == "packet":
         from .pallas_traverse import intersect_rays_packet
 
-        hits = intersect_rays_packet(bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s)
+        hits = intersect_rays_packet(bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s, coherent=coherent)
     else:
         hits = intersect_rays_wavefront(bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s)
 
@@ -240,7 +246,7 @@ def _trace_shadow(flat, bvh, ro, rd, dist, seed, cfg: RenderConfig, alive=None):
     (gltf_pathtrace.slang:776-820 semantics)."""
     n = ro.shape[0]
     if "transmission" not in cfg.features and not cfg.alpha_any:
-        hits = trace_closest(bvh, ro, rd, cfg, tmin=0.0, tmax=dist, alive=alive)
+        hits = trace_closest(bvh, ro, rd, cfg, tmin=0.0, tmax=dist, alive=alive, coherent=True)
         occluded = hits["tri"] >= 0
         return jnp.where(occluded[..., None], 0.0, 1.0), seed
 
@@ -292,7 +298,7 @@ def _trace_with_alpha(flat, bvh, ro, rd, seed, cfg: RenderConfig, alive=None):
     """Closest hit with stochastic alpha: re-trace past rejected hits
     (the TPU analog of the RayQuery any-hit Proceed loop,
     raytracer_interface.h.slang:82-122)."""
-    hits = trace_closest(bvh, ro, rd, cfg, alive=alive)
+    hits = trace_closest(bvh, ro, rd, cfg, alive=alive, coherent=True)
     if not cfg.alpha_any:
         return hits, seed
     org = ro

@@ -36,14 +36,14 @@ FROM_CHILD = 2
 DONE = 3
 
 
-def _gather_node(nodes_f, nodes_i, idx):
-    f = nodes_f[idx]  # [N,8]
-    m = nodes_i[idx]  # [N,8]
+def _gather_node(nodes_self, nodes_i, idx):
+    f = nodes_self[idx]  # [N,8] own AABB
+    m = nodes_i[idx]  # [N,8] left,right,first,count,parent,axis
     return f, m
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps",))
-def traverse_wavefront(nodes_f, nodes_i, tris, ro, rd, tmin, tmax, max_steps=4096):
+def traverse_wavefront(nodes_self, nodes_i, tris, ro, rd, tmin, tmax, max_steps=16384):
     """Closest hit for [N] rays against the flattened world BVH.
 
     Returns (t, wtri, u, v): wtri = world-triangle id, -1 on miss.
@@ -104,31 +104,35 @@ def traverse_wavefront(nodes_f, nodes_i, tris, ro, rd, tmin, tmax, max_steps=409
 
     def near_of(meta):
         """Per-ray near child of the gathered node rows."""
-        axis = meta[:, 4]
+        axis = meta[:, 5]
         pos = jnp.take_along_axis(dir_pos, axis[:, None], axis=1)[:, 0]
         return jnp.where(pos, meta[:, 0], meta[:, 1]), jnp.where(pos, meta[:, 1], meta[:, 0])
 
     def body(state):
         cur, st, t_best, tri_best, u_best, v_best, step = state
-        f, meta = _gather_node(nodes_f, nodes_i, cur)
-        leaf = meta[:, 2] >= 0
-        parent = meta[:, 3]
-        pf, pmeta = _gather_node(nodes_f, nodes_i, jnp.maximum(parent, 0))
+        f, meta = _gather_node(nodes_self, nodes_i, cur)
+        count = meta[:, 3]
+        leaf = count > 0
+        parent = meta[:, 4]
+        _, pmeta = _gather_node(nodes_self, nodes_i, jnp.maximum(parent, 0))
         p_near, p_far = near_of(pmeta)
         c_near, c_far = near_of(meta)
 
         testing = (st == FROM_PARENT) | (st == FROM_SIBLING)
 
-        # ---- test current node (AABB), leaf triangle test
+        # ---- test current node (AABB), leaf triangle tests (<= LEAF_SIZE)
         hit = aabb_hit(f, t_best) & testing
         do_tri = hit & leaf
-        tv = tris[jnp.maximum(meta[:, 2], 0)]
-        thit, tt, uu, vv = tri_hit(tv, t_best)
-        thit = thit & do_tri
-        t_best = jnp.where(thit, tt, t_best)
-        tri_best = jnp.where(thit, meta[:, 2], tri_best)
-        u_best = jnp.where(thit, uu, u_best)
-        v_best = jnp.where(thit, vv, v_best)
+        first = meta[:, 2]
+        for c in range(4):  # LEAF_SIZE (tris padded at build)
+            row = first + c
+            tv = tris[row]
+            thit, tt, uu, vv = tri_hit(tv, t_best)
+            thit = thit & do_tri & (c < count)
+            t_best = jnp.where(thit, tt, t_best)
+            tri_best = jnp.where(thit, row, tri_best)
+            u_best = jnp.where(thit, uu, u_best)
+            v_best = jnp.where(thit, vv, v_best)
 
         # ---- transitions
         descend = hit & ~leaf
@@ -181,7 +185,7 @@ def intersect_rays_wavefront(wb, ro, rd, tmin=0.0, tmax=None):
     elif jnp.ndim(tmax) == 0:
         tmax = jnp.full((n,), tmax)
     tmin_a = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
-    t, wtri, u, v = traverse_wavefront(wb.nodes_f, wb.nodes_i, wb.tris, ro, rd, tmin_a, tmax)
+    t, wtri, u, v = traverse_wavefront(wb.nodes_self, wb.nodes_i, wb.tris, ro, rd, tmin_a, tmax)
     valid = wtri >= 0
     safe = jnp.maximum(wtri, 0)
     return {

@@ -85,8 +85,7 @@ def render_mesh(renderer, mesh: Mesh, axis: str = "tiles"):
     frame["px"] = px
     frame["py"] = py
     accum, aux = fn(renderer.flat, renderer.bvh, renderer._env_arrays(), frame)
-    accum.block_until_ready()
-    renderer.accum = np.asarray(accum)
+    renderer.accum = accum  # device-resident
     renderer.total_samples += cfg.spp
     renderer.frame_idx += 1
     return aux

@@ -134,9 +134,15 @@ class GltfRenderer:
 
     # -------------------------------------------------------------- frames
     def reset_frame(self) -> None:
-        """Accumulation restart (reference resetFrame renderer.cpp:1939)."""
+        """Accumulation restart (reference resetFrame renderer.cpp:1939).
+
+        The buffer lives ON DEVICE across frames — the remote-TPU tunnel has
+        ~26 ms round-trip latency, so per-frame host transfers are poison;
+        host readback happens only in image_linear()/save_image()."""
+        import jax.numpy as jnp
+
         self.total_samples = 0
-        self.accum = np.zeros((self.width * self.height, 3), np.float32)
+        self.accum = jnp.zeros((self.width * self.height, 3), jnp.float32)
 
     def _config(self) -> RenderConfig:
         import jax
@@ -173,6 +179,8 @@ class GltfRenderer:
         cam = self.camera
         view = mu.look_at(cam.eye, cam.center, cam.up)
         proj = mu.perspective(cam.yfov, self.width / self.height, cam.znear, cam.zfar)
+        if self.accum is None:
+            self.reset_frame()
         return {
             "proj_inv": jnp.asarray(np.linalg.inv(proj.astype(np.float64)).astype(np.float32)),
             "view_inv": jnp.asarray(np.linalg.inv(view.astype(np.float64)).astype(np.float32)),
@@ -198,15 +206,14 @@ class GltfRenderer:
         fn = self._ensure_render_fn()
         frame = self._frame_inputs()
         accum, aux = fn(self.flat, self.bvh, self._env_arrays(), frame)
-        accum.block_until_ready()
-        self.accum = np.asarray(accum)
+        self.accum = accum  # device-resident; no host round-trip per frame
         self.total_samples += self.spp
         self.frame_idx += 1
         return aux
 
     # -------------------------------------------------------------- output
     def image_linear(self) -> np.ndarray:
-        return self.accum.reshape(self.height, self.width, 3)
+        return np.asarray(self.accum).reshape(self.height, self.width, 3)
 
     def image_tonemapped(self) -> np.ndarray:
         from .ops.tonemap import tonemap
