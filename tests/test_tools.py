@@ -1,0 +1,129 @@
+"""Tests for the tooling tier: benchmark harness (the reference tests its
+harness parsers too, utils/benchmark/tests/test_benchmark_results.py),
+profiler, memory tracker, camera manipulator, denoiser, preview, postfx."""
+
+import json
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+
+def test_benchmark_headless_and_compare(tmp_path):
+    from vk_gltf_renderer_tpu.benchmark.__main__ import main
+
+    csv1 = tmp_path / "a.csv"
+    rc = main([
+        "headless", "--scene", "/root/reference/resources/Box.glb",
+        "--size", "24", "24", "--frames", "3", "--spp", "1",
+        "--output", str(csv1),
+    ])
+    assert rc == 0 and csv1.exists()
+    text = csv1.read_text()
+    assert "ms_per_frame" in text and "Box.glb" in text
+
+    # compare with itself -> no regression
+    rc = main(["compare", str(csv1), str(csv1)])
+    assert rc == 0
+
+
+def test_benchmark_sequencer(tmp_path):
+    from vk_gltf_renderer_tpu.benchmark.__main__ import main
+
+    cfg = tmp_path / "seq.cfg"
+    cfg.write_text(
+        "# demo sequence\n"
+        "--scenefile /root/reference/resources/Box.glb --size 24 24 --frames 2 --ptSamples 1\n"
+    )
+    rc = main(["run", str(cfg), "--output", str(tmp_path / "seq.csv")])
+    assert rc == 0
+
+
+def test_profiler_and_memory():
+    from vk_gltf_renderer_tpu.utils.profiler import Profiler, device_memory_stats
+
+    p = Profiler()
+    with p.section("stage_a"):
+        sum(range(1000))
+    with p.section("stage_a"):
+        sum(range(1000))
+    assert p.sections["stage_a"].count == 2
+    assert "stage_a" in p.report()
+    stats = device_memory_stats()
+    assert "bytes_in_use" in stats
+
+
+def test_camera_manipulator():
+    from vk_gltf_renderer_tpu.utils.camera_manipulator import CameraManipulator
+
+    m = CameraManipulator(eye=(0, 0, 5), center=(0, 0, 0))
+    d0 = np.linalg.norm(m.eye - m.center)
+    m.orbit(np.pi / 2, 0.0)
+    assert abs(np.linalg.norm(m.eye - m.center) - d0) < 1e-6  # radius preserved
+    assert abs(m.eye[0]) > 1.0  # rotated off-axis
+    m.dolly(0.5)
+    assert np.linalg.norm(m.eye - m.center) < d0
+    m.fit([-1, -1, -1], [1, 1, 1])
+    np.testing.assert_allclose(m.center, [0, 0, 0], atol=1e-9)
+    g = m.to_gltf_node()
+    assert g["camera"]["type"] == "perspective"
+
+
+def test_denoise_reduces_variance_preserves_mean():
+    from vk_gltf_renderer_tpu.ops.denoise import denoise
+
+    rng = np.random.default_rng(0)
+    h = w = 32
+    clean = np.ones((h, w, 3), np.float32) * 0.5
+    noisy = clean + rng.normal(0, 0.2, (h, w, 3)).astype(np.float32)
+    albedo = np.ones((h, w, 3), np.float32) * 0.8
+    normal = np.tile(np.array([0, 0, 1], np.float32), (h, w, 1))
+    depth = np.ones((h, w), np.float32)
+    valid = np.ones((h, w), bool)
+    out = np.asarray(denoise(jnp.asarray(noisy), jnp.asarray(albedo), jnp.asarray(normal), jnp.asarray(depth), jnp.asarray(valid)))
+    assert out.var() < noisy.var() * 0.2
+    assert abs(out.mean() - noisy.mean()) < 0.02
+
+
+def test_denoise_preserves_edges():
+    from vk_gltf_renderer_tpu.ops.denoise import denoise
+
+    h = w = 32
+    img = np.zeros((h, w, 3), np.float32)
+    img[:, 16:] = 1.0
+    normal = np.tile(np.array([0, 0, 1.0], np.float32), (h, w, 1))
+    normal[:, 16:] = [1, 0, 0]  # normal edge coincides with color edge
+    depth = np.ones((h, w), np.float32)
+    depth[:, 16:] = 5.0
+    valid = np.ones((h, w), bool)
+    out = np.asarray(denoise(jnp.asarray(img), jnp.asarray(np.ones_like(img)), jnp.asarray(normal), jnp.asarray(depth), jnp.asarray(valid)))
+    assert out[:, :14].mean() < 0.05 and out[:, 18:].mean() > 0.95  # edge survives
+
+
+def test_silhouette_outline():
+    from vk_gltf_renderer_tpu.ops.postfx import silhouette
+
+    oid = np.full((16, 16), -1, np.int32)
+    oid[4:12, 4:12] = 0
+    img = np.zeros((16, 16, 3), np.float32)
+    mask = np.array([True])
+    out = np.asarray(silhouette(jnp.asarray(oid), jnp.asarray(mask), jnp.asarray(img)))
+    assert out[4, 4].sum() > 0  # boundary colored
+    assert out[8, 8].sum() == 0  # interior untouched
+    assert out[0, 0].sum() == 0  # background untouched
+
+
+def test_adaptive_sampler():
+    from vk_gltf_renderer_tpu.renderer import AdaptiveSampler
+
+    a = AdaptiveSampler(target_fps=30)  # 33.3 ms budget
+    spp = a.update(5.0)  # one sample cost 5ms -> ~6 spp fit
+    for _ in range(20):
+        spp = a.update(5.0 * a.spp)
+    assert 4 <= spp <= 8
+    a2 = AdaptiveSampler(target_fps=30)
+    for _ in range(5):
+        s = a2.update(200.0 * a2.spp)
+    assert s == 1  # too slow -> floor at 1

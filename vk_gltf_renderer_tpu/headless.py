@@ -67,6 +67,7 @@ def main(argv=None) -> int:
         spp=args.ptSamples,
         max_depth=args.ptDepth,
         env_kind="hdr" if args.envSystem == 1 else "sky",
+        render_system=args.renderSystem,
     )
     r.tonemapper = args.tonemapper
     r.firefly_clamp = args.ptFireflyClamp

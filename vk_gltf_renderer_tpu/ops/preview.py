@@ -1,0 +1,107 @@
+"""Preview renderer — the TPU-native answer to the reference's raster path
+(renderer_rasterizer.* + gltf_raster.slang).
+
+The reference's second renderer exists to give a fast interactive preview
+with simplified lighting (IBL + punctual, no global illumination). A TPU
+has no rasterizer, and primary-visibility ray casting through the packet
+kernel is already fast, so the preview re-uses the tracer for visibility
+and replaces the integrator with single-bounce IBL-approx shading:
+
+  color = emissive + baseColor/pi * irradiance(N) + F * env(reflect(V,N))
+          + sun NdotL * shadow(optional)
+
+This matches the raster path's role and look (ambient+specular approx IBL;
+gltf_raster.slang fragment) with one trace for visibility and one optional
+shadow trace — ~2 rays/pixel, an order of magnitude cheaper than the path
+tracer, and it shares SceneFlat/BVH/material code wholesale.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import rng
+from .camera import generate_rays
+from .hitstate import get_hit_state, safe_offset_ray
+from .materials_eval import evaluate_material
+from .pathtrace import RenderConfig, sample_environment, trace_closest
+from .sky import _onb
+from .traverse import dot3
+
+
+def render_preview(flat, bvh, env, frame, cfg: RenderConfig):
+    """One preview frame, flattened pixels. Returns (rgb [N,3], aux)."""
+    w, h = cfg.width, cfg.height
+    n = w * h
+    px = jnp.tile(jnp.arange(w, dtype=jnp.uint32), h)
+    py = jnp.repeat(jnp.arange(h, dtype=jnp.uint32), w)
+    seed = rng.xxhash32(px, py, frame["frame_idx"])
+    sample_pos = jnp.stack([px, py], axis=-1).astype(jnp.float32)
+    ro, rd = generate_rays(
+        sample_pos, jnp.full((n, 2), 0.5), jnp.asarray([w, h], jnp.float32),
+        frame["proj_inv"], frame["view_inv"], orthographic=cfg.orthographic,
+    )
+    hits = trace_closest(bvh, ro, rd, cfg, coherent=True)
+    miss = hits["tri"] < 0
+
+    env_color, _ = sample_environment(env, rd, cfg)
+
+    hs = get_hit_state(flat, hits, rd)
+    mat_id = flat.rn_material[jnp.maximum(hits["rnode"], 0)]
+    pbr = evaluate_material(flat, mat_id, hs, features=cfg.features)
+    N = pbr["N"]
+
+    # hemisphere irradiance approx: average env over a few fixed directions
+    t, b = _onb(N)
+    irr = jnp.zeros((n, 3))
+    dirs = [(0.0, 0.0, 1.0), (0.8, 0.0, 0.6), (-0.8, 0.0, 0.6), (0.0, 0.8, 0.6), (0.0, -0.8, 0.6)]
+    for dx, dy, dz in dirs:
+        d = t * dx + b * dy + N * dz
+        c, _ = sample_environment(env, d, cfg)
+        irr = irr + c * max(dz, 0.0)
+    irr = irr * (jnp.pi / len(dirs))
+
+    # specular: single env fetch along the mirror direction, Schlick weight
+    refl = rd - 2.0 * dot3(rd, N)[..., None] * N
+    spec_env, _ = sample_environment(env, refl, cfg)
+    f0 = 0.04 * (1.0 - pbr["metallic"][..., None]) + pbr["base_color"] * pbr["metallic"][..., None]
+    ndotv = jnp.abs(dot3(N, -rd))
+    fres = f0 + (1.0 - f0) * ((1.0 - ndotv) ** 5)[..., None]
+    rough = jnp.sqrt(pbr["roughness"][..., 0])
+    spec = spec_env * fres * (1.0 - rough)[..., None]
+
+    kd = (1.0 - pbr["metallic"])[..., None] * pbr["base_color"]
+    color = pbr["emissive"] + kd * irr / jnp.pi + spec
+
+    # single sun shadow when using the sky (matches raster sun shading)
+    if cfg.env_kind == "sky":
+        sun_dir = env["sun_dir"]
+        ndl = jnp.maximum(dot3(N, sun_dir), 0.0)
+        sh_org = safe_offset_ray(hs["pos"], hs["geonrm"])
+        sh = trace_closest(bvh, sh_org, jnp.broadcast_to(sun_dir, (n, 3)), cfg, coherent=True,
+                           alive=(~miss) & (ndl > 0))
+        lit = (sh["tri"] < 0).astype(jnp.float32)
+        color = color + kd / jnp.pi * env["sun_radiance"] * (ndl * lit * 0.05)[..., None]
+
+    rgb = jnp.where(miss[..., None], env_color, color)
+    aux = {
+        "first_rnode": jnp.where(miss, -1, hits["rnode"]),
+        "solid": ~miss,
+        "first_pos": hs["pos"],
+        "albedo": pbr["base_color"],
+        "normal": N,
+        "roughness": rough,
+        "rays": jnp.sum((~miss).astype(jnp.float32)) + n,
+    }
+    return rgb, aux
+
+
+def make_preview_fn(cfg: RenderConfig):
+    @jax.jit
+    def fn(flat, bvh, env, frame):
+        return render_preview(flat, bvh, env, frame, cfg)
+
+    return fn

@@ -53,8 +53,33 @@ def fit_camera(scene: Scene, yfov=np.radians(45.0)) -> CameraState:
     )
 
 
+class AdaptiveSampler:
+    """spp feedback controller (reference renderer_pathtracer.hpp:159-194,
+    .cpp:1326-1374): retargets samples-per-frame from the measured frame
+    time toward a budget (60/30/15/10 FPS presets), clamped to [1, 100]."""
+
+    BUDGETS_MS = {60: 16.67, 30: 33.33, 15: 66.67, 10: 100.0}
+
+    def __init__(self, target_fps: int = 30):
+        self.budget_ms = self.BUDGETS_MS.get(target_fps, 33.33)
+        self.spp = 1
+        self._ema_ms = None
+
+    def update(self, frame_ms: float) -> int:
+        if frame_ms <= 0:
+            return self.spp
+        per_sample = frame_ms / max(self.spp, 1)
+        self._ema_ms = per_sample if self._ema_ms is None else 0.8 * self._ema_ms + 0.2 * per_sample
+        self.spp = int(max(1, min(100, self.budget_ms / max(self._ema_ms, 1e-3))))
+        return self.spp
+
+
 class GltfRenderer:
-    def __init__(self, width=512, height=512, spp=1, max_depth=5, env_kind="sky", tonemapper="filmic"):
+    def __init__(self, width=512, height=512, spp=1, max_depth=5, env_kind="sky", tonemapper="filmic", render_system=0):
+        from .utils import compile_cache
+
+        compile_cache.enable()
+        self.render_system = render_system  # 0 = path tracer, 1 = preview (raster analog)
         self.width = width
         self.height = height
         self.spp = spp
@@ -77,6 +102,9 @@ class GltfRenderer:
         self.firefly_clamp = 10.0
         self.env_intensity = 1.0
         self.env_rotation = 0.0
+        self.adaptive: AdaptiveSampler | None = None  # set to enable
+        self.selection = set()  # selected render-node ids (silhouette)
+        self._last_aux = None
 
     # -------------------------------------------------------------- scene
     def create_scene(self, path) -> None:
@@ -170,7 +198,18 @@ class GltfRenderer:
         cfg = self._config()
         if self._render_fn is None or cfg != self._cfg:
             self._cfg = cfg
-            self._render_fn = make_render_fn(cfg)
+            if self.render_system == 1:
+                from .ops.preview import make_preview_fn
+
+                pf = make_preview_fn(cfg)
+
+                def fn(flat, bvh, env, frame):
+                    rgb, aux = pf(flat, bvh, env, frame)
+                    return rgb, aux  # preview replaces (no accumulation)
+
+                self._render_fn = fn
+            else:
+                self._render_fn = make_render_fn(cfg)
         return self._render_fn
 
     def _frame_inputs(self):
@@ -205,10 +244,20 @@ class GltfRenderer:
         self.sync_scene_changes()
         fn = self._ensure_render_fn()
         frame = self._frame_inputs()
+        import time as _time
+
+        t0 = _time.perf_counter()
         accum, aux = fn(self.flat, self.bvh, self._env_arrays(), frame)
         self.accum = accum  # device-resident; no host round-trip per frame
         self.total_samples += self.spp
         self.frame_idx += 1
+        self._last_aux = aux
+        if self.adaptive is not None:
+            # adaptive spp needs a real frame time -> forces a device sync
+            float(aux["rays"])
+            new_spp = self.adaptive.update((_time.perf_counter() - t0) * 1000.0)
+            if new_spp != self.spp:
+                self.spp = new_spp  # next frame re-specializes (variant cache)
         return aux
 
     # -------------------------------------------------------------- output
@@ -222,10 +271,33 @@ class GltfRenderer:
         img = tonemap(jnp.asarray(self.image_linear()), self.tonemapper)
         return np.asarray(img)
 
+    def image_with_silhouette(self) -> np.ndarray:
+        """Tonemapped image + selection outline (reference silhouette pass,
+        renderer.cpp:1063)."""
+        import jax.numpy as jnp
+
+        from .ops.postfx import silhouette
+
+        img = jnp.asarray(self.image_tonemapped())
+        if not self.selection or self._last_aux is None:
+            return np.asarray(img)
+        oid = jnp.asarray(self._last_aux["first_rnode"]).reshape(self.height, self.width)
+        mask = np.zeros(max(len(self.scene.render_nodes), 1), bool)
+        for i in self.selection:
+            if 0 <= i < mask.shape[0]:
+                mask[i] = True
+        return np.asarray(silhouette(oid, jnp.asarray(mask), img))
+
+    def pick(self, px: int, py: int) -> int:
+        """Ray-pick the render node under a pixel (reference RayPicker)."""
+        from .ops.postfx import pick_ray
+
+        return pick_ray(self, px, py)
+
     def save_image(self, path) -> None:
         """Headless image save (reference saveHeadlessOutputImage
         renderer.cpp:557-574)."""
         from PIL import Image
 
-        img = (np.clip(self.image_tonemapped(), 0, 1) * 255).astype(np.uint8)
+        img = (np.clip(self.image_with_silhouette() if self.selection else self.image_tonemapped(), 0, 1) * 255).astype(np.uint8)
         Image.fromarray(img).save(path)
