@@ -192,3 +192,89 @@ def test_instance_subtree_shares_geometry():
     assert len(sc.render_nodes) == 2
     assert len(sc.model.accessors) == n_acc  # geometry shared
     assert len(sc.render_primitives) == 1
+
+
+# ------------------------------------------------------------- compaction
+def test_compact_model_removes_orphans():
+    from vk_gltf_renderer_tpu.models.compact import compact_buffers, compact_model
+    from vk_gltf_renderer_tpu.models.validator import validate_model
+
+    sc = _scene()
+    ed = SceneEditor(sc)
+    nid = ed.add_primitive("sphere", segments=6)
+    ed.delete_node(nid)  # orphan mesh/material/accessors remain
+    counts = compact_model(sc.model)
+    assert counts["meshes"] >= 1 and counts["materials"] >= 1
+    saved = compact_buffers(sc.model)
+    assert saved > 0
+    v = validate_model(sc.model)
+    assert v.valid, v.errors
+    sc.parse_scene()
+    assert len(sc.render_nodes) == 1
+
+
+def test_obj_converter(tmp_path):
+    from vk_gltf_renderer_tpu.models.obj_converter import load_obj
+    from vk_gltf_renderer_tpu.models.validator import validate_model
+
+    (tmp_path / "m.mtl").write_text("newmtl red\nKd 1 0 0\nNs 10\n")
+    (tmp_path / "t.obj").write_text(
+        "mtllib m.mtl\nv 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "vn 0 0 1\nvt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "usemtl red\nf 1/1/1 2/2/1 3/3/1 4/4/1\n"
+    )
+    model = load_obj(tmp_path / "t.obj")
+    v = validate_model(model)
+    assert v.valid, v.errors
+    sc = Scene()
+    sc.load_from_model(model)
+    assert len(sc.render_nodes) == 1
+    assert sc.render_primitives[0].index_count == 6  # quad fanned to 2 tris
+    assert sc.model.materials[0]["pbrMetallicRoughness"]["baseColorFactor"][:3] == [1, 0, 0]
+
+
+def test_external_assets(tmp_path):
+    from vk_gltf_renderer_tpu.models.external_assets import is_read_only_node
+    from vk_gltf_renderer_tpu.models.gltf import save_model
+
+    # child asset on disk
+    gltf2, bufs2 = make_triangle_gltf()
+    child = load_model_from_json(gltf2, bufs2)
+    save_model(child, tmp_path / "child.gltf")
+
+    # parent with two references to the same asset
+    parent = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"name": "ref1", "extras": {"externalAsset": "child.gltf"}},
+            {"name": "ref2", "translation": [5, 0, 0], "extras": {"externalAsset": "child.gltf"}},
+        ],
+    }
+    import json
+
+    (tmp_path / "parent.gltf").write_text(json.dumps(parent))
+    sc = Scene()
+    sc.load(tmp_path / "parent.gltf")
+    assert len(sc.referenced_assets) == 2
+    assert len(sc.render_nodes) == 2  # one per instance
+    # second instance shares geometry (one render primitive)
+    assert len(sc.render_primitives) == 1
+    np.testing.assert_allclose(sc.render_nodes[1].world_matrix[:3, 3], [5, 0, 0])
+    # merged subtree nodes are read-only; instance nodes editable
+    sub = sc.referenced_assets[0].subtree_nodes[0]
+    assert is_read_only_node(sc, sub)
+    assert not is_read_only_node(sc, 0)
+
+
+def test_render_node_registry():
+    sc = _scene()
+    ed = SceneEditor(sc)
+    ed.add_primitive("cube")
+    sc.parse_scene()
+    reg = sc.registry
+    rid = reg.get_render_node_id(0, 0)
+    assert rid >= 0
+    assert reg.get_node_and_prim(rid) == (0, 0)
+    assert rid in reg.render_nodes_for_node(0)

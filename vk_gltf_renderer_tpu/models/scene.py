@@ -104,6 +104,46 @@ class RenderLight:
     node_id: int = -1
 
 
+class RenderNodeRegistry:
+    """Bidirectional (nodeID, primIndex) <-> renderNodeID lookups
+    (reference RenderNodeRegistry gltf_scene.hpp:117-156). Rebuilt on every
+    parse; O(1) dict lookups."""
+
+    def __init__(self):
+        self._fwd: dict[tuple, int] = {}
+        self._rev: list[tuple] = []
+        self._by_node: dict[int, list] = {}
+
+    def add(self, node_id: int, prim_index: int, render_node_id: int) -> None:
+        self._fwd[(node_id, prim_index)] = render_node_id
+        while len(self._rev) <= render_node_id:
+            self._rev.append((-1, -1))
+        self._rev[render_node_id] = (node_id, prim_index)
+        self._by_node.setdefault(node_id, []).append(render_node_id)
+
+    def get_render_node_id(self, node_id: int, prim_index: int) -> int:
+        return self._fwd.get((node_id, prim_index), -1)
+
+    def get_node_and_prim(self, render_node_id: int):
+        if 0 <= render_node_id < len(self._rev):
+            return self._rev[render_node_id]
+        return None
+
+    def render_nodes_for_node(self, node_id: int) -> list:
+        return self._by_node.get(node_id, [])
+
+    def render_nodes_for_subtree(self, node_id: int, get_children) -> list:
+        out = list(self._by_node.get(node_id, []))
+        for c in get_children(node_id):
+            out.extend(self.render_nodes_for_subtree(c, get_children))
+        return out
+
+    def clear(self) -> None:
+        self._fwd.clear()
+        self._rev.clear()
+        self._by_node.clear()
+
+
 class Scene:
     """Load/parse/manage a glTF scene; owns the Model and derived arrays."""
 
@@ -123,11 +163,16 @@ class Scene:
         self._prim_key_map: dict[tuple, int] = {}
         self.animations = []  # populated by models.animation.parse_animations
         self.current_animation = 0
+        self.registry = RenderNodeRegistry()
+        self.referenced_assets = []  # glTF 2.1 external assets (read-only subtrees)
 
     # ------------------------------------------------------------------ load
     def load(self, path) -> None:
         """Load file and parse (reference Scene::load gltf_scene.cpp:298)."""
         self.model = load_model(path)
+        from .external_assets import resolve_external_assets
+
+        resolve_external_assets(self)  # glTF 2.1 (gltf_scene.cpp:995)
         self.parse_scene()
         from .animation import parse_animations
 
@@ -177,6 +222,13 @@ class Scene:
         self.render_nodes = render_nodes
         self.render_cameras = cameras
         self.render_lights = lights
+        self.registry.clear()
+        for rid, rn in enumerate(render_nodes):
+            if rn.ref_node_id >= 0:
+                mesh = model.meshes[model.nodes[rn.ref_node_id]["mesh"]]
+                # recover the prim index from renderPrimID
+                rp = self.render_primitives[rn.render_prim_id]
+                self.registry.add(rn.ref_node_id, rp.prim_index, rid)
 
         if prev_count != len(render_nodes):
             self._dirty |= DirtyFlags.RENDER_NODES | DirtyFlags.PRIMITIVES_CHANGED
