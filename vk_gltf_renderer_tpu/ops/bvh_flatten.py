@@ -130,12 +130,19 @@ def build_world_bvh(flat) -> WorldBvh:
             refit_levels=np.full((1, 1), -1, np.int32), num_world_tris=1,
         )
 
-    scene_lo = tlo.min(axis=0)
-    scene_hi = thi.max(axis=0)
-    codes = morton3d(cen, scene_lo, scene_hi)
-    order = np.argsort(codes, kind="stable")
-    keys = (codes[order].astype(np.uint64) << np.uint64(32)) | np.arange(nt, dtype=np.uint64)
-    lc, rc, leaf_l, leaf_r = _build_radix_tree(keys)
+    # native (C++) builder when available; numpy path is the oracle/fallback
+    from ..native import build_radix_tree_native
+
+    native = build_radix_tree_native(tlo, thi, cen)
+    if native is not None:
+        order, lc, rc, leaf_l, leaf_r = native
+    else:
+        scene_lo = tlo.min(axis=0)
+        scene_hi = thi.max(axis=0)
+        codes = morton3d(cen, scene_lo, scene_hi)
+        order = np.argsort(codes, kind="stable")
+        keys = (codes[order].astype(np.uint64) << np.uint64(32)) | np.arange(nt, dtype=np.uint64)
+        lc, rc, leaf_l, leaf_r = _build_radix_tree(keys)
 
     # reorder triangle storage into morton order (leaf ranges contiguous)
     wv = wv[order]
