@@ -41,7 +41,8 @@ EVENT_IMPULSE_TRANSMISSION = 5
 EVENT_DIFFUSE_TRANSMISSION = 6
 
 _MIN_ALPHA = 1e-6
-_IMPULSE_ALPHA = 1.0e-4  # below this, treat the microfacet as a mirror
+_IMPULSE_ALPHA = 2.0e-3  # ax (=sqrt(alpha)) below this -> mirror impulse
+# (covers the MICROFACET_MIN_ROUGHNESS clamp: r=0.0014 -> ax~0.0014)
 
 
 def _luminance(c):
