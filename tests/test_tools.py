@@ -127,3 +127,48 @@ def test_adaptive_sampler():
     for _ in range(5):
         s = a2.update(200.0 * a2.spp)
     assert s == 1  # too slow -> floor at 1
+
+
+def test_visual_validator(tmp_path):
+    from vk_gltf_renderer_tpu.utils.visual_validator import check_or_create_golden, compare_screenshots, rmse
+
+    rng = np.random.default_rng(0)
+    a = rng.random((16, 16, 3)).astype(np.float32)
+    assert rmse(a, a) == 0.0
+    b = a + 0.005
+    r = compare_screenshots(a, b, threshold=1e-2)
+    assert r["passed"] and 0.004 < r["rmse"] < 0.006
+    g = tmp_path / "golden.png"
+    r1 = check_or_create_golden(a, g)
+    assert r1["created"]
+    r2 = check_or_create_golden(a, g)
+    assert not r2["created"] and r2["rmse"] < 5e-3  # 8-bit quantization only
+
+
+def test_inspect_cli(capsys):
+    from vk_gltf_renderer_tpu.inspect_cli import main
+
+    rc = main(["/root/reference/resources/Box.glb", "--stats", "--tree", "--materials", "--validate"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "triangles:         12" in out
+    assert "validation: OK" in out
+
+
+def test_render_golden_self_consistency(tmp_path):
+    """Same scene/camera/frames must reproduce the golden bit-for-bit-ish
+    (deterministic seeding) — the regression-image workflow."""
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer
+    from vk_gltf_renderer_tpu.utils.visual_validator import check_or_create_golden
+
+    def render():
+        r = GltfRenderer(width=32, height=32, spp=1, max_depth=3)
+        r.create_scene("/root/reference/resources/Box.glb")
+        for _ in range(2):
+            r.on_render()
+        return r.image_tonemapped()
+
+    g = tmp_path / "box32.png"
+    r1 = check_or_create_golden(render(), g)
+    r2 = check_or_create_golden(render(), g)
+    assert r2["rmse"] < 4e-3, r2  # identical up to 8-bit quantization

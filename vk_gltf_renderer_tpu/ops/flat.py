@@ -66,6 +66,10 @@ class SceneFlat:
     rn_visible: np.ndarray  # [N] i32
     # materials SoA: field name -> [M, ...]
     materials: dict
+    # packed copies: gathers on TPU cost per ROW, so shading gathers one
+    # wide row instead of ~40 scalars (see docs/ARCHITECTURE.md)
+    vtx_packed: np.ndarray  # [V,24] pos3 nrm3 tan4 uv0_2 uv1_2 color4 pad
+    mat_packed: np.ndarray  # [M,K] all material fields flattened (f32)
     # texture infos
     ti_index: np.ndarray  # [TI] i32 (into texture descriptor table; -1 none)
     ti_texcoord: np.ndarray  # [TI] i32
@@ -107,6 +111,34 @@ def _register():
 _register()
 
 MATERIAL_ARRAY_FIELDS = None  # initialized on first build
+
+# static layout of mat_packed rows: field -> (offset, width). Computed once
+# from the ShadeMaterial dataclass; shared by ops/materials_eval.py.
+MAT_LAYOUT: dict = {}
+MAT_ROW_WIDTH = 0
+
+
+def _init_mat_layout():
+    global MAT_LAYOUT, MAT_ROW_WIDTH
+    if MAT_LAYOUT:
+        return
+    off = 0
+    probe = mats.ShadeMaterial()
+    for f in dc_fields(mats.ShadeMaterial):
+        v = np.asarray(getattr(probe, f.name))
+        w = int(v.size)
+        MAT_LAYOUT[f.name] = (off, w)
+        off += w
+    MAT_ROW_WIDTH = off
+
+
+def _materials_packed(mat_soa: dict, m: int) -> np.ndarray:
+    _init_mat_layout()
+    out = np.zeros((m, MAT_ROW_WIDTH), np.float32)
+    for name, (off, w) in MAT_LAYOUT.items():
+        arr = mat_soa[name].reshape(m, -1).astype(np.float32)
+        out[:, off : off + w] = arr
+    return out
 
 
 def _materials_soa(shade_materials: list) -> dict:
@@ -190,6 +222,7 @@ def build_scene_flat(scene, *, with_textures: bool = True) -> SceneFlat:
     conv = mats.MaterialConverter(model)
     shade_mats = conv.convert_all()
     mat_soa = _materials_soa(shade_mats)
+    mat_packed = _materials_packed(mat_soa, len(shade_mats))
     ti = conv.texture_infos
     ti_index = np.array([t.index for t in ti], np.int32)
     ti_texcoord = np.array([t.tex_coord for t in ti], np.int32)
@@ -204,13 +237,23 @@ def build_scene_flat(scene, *, with_textures: bool = True) -> SceneFlat:
     else:
         tex = _white_texture_pool()
 
+    vtx_pos = np.concatenate(pos_l).astype(np.float32)
+    vtx_nrm = np.concatenate(nrm_l).astype(np.float32)
+    vtx_tan = np.concatenate(tan_l).astype(np.float32)
+    vtx_uv0 = np.concatenate(uv0_l).astype(np.float32)
+    vtx_uv1 = np.concatenate(uv1_l).astype(np.float32)
+    vtx_color = np.concatenate(col_l).astype(np.float32)
+    vtx_packed = np.concatenate(
+        [vtx_pos, vtx_nrm, vtx_tan, vtx_uv0, vtx_uv1, vtx_color,
+         np.zeros((vtx_pos.shape[0], 6), np.float32)], axis=1
+    )  # [V,24]
     return SceneFlat(
-        vtx_pos=np.concatenate(pos_l).astype(np.float32),
-        vtx_nrm=np.concatenate(nrm_l).astype(np.float32),
-        vtx_tan=np.concatenate(tan_l).astype(np.float32),
-        vtx_uv0=np.concatenate(uv0_l).astype(np.float32),
-        vtx_uv1=np.concatenate(uv1_l).astype(np.float32),
-        vtx_color=np.concatenate(col_l).astype(np.float32),
+        vtx_pos=vtx_pos,
+        vtx_nrm=vtx_nrm,
+        vtx_tan=vtx_tan,
+        vtx_uv0=vtx_uv0,
+        vtx_uv1=vtx_uv1,
+        vtx_color=vtx_color,
         tri_idx=np.concatenate(tri_l).astype(np.int32),
         prim_first_tri=np.array(pft, np.int32),
         prim_tri_count=np.array(ptc, np.int32),
@@ -225,6 +268,8 @@ def build_scene_flat(scene, *, with_textures: bool = True) -> SceneFlat:
         rn_prim=rn_prim,
         rn_visible=rn_visible,
         materials=mat_soa,
+        mat_packed=mat_packed,
+        vtx_packed=vtx_packed,
         ti_index=ti_index,
         ti_texcoord=ti_texcoord,
         ti_uvxform=ti_uvxform,

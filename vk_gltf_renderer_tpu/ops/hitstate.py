@@ -75,18 +75,21 @@ def get_hit_state(flat, hit, ray_dir):
     o2w = flat.rn_o2w[rnode]
     w2o = flat.rn_w2o[rnode]
 
-    p0 = flat.vtx_pos[i0]
-    p1 = flat.vtx_pos[i1]
-    p2 = flat.vtx_pos[i2]
+    # ONE packed row per corner (pos3 nrm3 tan4 uv0_2 uv1_2 color4): gathers
+    # cost per row on TPU, so this replaces ~18 narrow gathers with 3
+    va = flat.vtx_packed[i0]
+    vb = flat.vtx_packed[i1]
+    vc = flat.vtx_packed[i2]
+    p0, p1, p2 = va[..., 0:3], vb[..., 0:3], vc[..., 0:3]
     pos_obj = p0 * w + p1 * u + p2 * v
     pos = _xform_point_b(o2w, pos_obj)
 
     geo_n_obj = _normalize(cross3(p1 - p0, p2 - p0))
     geonrm = _normalize(_xform_normal_b(w2o, geo_n_obj))
 
-    n0 = flat.vtx_nrm[i0]
-    n1 = flat.vtx_nrm[i1]
-    n2 = flat.vtx_nrm[i2]
+    n0 = va[..., 3:6]
+    n1 = vb[..., 3:6]
+    n2 = vc[..., 3:6]
     nrm_obj = _normalize(n0 * w + n1 * u + n2 * v)
     nrm = _normalize(_xform_normal_b(w2o, nrm_obj))
 
@@ -97,16 +100,16 @@ def get_hit_state(flat, hit, ray_dir):
     sp_obj = _point_offset(pos_obj, p0, p1, p2, n0 * side, n1 * side, n2 * side, bary)
     shadow_pos = _xform_point_b(o2w, sp_obj)
 
-    uv0 = flat.vtx_uv0[i0] * w + flat.vtx_uv0[i1] * u + flat.vtx_uv0[i2] * v
-    uv1 = flat.vtx_uv1[i0] * w + flat.vtx_uv1[i1] * u + flat.vtx_uv1[i2] * v
-    color = flat.vtx_color[i0] * w + flat.vtx_color[i1] * u + flat.vtx_color[i2] * v
+    uv0 = va[..., 10:12] * w + vb[..., 10:12] * u + vc[..., 10:12] * v
+    uv1 = va[..., 12:14] * w + vb[..., 12:14] * u + vc[..., 12:14] * v
+    color = va[..., 14:18] * w + vb[..., 14:18] * u + vc[..., 14:18] * v
 
     # texel density for ray-cone LOD (get_hit.h.slang:44-55)
     we1 = _xform_dir_b(o2w, p1 - p0)
     we2 = _xform_dir_b(o2w, p2 - p0)
     w_area = jnp.sqrt(dot3(cross3(we1, we2), cross3(we1, we2)))
-    duv1 = flat.vtx_uv0[i1] - flat.vtx_uv0[i0]
-    duv2 = flat.vtx_uv0[i2] - flat.vtx_uv0[i0]
+    duv1 = vb[..., 10:12] - va[..., 10:12]
+    duv2 = vc[..., 10:12] - va[..., 10:12]
     uv_area = jnp.abs(duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0])
     prim = flat.rn_prim[rnode]
     has_uv = flat.prim_has_uv0[prim] > 0
@@ -116,8 +119,8 @@ def get_hit_state(flat, hit, ray_dir):
 
     # tangent: vertex tangents (always present in SceneFlat — synthesized at
     # flatten time when missing), orthonormalized against the shading normal
-    t0 = flat.vtx_tan[i0]
-    tan_obj = _normalize((t0[..., :3] * w + flat.vtx_tan[i1][..., :3] * u + flat.vtx_tan[i2][..., :3] * v))
+    t0 = va[..., 6:10]
+    tan_obj = _normalize((t0[..., :3] * w + vb[..., 6:9] * u + vc[..., 6:9] * v))
     tangent = _xform_dir_b(o2w, tan_obj)
     tangent = _normalize(tangent - nrm * dot3(nrm, tangent)[..., None])
     bitangent = cross3(nrm, tangent) * t0[..., 3:4]

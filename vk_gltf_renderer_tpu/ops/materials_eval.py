@@ -29,6 +29,26 @@ def _present(slot):
     return (slot > 0).astype(jnp.float32)
 
 
+_INT_FIELDS = ("alpha_mode", "double_sided", "unlit", "pbr_model")
+
+
+def _gather_materials(flat, mat_id):
+    """ONE wide row gather instead of ~40 per-field gathers (TPU gathers
+    cost per row, independent of width). Slices restore the field dict;
+    integer/texture-slot fields round-trip exactly through f32 (< 2^24)."""
+    from .flat import MAT_LAYOUT, _init_mat_layout
+
+    _init_mat_layout()
+    row = flat.mat_packed[mat_id]  # [..., K]
+    m = {}
+    for name, (off, w) in MAT_LAYOUT.items():
+        v = row[..., off] if w == 1 else row[..., off : off + w]
+        if name in _INT_FIELDS or name.endswith("texture") or name.endswith("_texture"):
+            v = v.astype(jnp.int32)
+        m[name] = v
+    return m
+
+
 def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None, tex_lod=None):
     """mat_id: [..] int32. Returns the PbrMaterial dict for ops/bsdf.py.
 
@@ -46,7 +66,7 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
 
         def _tex(flat, slot, hit, lod):  # noqa: F811
             return _st(flat, slot, hit["uv0"], hit["uv1"], lod)
-    m = {k: v[mat_id] for k, v in flat.materials.items()}
+    m = _gather_materials(flat, mat_id)
     lod = jnp.zeros_like(hit["texel_density"]) if tex_lod is None else tex_lod
     if is_inside is None:
         is_inside = jnp.zeros(mat_id.shape, bool)
@@ -295,10 +315,11 @@ def get_opacity(flat, mat_id, hit, *, textured: bool = True):
     """Stochastic-alpha opacity at a hit (reference getOpacity,
     pathtrace_functions.h.slang:189-234): baseColor alpha x texture alpha x
     vertex alpha; MASK mode thresholds at cutoff."""
-    m_alpha_mode = flat.materials["alpha_mode"][mat_id]
-    m_cutoff = flat.materials["alpha_cutoff"][mat_id]
-    bc = flat.materials["base_color_factor"][mat_id]
-    slot = flat.materials["base_color_texture"][mat_id]
+    m = _gather_materials(flat, mat_id)
+    m_alpha_mode = m["alpha_mode"]
+    m_cutoff = m["alpha_cutoff"]
+    bc = m["base_color_factor"]
+    slot = m["base_color_texture"]
     if textured:
         tex = sample_texture(flat, slot, hit["uv0"], hit["uv1"], jnp.zeros_like(hit["texel_density"]))
         a = bc[..., 3] * jnp.where(slot > 0, tex[..., 3], 1.0) * hit["color"][..., 3]
