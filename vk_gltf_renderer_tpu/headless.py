@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ptFocalDistance", type=float, default=0.0)
     # tonemapper
     p.add_argument("--tonemapper", type=str, default="filmic")
+    p.add_argument("--backgroundColor", type=float, nargs=3, default=None, help="solid backplate")
+    p.add_argument("--infinitePlane", type=int, default=0)
+    p.add_argument("--infinitePlaneDistance", type=float, default=0.0)
+    p.add_argument("--infinitePlaneShadowCatcher", type=int, default=0)
+    p.add_argument("--variant", type=int, default=None, help="KHR_materials_variants index")
     # benchmark
     p.add_argument("--benchmark", type=str, default=None, help="benchmark .cfg script")
     p.add_argument("--logLevel", type=int, default=2)
@@ -73,6 +78,14 @@ def main(argv=None) -> int:
     r.firefly_clamp = args.ptFireflyClamp
     r.env_intensity = args.envIntensity
     r.env_rotation = args.envRotation
+    r.aperture = args.ptAperture
+    r.focal_distance = args.ptFocalDistance
+    if args.backgroundColor:
+        r.background = tuple(args.backgroundColor)
+    if args.infinitePlane:
+        r.use_infinite_plane = True
+        r.plane_height = args.infinitePlaneDistance
+        r.plane_shadow_catcher = bool(args.infinitePlaneShadowCatcher)
 
     if not args.scenefile:
         print("error: --scenefile is required in headless mode", file=sys.stderr)
@@ -84,6 +97,9 @@ def main(argv=None) -> int:
             print("error: --envSystem 1 requires --hdrfile", file=sys.stderr)
             return 2
         r.create_hdr(args.hdrfile)
+    if args.variant is not None:
+        n = r.set_variant(args.variant)
+        print(f"variant {args.variant}: switched {n} primitives")
     load_s = time.perf_counter() - t0
     tris = int(sum(p.index_count // 3 for p in r.scene.render_primitives))
     print(f"Loaded {args.scenefile}: {len(r.scene.render_nodes)} render nodes, {tris} triangles ({load_s:.2f}s)")

@@ -83,6 +83,17 @@ class RenderConfig:
     transmission_rounds: int = 4  # shadow-ray transmission marches
     traversal: str = "packet"  # "packet" (Pallas, TPU) | "wavefront" (XLA)
     sort_rays: bool = True  # reorder rays (octant+Morton) before each trace
+    # solid background (eSceneUseSolidBackground): None or (r, g, b)
+    background: tuple | None = None
+    # infinite plane + shadow catcher (frameInfo.infinitePlane*,
+    # checkInfinitePlaneIntersection + handleShadowCatcher)
+    use_infinite_plane: bool = False
+    plane_height: float = 0.0
+    plane_shadow_catcher: bool = False
+    plane_base_color: tuple = (0.5, 0.5, 0.5)
+    plane_metallic: float = 0.0
+    plane_roughness: float = 0.5
+    shadow_catcher_darken: float = 0.0
 
 
 def _sort_keys(bvh, ro, rd, alive):
@@ -368,12 +379,30 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig):
         hits, seed = _trace_with_alpha(flat, bvh, ro, rd, seed, cfg, alive=alive)
         miss = hits["tri"] < 0
 
+        # ---------------- infinite plane (pathtrace_functions.h.slang:556-585)
+        if cfg.use_infinite_plane:
+            dn = rd[:, 1]
+            t_plane = (cfg.plane_height - ro[:, 1]) / jnp.where(jnp.abs(dn) < 1e-6, 1.0, dn)
+            plane_hit = (
+                (ro[:, 1] > cfg.plane_height)
+                & (jnp.abs(dn) > 1e-6)
+                & (t_plane > 0)
+                & (t_plane < jnp.where(miss, INFINITE, hits["t"]))
+            )
+            miss = miss & ~plane_hit
+        else:
+            plane_hit = jnp.zeros_like(miss)
+
         # ---------------- environment hit
         env_color, env_pdf = sample_environment(env, rd, cfg)
         mis_w = _env_mis_weight(state["last_pdf"], env_pdf, cfg)
-        radiance = radiance + jnp.where(
-            (alive & miss)[..., None], throughput * mis_w[..., None] * env_color, 0.0
-        )
+        env_contrib = throughput * mis_w[..., None] * env_color
+        if cfg.background is not None:
+            # primary miss shows the solid backplate (tryPrimaryMissBackplate,
+            # pathtrace_functions.h.slang:944-971); indirect rays still see env
+            bg = jnp.broadcast_to(jnp.asarray(cfg.background, jnp.float32), env_contrib.shape)
+            env_contrib = jnp.where(first, bg, env_contrib)
+        radiance = radiance + jnp.where((alive & miss)[..., None], env_contrib, 0.0)
         first_miss = first & alive & miss
         state["solid"] = jnp.where(first_miss, False, state["solid"])
         state["first_pos"] = jnp.where(first_miss[..., None], rd, state["first_pos"])
@@ -381,10 +410,35 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig):
         lane_hit = alive & ~miss
         alive = lane_hit
 
+        lane_plane = alive & plane_hit if cfg.use_infinite_plane else jnp.zeros_like(alive)
+
         # ---------------- surface shading
         hs = get_hit_state(flat, hits, rd)
         mat_id = flat.rn_material[jnp.maximum(hits["rnode"], 0)]
         pbr = evaluate_material(flat, mat_id, hs, features=cfg.features, is_inside=state["is_inside"])
+
+        if cfg.use_infinite_plane:
+            # replace hit state + material for plane lanes
+            # (defaultPbrMaterial with the frameInfo plane params)
+            ppos = ro + rd * t_plane[..., None]
+            up = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), ppos.shape)
+            tx = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), ppos.shape)
+            bz = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), ppos.shape)
+            pl = lane_plane[..., None]
+            for k_, v_ in (("pos", ppos), ("nrm", up), ("geonrm", up), ("shadow_pos", ppos), ("tangent", tx), ("bitangent", bz)):
+                hs[k_] = jnp.where(pl, v_, hs[k_])
+            pbr["base_color"] = jnp.where(pl, jnp.asarray(cfg.plane_base_color, jnp.float32), pbr["base_color"])
+            pbr["metallic"] = jnp.where(lane_plane, cfg.plane_metallic, pbr["metallic"])
+            alpha_p = max(cfg.plane_roughness, 0.0014) ** 2
+            pbr["roughness"] = jnp.where(lane_plane[:, None], alpha_p, pbr["roughness"])
+            pbr["N"] = jnp.where(pl, up, pbr["N"])
+            pbr["Ng"] = jnp.where(pl, up, pbr["Ng"])
+            pbr["T"] = jnp.where(pl, tx, pbr["T"])
+            pbr["B"] = jnp.where(pl, bz, pbr["B"])
+            pbr["emissive"] = jnp.where(pl, 0.0, pbr["emissive"])
+            hits["t"] = jnp.where(lane_plane, t_plane, hits["t"])
+            lane_hit = alive & (~miss | lane_plane)
+            alive = lane_hit
 
         first_hit = first & lane_hit
         state["first_pos"] = jnp.where(first_hit[..., None], hs["pos"], state["first_pos"])
@@ -465,7 +519,22 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig):
         sh_off = jnp.where(sh_fwd[..., None], hs["geonrm"], -hs["geonrm"])
         sh_org = safe_offset_ray(sh_base, sh_off)
         shadow, seed = _trace_shadow(flat, bvh, sh_org, dl["direction"], dl["distance"], seed, cfg, alive=next_event)
-        radiance = radiance + jnp.where(next_event[..., None], contrib * shadow, 0.0)
+        if cfg.use_infinite_plane and cfg.plane_shadow_catcher:
+            # shadow catcher (handleShadowCatcher, functions:499-554): the
+            # plane is invisible — show env where lit, darken where occluded
+            sc_lane = lane_plane
+            env_c, env_p = sample_environment(env, rd, cfg)
+            sc_mis = _env_mis_weight(state["last_pdf"], env_p, cfg)
+            lit = jnp.min(shadow, axis=-1)
+            sc_rad = throughput * sc_mis[..., None] * env_c * (
+                lit + (1.0 - lit) * (1.0 - cfg.shadow_catcher_darken)
+            )[..., None]
+            radiance = radiance + jnp.where(sc_lane[..., None], sc_rad, 0.0)
+            alive = alive & ~sc_lane
+            lane_hit = lane_hit & ~sc_lane
+            radiance = radiance + jnp.where((next_event & ~sc_lane)[..., None], contrib * shadow, 0.0)
+        else:
+            radiance = radiance + jnp.where(next_event[..., None], contrib * shadow, 0.0)
 
         alive = alive & ~absorbed
         ro = jnp.where(alive[..., None], new_org, ro)

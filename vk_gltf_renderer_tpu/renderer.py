@@ -105,6 +105,13 @@ class GltfRenderer:
         self.adaptive: AdaptiveSampler | None = None  # set to enable
         self.selection = set()  # selected render-node ids (silhouette)
         self._last_aux = None
+        self.aperture = 0.0
+        self.focal_distance = 0.0
+        self.background = None  # (r,g,b) solid backplate or None
+        self.use_infinite_plane = False
+        self.plane_height = 0.0
+        self.plane_shadow_catcher = False
+        self.shadow_catcher_darken = 0.0
 
     # -------------------------------------------------------------- scene
     def create_scene(self, path) -> None:
@@ -120,6 +127,20 @@ class GltfRenderer:
             else:
                 self.camera = fit_camera(self.scene)
         self.rebuild_device_scene()
+
+    def variants(self) -> list:
+        """KHR_materials_variants names."""
+        from .models.variants import parse_variants
+
+        return parse_variants(self.scene.model)
+
+    def set_variant(self, index: int) -> int:
+        from .models.variants import apply_variant
+
+        n = apply_variant(self.scene, index)
+        if n:
+            self.sync_scene_changes()
+        return n
 
     def create_hdr(self, path) -> None:
         """Load HDR environment (reference createHDR renderer.hpp:82-116)."""
@@ -192,6 +213,14 @@ class GltfRenderer:
             has_lights=len(self.scene.render_lights) > 0,
             alpha_any=alpha_any,
             firefly_clamp=self.firefly_clamp,
+            aperture=self.aperture,
+            focal_distance=self.focal_distance or float(np.linalg.norm(
+                np.asarray(self.camera.center) - np.asarray(self.camera.eye))) if self.aperture > 0 else 0.0,
+            background=self.background,
+            use_infinite_plane=self.use_infinite_plane,
+            plane_height=self.plane_height,
+            plane_shadow_catcher=self.plane_shadow_catcher,
+            shadow_catcher_darken=self.shadow_catcher_darken,
         )
 
     def _ensure_render_fn(self):
