@@ -338,7 +338,7 @@ def _trace_with_alpha(flat, bvh, ro, rd, seed, cfg: RenderConfig, alive=None):
     return hits, seed
 
 
-def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig):
+def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angle=0.0):
     """Trace one sample per lane. Returns (radiance [N,3], aux dict, seed).
 
     The bounce loop is a lax.scan with a depth-uniform body (first-hit
@@ -363,6 +363,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig):
         guide_normal=jnp.zeros((n, 3)),
         guide_rough=jnp.zeros(n),
         att_sigma=jnp.zeros((n, 3)),
+        cone_width=jnp.zeros(n),
         seed=seed,
         rays=jnp.zeros((), jnp.float32),
     )
@@ -412,10 +413,18 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig):
 
         lane_plane = alive & plane_hit if cfg.use_infinite_plane else jnp.zeros_like(alive)
 
-        # ---------------- surface shading
+        # ---------------- surface shading (+ ray-cone texture LOD,
+        # rayConeWorldFootprint pathtrace_functions.h.slang:174-179)
         hs = get_hit_state(flat, hits, rd)
         mat_id = flat.rn_material[jnp.maximum(hits["rnode"], 0)]
-        pbr = evaluate_material(flat, mat_id, hs, features=cfg.features, is_inside=state["is_inside"])
+        world_foot = (state["cone_width"] + pixel_angle * hits["t"]) / jnp.maximum(
+            jnp.abs(dot3(hs["nrm"], -rd)), 1e-3
+        )
+        tex_grad = world_foot * hs["texel_density"]
+        state["cone_width"] = jnp.where(lane_hit, world_foot, state["cone_width"])
+        pbr = evaluate_material(
+            flat, mat_id, hs, features=cfg.features, is_inside=state["is_inside"], tex_lod=tex_grad
+        )
 
         if cfg.use_infinite_plane:
             # replace hit state + material for plane lanes
@@ -599,7 +608,7 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
             u1, seed = rng.rand(seed)
             u2, seed = rng.rand(seed)
             ro, rd = apply_depth_of_field(ro, rd, frame["view_inv"], cfg.focal_distance, cfg.aperture, u1, u2)
-        rad, aux, seed = path_trace_batch(flat, bvh, env, ro, rd, seed, cfg)
+        rad, aux, seed = path_trace_batch(flat, bvh, env, ro, rd, seed, cfg, pixel_angle=frame.get("pixel_angle", 0.0))
         # sanitize: a rare degenerate sample (0*inf through a near-zero pdf)
         # must not poison the accumulation buffer
         rad = jnp.nan_to_num(rad, nan=0.0, posinf=0.0, neginf=0.0)

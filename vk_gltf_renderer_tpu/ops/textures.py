@@ -163,11 +163,12 @@ def _fetch_bilinear(texels, desc, uv):
     return (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
 
 
-def sample_texture(flat, ti_slot, uv0, uv1, lod):
+def sample_texture(flat, ti_slot, uv0, uv1, grad):
     """Sample via texture-info slot (KHR_texture_transform + trilinear).
 
     ti_slot: [..] int32 into the texinfo table (0 = none -> white).
-    lod: [..] float mip level (0 = sharpest), from the ray-cone footprint.
+    grad: [..] UV-space footprint of the ray cone (the SampleGrad gradient,
+    gltf_material_eval.h.slang:84-94); mip level = log2(grad * width).
     Returns [...,4] RGBA.
     """
     idx = flat.ti_index[ti_slot]  # image index; -1 none
@@ -181,6 +182,8 @@ def sample_texture(flat, ti_slot, uv0, uv1, lod):
 
     safe_idx = jnp.maximum(idx, 0)
     nmips = flat.tex_num_mips[safe_idx].astype(jnp.float32)
+    d0_ = flat.tex_desc[flat.tex_mip_table[safe_idx, 0]]
+    lod = jnp.log2(jnp.maximum(grad * d0_[..., 1].astype(jnp.float32), 1.0))
     lod = jnp.clip(lod, 0.0, nmips - 1.0)
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, (nmips - 1.0).astype(jnp.int32))

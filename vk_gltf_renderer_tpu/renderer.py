@@ -249,12 +249,15 @@ class GltfRenderer:
         proj = mu.perspective(cam.yfov, self.width / self.height, cam.znear, cam.zfar)
         if self.accum is None:
             self.reset_frame()
+        from .ops.camera import pixel_angle as _pa
+
         return {
             "proj_inv": jnp.asarray(np.linalg.inv(proj.astype(np.float64)).astype(np.float32)),
             "view_inv": jnp.asarray(np.linalg.inv(view.astype(np.float64)).astype(np.float32)),
             "frame_idx": jnp.uint32(self.frame_idx),
             "accum": jnp.asarray(self.accum),
             "total_samples": jnp.int32(self.total_samples),
+            "pixel_angle": jnp.float32(_pa(cam.yfov, self.height)),
         }
 
     def _env_arrays(self):
