@@ -239,6 +239,43 @@ def build_scene_flat(scene, *, with_textures: bool = True) -> SceneFlat:
 
     vtx_pos = np.concatenate(pos_l).astype(np.float32)
     vtx_nrm = np.concatenate(nrm_l).astype(np.float32)
+
+    # ---- apply skinning/morph deformation (reference AnimationVk writes
+    # deformed vertices IN PLACE into SceneVk buffers,
+    # gltf_scene_animation_vk.cpp:414; CPU oracle path here, jitted device
+    # version in ops/animation.py)
+    from ..models.animation import compute_joint_matrices, cpu_morph, cpu_skin
+
+    pfv_arr = pfv
+    for rn in (scene.render_nodes or []):
+        rp = scene.render_primitives[rn.render_prim_id]
+        prim = rp.primitive(model)
+        v0 = pfv_arr[rn.render_prim_id]
+        nv = pvc[rn.render_prim_id]
+        node = model.nodes[rn.ref_node_id] if rn.ref_node_id >= 0 else {}
+        weights = node.get("weights", model.meshes[node.get("mesh", 0)].get("weights") if "mesh" in node else None)
+        pd = extract_primitive(model, prim)
+        base_pos = pd.positions
+        base_nrm = vtx_nrm[v0 : v0 + nv].copy()
+        deformed = False
+        if weights and pd.morph_targets:
+            deltas = [t.get("POSITION") for t in pd.morph_targets]
+            base_pos = cpu_morph(base_pos, deltas, np.asarray(weights, np.float32))
+            ndeltas = [t.get("NORMAL") for t in pd.morph_targets]
+            if any(d is not None for d in ndeltas):
+                base_nrm = cpu_morph(base_nrm, [d if d is not None else None for d in ndeltas], np.asarray(weights, np.float32))
+            deformed = True
+        if rn.skin_id >= 0 and pd.joints0 is not None and pd.weights0 is not None:
+            jm = compute_joint_matrices(scene, rn.skin_id, scene.world_matrices[rn.ref_node_id])
+            base_pos, skinned_nrm = cpu_skin(base_pos, base_nrm, pd.joints0, pd.weights0, jm)
+            if skinned_nrm is not None:
+                base_nrm = skinned_nrm
+            deformed = True
+        if deformed:
+            vtx_pos[v0 : v0 + nv] = base_pos.astype(np.float32)
+            ln = np.linalg.norm(base_nrm, axis=1, keepdims=True)
+            vtx_nrm[v0 : v0 + nv] = (base_nrm / np.maximum(ln, 1e-20)).astype(np.float32)
+
     vtx_tan = np.concatenate(tan_l).astype(np.float32)
     vtx_uv0 = np.concatenate(uv0_l).astype(np.float32)
     vtx_uv1 = np.concatenate(uv1_l).astype(np.float32)
