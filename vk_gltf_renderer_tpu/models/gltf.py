@@ -127,13 +127,29 @@ def _load_buffer(buf: dict, base_dir: Path | None, bin_chunk: bytes | None) -> b
     return bytearray((base_dir / unquote(uri)).read_bytes())
 
 
+_UNSUPPORTED_COMPRESSION = ("KHR_draco_mesh_compression", "EXT_meshopt_compression")
+
+
+def _check_compression(gltf: dict, path) -> None:
+    req = set(gltf.get("extensionsRequired", []))
+    for ext in _UNSUPPORTED_COMPRESSION:
+        if ext in req:
+            raise NotImplementedError(
+                f"{path}: requires {ext}; compressed-geometry decoding is not "
+                "bundled yet (decompress the asset offline, e.g. gltf-transform)"
+            )
+
+
 def load_model(path) -> GltfModel:
     """Load a .gltf or .glb file (reference Scene::load, gltf_scene.cpp:298)."""
     path = Path(path)
     data = path.read_bytes()
     if len(data) >= 4 and struct.unpack("<I", data[:4])[0] == GLB_MAGIC:
-        return _load_glb(data, path)
+        model = _load_glb(data, path)
+        _check_compression(model.gltf, path)
+        return model
     gltf = json.loads(data.decode("utf-8"))
+    _check_compression(gltf, path)
     model = GltfModel(gltf=gltf, base_dir=path.parent, filename=path)
     model.buffers = [_load_buffer(b, path.parent, None) for b in gltf.get("buffers", [])]
     return model
