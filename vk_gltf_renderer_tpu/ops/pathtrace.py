@@ -60,6 +60,32 @@ from .textures import sample_texture
 ANTIALIASING_STD = 0.4246609
 RR_MIN_DEPTH = 3
 MIN_TRANSMISSION = 0.01
+VOLUME_MIN_SCATTER = 0.001
+VOLUME_RAND_FLOOR = 1.0e-10
+
+
+def _hg_sample(u2, g, wi):
+    """Henyey-Greenstein direction sample around wi
+    (sampleHenyeyGreenstein, consumed at functions:625)."""
+    g = jnp.clip(g, -0.99, 0.99)
+    sq = (1.0 - g * g) / jnp.maximum(1.0 - g + 2.0 * g * u2[..., 0], 1e-6)
+    cos_t = jnp.where(jnp.abs(g) < 1e-3, 1.0 - 2.0 * u2[..., 0], (1.0 + g * g - sq * sq) / jnp.maximum(2.0 * g, 1e-6))
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    from .sky import _onb
+
+    t, b = _onb(wi)
+    return (
+        t * (jnp.cos(phi) * sin_t)[..., None]
+        + b * (jnp.sin(phi) * sin_t)[..., None]
+        + wi * cos_t[..., None]
+    )
+
+
+def _hg_pdf(cos_t, g):
+    g = jnp.clip(g, -0.99, 0.99)
+    denom = jnp.maximum(1.0 + g * g - 2.0 * g * cos_t, 1e-6)
+    return (1.0 - g * g) / (4.0 * jnp.pi * denom * jnp.sqrt(denom))
 
 
 @dataclass(frozen=True)
@@ -363,6 +389,9 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         guide_normal=jnp.zeros((n, 3)),
         guide_rough=jnp.zeros(n),
         att_sigma=jnp.zeros((n, 3)),
+        scatter_sigma=jnp.zeros((n, 3)),
+        scatter_g=jnp.zeros(n),
+        chroma=jnp.full(n, -1, jnp.int32),  # dispersion: -1 achromatic, 0/1/2 = R/G/B
         cone_width=jnp.zeros(n),
         seed=seed,
         rays=jnp.zeros((), jnp.float32),
@@ -456,12 +485,62 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         state["guide_normal"] = jnp.where(first_hit[..., None], pbr["N"], state["guide_normal"])
         state["guide_rough"] = jnp.where(first_hit, jnp.sqrt(pbr["roughness"][..., 0]), state["guide_rough"])
 
-        # Beer-Lambert absorption through the current medium
+        # ---------------- in-volume segment (processVolumeSegment,
+        # functions:904-939): Beer-Lambert absorption always; HG scatter
+        # events when the medium scatters (KHR_materials_volume_scatter)
+        scattered = jnp.zeros_like(alive)
         if "volume" in cfg.features:
-            seg_att = jnp.exp(-hits["t"][..., None] * state["att_sigma"])
-            throughput = jnp.where(
-                (lane_hit & state["is_inside"])[..., None], throughput * seg_att, throughput
-            )
+            in_medium = lane_hit & state["is_inside"]
+            if "volume_scatter" in cfg.features:
+                sig_s = state["scatter_sigma"]
+                sig_t = state["att_sigma"] + sig_s
+                max_s = jnp.max(sig_s, axis=-1)
+                max_t = jnp.maximum(jnp.max(sig_t, axis=-1), 1e-6)
+                u_s, seed = rng.rand(seed)
+                s_dist = -jnp.log(jnp.maximum(u_s, VOLUME_RAND_FLOOR)) / max_t
+                scattered = in_medium & (max_s > VOLUME_MIN_SCATTER) & (s_dist < hits["t"])
+                # scatter event: single-scatter albedo weighting + HG redirect
+                throughput = jnp.where(
+                    scattered[..., None],
+                    throughput * (1.0 - (sig_t - sig_s) / max_t[..., None]),
+                    throughput,
+                )
+                u2_hg, seed = rng.rand2(seed)
+                wi = rd
+                sc_dir = _hg_sample(u2_hg, state["scatter_g"], wi)
+                sc_org = ro + rd * s_dist[..., None]
+                # NEE at the scatter point (volumeScatterNEE, functions:650-673)
+                dlv, seed = _sample_lights(flat, env, sc_org, wi, seed, cfg)
+                phase_pdf = _hg_pdf(dot3(wi, dlv["direction"]), state["scatter_g"])
+                v_mis = jnp.where(
+                    dlv["pdf"] == DIRAC, 1.0, dlv["pdf"] / jnp.maximum(dlv["pdf"] + phase_pdf, 1e-20)
+                )
+                v_shadow, seed = _trace_shadow(
+                    flat, bvh, sc_org, dlv["direction"], dlv["distance"], seed, cfg,
+                    alive=scattered & (dlv["pdf"] != 0.0),
+                )
+                v_contrib = throughput * dlv["radiance_over_pdf"] * (v_mis * phase_pdf)[..., None] * v_shadow
+                radiance = radiance + jnp.where(
+                    (scattered & (dlv["pdf"] != 0.0))[..., None], v_contrib, 0.0
+                )
+                # no-scatter lanes: analytic ratio-tracking residual
+                # (functions:632-644): P(free flight) sampled with max_t, so
+                # weight = exp(hitT * (max_t - sigma_t)); for media with
+                # negligible scatter this reduces to plain Beer-Lambert
+                no_sc = in_medium & ~scattered
+                resid = jnp.exp(
+                    jnp.minimum(hits["t"], 1e8)[..., None]
+                    * jnp.minimum(max_t[..., None] - sig_t, 0.0)
+                )
+                throughput = jnp.where(no_sc[..., None], throughput * resid, throughput)
+                ro = jnp.where(scattered[..., None], sc_org, ro)
+                rd = jnp.where(scattered[..., None], sc_dir, rd)
+                state["last_pdf"] = jnp.where(scattered, _hg_pdf(dot3(wi, sc_dir), state["scatter_g"]), state["last_pdf"])
+                lane_hit = lane_hit & ~scattered
+                # scattered lanes stay alive and skip surface work this step
+            else:
+                seg_att = jnp.exp(-hits["t"][..., None] * state["att_sigma"])
+                throughput = jnp.where(in_medium[..., None], throughput * seg_att, throughput)
 
         # roughness regularization (gltf_pathtrace.slang:267-268)
         state["max_rough"] = jnp.maximum(state["max_rough"], pbr["roughness"])
@@ -497,6 +576,21 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         next_event = next_event & (ev["pdf"] > 0.0)
 
         # ---------------- BSDF sample for the next segment
+        if "dispersion" in cfg.features:
+            # KHR_materials_dispersion: pick a wavelength channel on the first
+            # dispersive transmission; shift IOR per channel (Abbe V = 20/D)
+            u_ch, seed = rng.rand(seed)
+            needs_chroma = lane_hit & (pbr["dispersion"] > 0.0) & (pbr["transmission"] > 0.0) & (state["chroma"] < 0)
+            new_ch = jnp.minimum((u_ch * 3).astype(jnp.int32), 2)
+            state["chroma"] = jnp.where(needs_chroma, new_ch, state["chroma"])
+            throughput = jnp.where(
+                needs_chroma[..., None],
+                throughput * 3.0 * jax.nn.one_hot(new_ch, 3),
+                throughput,
+            )
+            half = (pbr["ior2"] - 1.0) * pbr["dispersion"] / 20.0 * 0.5
+            shift = jnp.where(state["chroma"] == 0, -half, jnp.where(state["chroma"] == 2, half, 0.0))
+            pbr["ior2"] = jnp.where(state["chroma"] >= 0, jnp.maximum(pbr["ior2"] + shift, 1.01), pbr["ior2"])
         u3b, seed = rng.rand3(seed)
         ue, seed = rng.rand2(seed)
         samp = bsdf_sample(pbr, -rd, u3b, ue)
@@ -516,6 +610,11 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
                 has_vol = (pbr["thickness"] > 0.0) & (pbr["attenuation_distance"] > 0.0)
                 att = jnp.where(has_vol[..., None], att, 0.0)
                 state["att_sigma"] = jnp.where((toggled & new_inside)[..., None], att, state["att_sigma"])
+                if "volume_scatter" in cfg.features:
+                    state["scatter_sigma"] = jnp.where(
+                        (toggled & new_inside)[..., None], pbr["scatter_coefficient"], state["scatter_sigma"]
+                    )
+                    state["scatter_g"] = jnp.where(toggled & new_inside, pbr["scatter_anisotropy"], state["scatter_g"])
             state["is_inside"] = new_inside
 
         offset_dir = jnp.where(dot3(new_dir, hs["geonrm"])[..., None] > 0, hs["geonrm"], -hs["geonrm"])
@@ -545,9 +644,10 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         else:
             radiance = radiance + jnp.where(next_event[..., None], contrib * shadow, 0.0)
 
-        alive = alive & ~absorbed
-        ro = jnp.where(alive[..., None], new_org, ro)
-        rd = jnp.where(alive[..., None], new_dir, rd)
+        alive = (alive & ~absorbed) | scattered
+        surf = alive & ~scattered
+        ro = jnp.where(surf[..., None], new_org, ro)
+        rd = jnp.where(surf[..., None], new_dir, rd)
 
         # ---------------- Russian roulette (gltf_pathtrace.slang:476-482)
         rr_p = jnp.minimum(jnp.max(throughput, axis=-1) + 0.001, 0.95)
