@@ -161,24 +161,109 @@ class GltfRenderer:
 
     def sync_scene_changes(self) -> bool:
         """Dirty-flag driven surgical update (reference updateSceneChanges
-        renderer.cpp:2269). Returns True if anything changed."""
+        renderer.cpp:2269). Returns True if anything changed.
+
+        The transform/vertex fast path mirrors the reference's refit ladder:
+        topology unchanged -> re-deform vertices (jitted skin/morph), rebake
+        world triangles and refit AABBs ON DEVICE (updateBottomLevelAS /
+        dispatchTransformUpdate analogs) instead of a host rebuild.
+        """
         df = self.scene.get_dirty_flags()
         if df == DirtyFlags.NONE:
             return False
-        if df & (DirtyFlags.PRIMITIVES_CHANGED | DirtyFlags.VERTICES | DirtyFlags.TANGENTS):
+        if df & (DirtyFlags.PRIMITIVES_CHANGED | DirtyFlags.TANGENTS):
             self.rebuild_device_scene()
             return True
-        if df & (DirtyFlags.NODE_TRANSFORMS | DirtyFlags.RENDER_NODES | DirtyFlags.VISIBILITY):
+        if df & (DirtyFlags.NODE_TRANSFORMS | DirtyFlags.RENDER_NODES | DirtyFlags.VISIBILITY | DirtyFlags.VERTICES):
             self.scene.update_world_matrices_serial()
             self.scene.refresh_render_node_matrices()
-            # instance transforms changed -> re-bake world BVH (rebuild; a
-            # jitted refit fast path is a follow-up optimization)
-            self.flat = build_scene_flat(self.scene)
-            self.bvh = build_world_bvh(self.flat)
+            if self._refit_device():
+                pass  # device refit done
+            else:
+                self.flat = build_scene_flat(self.scene)
+                self.bvh = build_world_bvh(self.flat)
         elif df & (DirtyFlags.MATERIALS | DirtyFlags.LIGHTS):
             self.flat = build_scene_flat(self.scene)
         self.scene.clear_dirty_flags()
         self.reset_frame()
+        return True
+
+    def _refit_device(self) -> bool:
+        """Transform/skin/morph-only update without host rebuild: deform
+        vertices (jitted), update instance matrices, rebake world triangles,
+        refit BVH AABBs. Falls back (False) when visibility changed (the
+        flattened BVH bakes visibility into its triangle set)."""
+        if self.flat is None or self.bvh is None:
+            return False
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from .models.animation import compute_joint_matrices
+        from .ops.animation import bake_world_tris, morph_vertices, refit_world_bvh, skin_vertices
+
+        scene = self.scene
+        vis_now = np.array([1 if rn.visible else 0 for rn in scene.render_nodes], np.int32)
+        if len(scene.render_nodes) != self.flat.rn_o2w.shape[0] or not np.array_equal(
+            vis_now, np.asarray(self.flat.rn_visible)
+        ):
+            return False
+
+        # instance matrices from the host scene
+        n = len(scene.render_nodes)
+        o2w = np.stack([rn.world_matrix for rn in scene.render_nodes]).astype(np.float32)
+        w2o = np.linalg.inv(o2w.astype(np.float64)).astype(np.float32)
+
+        # vertex deformation (skin/morph) on device
+        vtx_pos = jnp.asarray(self.flat.vtx_pos)
+        vtx_nrm = jnp.asarray(self.flat.vtx_nrm)
+        from .models.geometry import extract_primitive
+
+        deformed_any = False
+        for rn in scene.render_nodes:
+            node = scene.model.nodes[rn.ref_node_id] if rn.ref_node_id >= 0 else {}
+            weights = node.get("weights")
+            has_skin = rn.skin_id >= 0
+            if not has_skin and not weights:
+                continue
+            rp = scene.render_primitives[rn.render_prim_id]
+            pd = extract_primitive(scene.model, rp.primitive(scene.model))
+            v0 = int(self.flat.prim_first_vtx[rn.render_prim_id])
+            nv = int(self.flat.prim_vtx_count[rn.render_prim_id])
+            pos = jnp.asarray(pd.positions)
+            nrm = vtx_nrm[v0 : v0 + nv]
+            if weights and pd.morph_targets:
+                deltas = jnp.asarray(
+                    np.stack([t.get("POSITION", np.zeros_like(pd.positions)) for t in pd.morph_targets])
+                )
+                pos = morph_vertices(pos, deltas, jnp.asarray(np.asarray(weights, np.float32)))
+            if has_skin and pd.joints0 is not None:
+                jm = compute_joint_matrices(scene, rn.skin_id, scene.world_matrices[rn.ref_node_id])
+                pos, nrm = skin_vertices(pos, nrm, jnp.asarray(pd.joints0), jnp.asarray(pd.weights0), jnp.asarray(jm))
+            vtx_pos = vtx_pos.at[v0 : v0 + nv].set(pos)
+            vtx_nrm = vtx_nrm.at[v0 : v0 + nv].set(nrm)
+            deformed_any = True
+
+        # functional update of the flat pytree
+        vtx_packed = jnp.asarray(self.flat.vtx_packed)
+        if deformed_any:
+            vtx_packed = vtx_packed.at[:, 0:3].set(vtx_pos).at[:, 3:6].set(vtx_nrm)
+        self.flat = dataclasses.replace(
+            self.flat,
+            vtx_pos=vtx_pos,
+            vtx_nrm=vtx_nrm,
+            vtx_packed=vtx_packed,
+            rn_o2w=jnp.asarray(o2w),
+            rn_w2o=jnp.asarray(w2o),
+        )
+
+        # rebake world triangles + refit (jitted)
+        tris = bake_world_tris(
+            vtx_pos, jnp.asarray(self.flat.tri_idx), jnp.asarray(o2w),
+            jnp.asarray(self.bvh.wtri_rnode), jnp.asarray(self.bvh.wtri_tri),
+        )
+        nodes_f, nodes_self, tris = refit_world_bvh(self.bvh, tris)
+        self.bvh = dataclasses.replace(self.bvh, nodes_f=nodes_f, nodes_self=nodes_self, tris=tris)
         return True
 
     # -------------------------------------------------------------- frames
