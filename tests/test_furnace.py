@@ -172,3 +172,32 @@ def test_furnace_end_to_end_render():
     center = img[12:20, 12:20]  # box region
     assert np.isfinite(img).all()
     assert abs(center.mean() - 1.0) < 0.06, center.mean()
+
+
+def test_iridescence_shifts_specular_color():
+    """Thin-film iridescence must make the specular reflection chromatic
+    and vary with film thickness."""
+    n = 4096
+    base = _pbr_default(n, metallic=jnp.ones(n), roughness=jnp.full((n, 2), 0.02))
+    k1 = _view_dirs(n, 7)
+    k2 = k1 * jnp.asarray([-1.0, -1.0, 1.0])  # mirror directions
+
+    def spec_color(thick):
+        pbr = dict(base)
+        pbr["iridescence"] = jnp.ones(n)
+        pbr["iridescence_thickness"] = jnp.full(n, thick)
+        pbr["iridescence_ior"] = jnp.full(n, 1.3)
+        ev = bsdf_evaluate(pbr, k1, k2)
+        return np.asarray(ev["bsdf_glossy"]).mean(0)
+
+    c0 = spec_color(0.0)
+    c300 = spec_color(300.0)
+    c600 = spec_color(600.0)
+    # zero thickness = achromatic white metal
+    assert np.allclose(c0 / c0.max(), 1.0, atol=0.05)
+    # nonzero thickness: channels diverge, and the hue changes with thickness
+    def chroma(c):
+        return np.abs(c / max(c.mean(), 1e-9) - 1.0).max()
+
+    assert chroma(c300) > 0.05
+    assert not np.allclose(c300 / c300.max(), c600 / c600.max(), atol=0.02)

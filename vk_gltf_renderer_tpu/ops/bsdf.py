@@ -133,6 +133,31 @@ def _cos_hemisphere(N, T, B, u1, u2):
     return _from_local(local, T, B, N)
 
 
+def _apply_iridescence(pbr, f0, cos_theta):
+    """Thin-film interference modulation of the specular F0
+    (KHR_materials_iridescence; the reference evaluates it inside the
+    nvshaders fresnel stack, gltf_material_eval.h.slang:349-365 feeds the
+    parameters). Compact airy-lobe approximation: per-channel phase from
+    the optical path difference at three representative wavelengths."""
+    irid = pbr.get("iridescence")
+    if irid is None:
+        return f0
+    thick = pbr["iridescence_thickness"]  # nanometers
+    n_film = pbr["iridescence_ior"]
+    # refraction angle inside the film
+    sin2 = jnp.maximum(0.0, 1.0 - cos_theta * cos_theta) / jnp.maximum(n_film * n_film, 1e-6)
+    cos_t2 = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2))
+    opd = 2.0 * n_film * thick * cos_t2  # nm
+    lambdas = jnp.asarray([610.0, 550.0, 465.0])
+    phi = (2.0 * jnp.pi) * opd[..., None] / lambdas + jnp.pi
+    # interference brightens (constructive, capped at 1) or darkens
+    # (destructive) each channel's reflectance
+    mod = 0.5 + 0.5 * jnp.cos(phi)
+    f_irid = jnp.clip(f0 * (2.0 * mod), 0.0, 1.0)
+    w = (irid * (thick > 0.0))[..., None]
+    return f0 * (1.0 - w) + f_irid * w
+
+
 def _f0_dielectric(pbr):
     """glTF spec dielectric F0 with KHR_materials_specular scaling."""
     ior1, ior2 = pbr["ior1"], pbr["ior2"]
@@ -203,6 +228,7 @@ def bsdf_evaluate(pbr, k1, k2):
     f0_d = _f0_dielectric(pbr)
     m = pbr["metallic"][..., None]
     f0 = f0_d * (1.0 - m) + pbr["base_color"] * m
+    f0 = _apply_iridescence(pbr, f0, v_dot_h)
     fr = _schlick3(f0, v_dot_h)
 
     d = _ggx_d(h, ax, ay)
@@ -385,6 +411,7 @@ def bsdf_sample(pbr, k1, u, extra_u):
     f0_d = _f0_dielectric(pbr)
     m3 = pbr["metallic"][..., None]
     f0 = f0_d * (1.0 - m3) + pbr["base_color"] * m3
+    f0 = _apply_iridescence(pbr, f0, jnp.abs(dot3(k1, h_w)))
     fr_imp = _schlick3(f0, jnp.abs(dot3(k1, h_w)))
     bsdf_over_pdf = jnp.where(
         (impulse & pick_g)[..., None], fr_imp / jnp.maximum(w_g, 1e-6)[..., None], bsdf_over_pdf
