@@ -70,6 +70,7 @@ class SceneFlat:
     # wide row instead of ~40 scalars (see docs/ARCHITECTURE.md)
     vtx_packed: np.ndarray  # [V,24] pos3 nrm3 tan4 uv0_2 uv1_2 color4 pad
     mat_packed: np.ndarray  # [M,K] all material fields flattened (f32)
+    rn_packed: np.ndarray  # [N,32] o2w(16) + w2o(16) row-major — one gather
     # texture infos
     ti_index: np.ndarray  # [TI] i32 (into texture descriptor table; -1 none)
     ti_texcoord: np.ndarray  # [TI] i32
@@ -219,6 +220,8 @@ def build_scene_flat(scene, *, with_textures: bool = True) -> SceneFlat:
         rn_prim[i] = rn.render_prim_id
         rn_visible[i] = 1 if rn.visible else 0
 
+    rn_packed = np.concatenate([rn_o2w.reshape(n, 16), rn_w2o.reshape(n, 16)], axis=1).astype(np.float32)
+
     conv = mats.MaterialConverter(model)
     shade_mats = conv.convert_all()
     mat_soa = _materials_soa(shade_mats)
@@ -307,6 +310,7 @@ def build_scene_flat(scene, *, with_textures: bool = True) -> SceneFlat:
         materials=mat_soa,
         mat_packed=mat_packed,
         vtx_packed=vtx_packed,
+        rn_packed=rn_packed,
         ti_index=ti_index,
         ti_texcoord=ti_texcoord,
         ti_uvxform=ti_uvxform,

@@ -72,8 +72,9 @@ def get_hit_state(flat, hit, ray_dir):
     w = 1.0 - u - v
     bary = jnp.concatenate([w, u, v], axis=-1)
 
-    o2w = flat.rn_o2w[rnode]
-    w2o = flat.rn_w2o[rnode]
+    rn_row = flat.rn_packed[rnode]  # one 32-wide gather for both matrices
+    o2w = rn_row[..., :16].reshape(rn_row.shape[:-1] + (4, 4))
+    w2o = rn_row[..., 16:].reshape(rn_row.shape[:-1] + (4, 4))
 
     # ONE packed row per corner (pos3 nrm3 tan4 uv0_2 uv1_2 color4): gathers
     # cost per row on TPU, so this replaces ~18 narrow gathers with 3

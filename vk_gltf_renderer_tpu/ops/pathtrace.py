@@ -153,7 +153,13 @@ def _sort_keys(bvh, ro, rd, alive):
     return (dead << jnp.uint32(27)) | (m_o << jnp.uint32(12)) | m_d
 
 
-def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=None, coherent=False):
+def _inverse_perm(order):
+    """Inverse permutation via scatter (cheaper than a second argsort)."""
+    n = order.shape[0]
+    return jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+
+
+def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=None, coherent=False, order=None):
     """Traversal dispatch: Pallas packet kernel on TPU (553 Mrays/s coherent
     on v5e), stackless XLA wavefront elsewhere (portable, same results).
 
@@ -171,11 +177,14 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
         tmax = jnp.where(alive, tmax, -1.0)
     do_sort = cfg.sort_rays and cfg.traversal == "packet" and n >= 4096
     if do_sort:
-        keys = _sort_keys(bvh, ro, rd, alive if alive is not None else jnp.ones(n, bool))
-        order = jnp.argsort(keys)
-        ro_s, rd_s = ro[order], rd[order]
-        tmax_s = tmax[order]
-        tmin_s = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))[order]
+        if order is None:
+            keys = _sort_keys(bvh, ro, rd, alive if alive is not None else jnp.ones(n, bool))
+            o = jnp.argsort(keys)
+            order = (o, _inverse_perm(o))
+        o, inv = order
+        ro_s, rd_s = ro[o], rd[o]
+        tmax_s = tmax[o]
+        tmin_s = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))[o]
     else:
         order = None
         ro_s, rd_s, tmax_s, tmin_s = ro, rd, tmax, tmin
@@ -188,8 +197,7 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
         hits = intersect_rays_wavefront(bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s)
 
     if order is not None:
-        inv = jnp.argsort(order)
-        hits = {k: v[inv] for k, v in hits.items()}
+        hits = {k: v[order[1]] for k, v in hits.items()}
     return hits
 
 
@@ -276,14 +284,14 @@ def _sample_lights(flat, env, pos, normal, seed, cfg: RenderConfig):
     return {"direction": direction, "radiance_over_pdf": radiance, "distance": distance, "pdf": pdf}, seed
 
 
-def _trace_shadow(flat, bvh, ro, rd, dist, seed, cfg: RenderConfig, alive=None):
+def _trace_shadow(flat, bvh, ro, rd, dist, seed, cfg: RenderConfig, alive=None, order=None):
     """Shadow transmission factor [N,3]. Opaque-only scenes: single
     occlusion test. With transmission enabled: march up to
     transmission_rounds surfaces accumulating colored transmission
     (gltf_pathtrace.slang:776-820 semantics)."""
     n = ro.shape[0]
     if "transmission" not in cfg.features and not cfg.alpha_any:
-        hits = trace_closest(bvh, ro, rd, cfg, tmin=0.0, tmax=dist, alive=alive, coherent=True)
+        hits = trace_closest(bvh, ro, rd, cfg, tmin=0.0, tmax=dist, alive=alive, coherent=True, order=order)
         occluded = hits["tri"] >= 0
         return jnp.where(occluded[..., None], 0.0, 1.0), seed
 
@@ -331,11 +339,11 @@ def _trace_shadow(flat, bvh, ro, rd, dist, seed, cfg: RenderConfig, alive=None):
     return transmission, seed
 
 
-def _trace_with_alpha(flat, bvh, ro, rd, seed, cfg: RenderConfig, alive=None):
+def _trace_with_alpha(flat, bvh, ro, rd, seed, cfg: RenderConfig, alive=None, order=None):
     """Closest hit with stochastic alpha: re-trace past rejected hits
     (the TPU analog of the RayQuery any-hit Proceed loop,
     raytracer_interface.h.slang:82-122)."""
-    hits = trace_closest(bvh, ro, rd, cfg, alive=alive, coherent=True)
+    hits = trace_closest(bvh, ro, rd, cfg, alive=alive, coherent=True, order=order)
     if not cfg.alpha_any:
         return hits, seed
     org = ro
@@ -406,7 +414,14 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         first = depth == 0
 
         state["rays"] = state["rays"] + jnp.sum(alive.astype(jnp.float32))
-        hits, seed = _trace_with_alpha(flat, bvh, ro, rd, seed, cfg, alive=alive)
+        # ONE reorder per bounce, reused by the closest AND shadow traces
+        # (shadow origins are the hit points — same spatial clustering)
+        bounce_order = None
+        if cfg.sort_rays and cfg.traversal == "packet" and ro.shape[0] >= 4096:
+            keys = _sort_keys(bvh, ro, rd, alive)
+            o_ = jnp.argsort(keys)
+            bounce_order = (o_, _inverse_perm(o_))
+        hits, seed = _trace_with_alpha(flat, bvh, ro, rd, seed, cfg, alive=alive, order=bounce_order)
         miss = hits["tri"] < 0
 
         # ---------------- infinite plane (pathtrace_functions.h.slang:556-585)
@@ -626,7 +641,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         sh_base = jnp.where(sh_fwd[..., None], hs["shadow_pos"], hs["pos"])
         sh_off = jnp.where(sh_fwd[..., None], hs["geonrm"], -hs["geonrm"])
         sh_org = safe_offset_ray(sh_base, sh_off)
-        shadow, seed = _trace_shadow(flat, bvh, sh_org, dl["direction"], dl["distance"], seed, cfg, alive=next_event)
+        shadow, seed = _trace_shadow(flat, bvh, sh_org, dl["direction"], dl["distance"], seed, cfg, alive=next_event, order=bounce_order)
         if cfg.use_infinite_plane and cfg.plane_shadow_catcher:
             # shadow catcher (handleShadowCatcher, functions:499-554): the
             # plane is invisible — show env where lit, darken where occluded

@@ -248,6 +248,7 @@ class GltfRenderer:
         vtx_packed = jnp.asarray(self.flat.vtx_packed)
         if deformed_any:
             vtx_packed = vtx_packed.at[:, 0:3].set(vtx_pos).at[:, 3:6].set(vtx_nrm)
+        rn_packed = jnp.concatenate([o2w.reshape(n, 16), w2o.reshape(n, 16)], axis=1)
         self.flat = dataclasses.replace(
             self.flat,
             vtx_pos=vtx_pos,
@@ -255,6 +256,7 @@ class GltfRenderer:
             vtx_packed=vtx_packed,
             rn_o2w=jnp.asarray(o2w),
             rn_w2o=jnp.asarray(w2o),
+            rn_packed=jnp.asarray(rn_packed),
         )
 
         # rebake world triangles + refit (jitted)
