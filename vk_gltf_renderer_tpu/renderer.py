@@ -37,6 +37,9 @@ class CameraState:
     yfov: float = np.radians(45.0)
     znear: float = 0.01
     zfar: float = 1000.0
+    orthographic: bool = False
+    xmag: float = 1.0
+    ymag: float = 1.0
 
 
 def fit_camera(scene: Scene, yfov=np.radians(45.0)) -> CameraState:
@@ -123,6 +126,7 @@ class GltfRenderer:
                 self.camera = CameraState(
                     eye=np.asarray(rc.eye), center=np.asarray(rc.center), up=np.asarray(rc.up),
                     yfov=rc.yfov or np.radians(45.0), znear=rc.znear or 0.01, zfar=rc.zfar or 1000.0,
+                    orthographic=rc.type == "orthographic", xmag=rc.xmag, ymag=rc.ymag,
                 )
             else:
                 self.camera = fit_camera(self.scene)
@@ -152,7 +156,9 @@ class GltfRenderer:
         self.reset_frame()
 
     def rebuild_device_scene(self) -> None:
-        """Full device rebuild (reference rebuildVulkanSceneFull)."""
+        """Full device rebuild (reference rebuildVulkanSceneFull): re-parse
+        the Model (render arrays are always derived) then rebuild mirrors."""
+        self.scene.parse_scene()
         self.flat = build_scene_flat(self.scene)
         self.bvh = build_world_bvh(self.flat)
         self.scene.clear_dirty_flags()
@@ -171,10 +177,12 @@ class GltfRenderer:
         df = self.scene.get_dirty_flags()
         if df == DirtyFlags.NONE:
             return False
-        if df & (DirtyFlags.PRIMITIVES_CHANGED | DirtyFlags.TANGENTS):
+        if df & (DirtyFlags.PRIMITIVES_CHANGED | DirtyFlags.TANGENTS | DirtyFlags.VISIBILITY):
+            # topology or visibility changes re-parse + rebuild (the
+            # flattened BVH bakes the visible instance set)
             self.rebuild_device_scene()
             return True
-        if df & (DirtyFlags.NODE_TRANSFORMS | DirtyFlags.RENDER_NODES | DirtyFlags.VISIBILITY | DirtyFlags.VERTICES):
+        if df & (DirtyFlags.NODE_TRANSFORMS | DirtyFlags.RENDER_NODES | DirtyFlags.VERTICES):
             self.scene.update_world_matrices_serial()
             self.scene.refresh_render_node_matrices()
             if self._refit_device():
@@ -300,6 +308,7 @@ class GltfRenderer:
             has_lights=len(self.scene.render_lights) > 0,
             alpha_any=alpha_any,
             firefly_clamp=self.firefly_clamp,
+            orthographic=bool(self.camera and self.camera.orthographic),
             aperture=self.aperture,
             focal_distance=self.focal_distance or float(np.linalg.norm(
                 np.asarray(self.camera.center) - np.asarray(self.camera.eye))) if self.aperture > 0 else 0.0,
@@ -333,7 +342,10 @@ class GltfRenderer:
 
         cam = self.camera
         view = mu.look_at(cam.eye, cam.center, cam.up)
-        proj = mu.perspective(cam.yfov, self.width / self.height, cam.znear, cam.zfar)
+        if cam.orthographic:
+            proj = mu.orthographic(cam.xmag, cam.ymag, cam.znear, cam.zfar)
+        else:
+            proj = mu.perspective(cam.yfov, self.width / self.height, cam.znear, cam.zfar)
         if self.accum is None:
             self.reset_frame()
         from .ops.camera import pixel_angle as _pa

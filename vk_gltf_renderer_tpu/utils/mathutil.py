@@ -125,6 +125,17 @@ def perspective(fovy: float, aspect: float, znear: float, zfar: float) -> np.nda
     return m
 
 
+def orthographic(xmag: float, ymag: float, znear: float, zfar: float) -> np.ndarray:
+    """Vulkan-convention orthographic projection (depth [0,1], Y flipped)."""
+    m = np.zeros((4, 4), dtype=F)
+    m[0, 0] = 1.0 / xmag
+    m[1, 1] = -1.0 / ymag
+    m[2, 2] = 1.0 / (znear - zfar)
+    m[2, 3] = znear / (znear - zfar)
+    m[3, 3] = 1.0
+    return m
+
+
 def look_at(eye, center, up) -> np.ndarray:
     """Right-handed view matrix."""
     eye = np.asarray(eye, dtype=np.float64)
