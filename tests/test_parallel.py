@@ -1,0 +1,75 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Validates the new parallel layer (SURVEY.md §2.7: the reference has no
+multi-device path): sharded rendering must be bit-identical to single
+device — device placement cannot change the image (per-pixel seeding).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from jax.sharding import Mesh
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices (conftest sets the XLA flag)")
+    return devs
+
+
+def _make_renderer(w=32, h=32):
+    from conftest import make_triangle_gltf
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.models.gltf import load_model_from_json
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer, fit_camera
+
+    gltf, bufs = make_triangle_gltf()
+    sc = Scene()
+    sc.load_from_model(load_model_from_json(gltf, bufs))
+    r = GltfRenderer(width=w, height=h, spp=1, max_depth=2)
+    r.scene = sc
+    r.camera = fit_camera(sc)
+    r.rebuild_device_scene()
+    return r
+
+
+def test_sharded_render_matches_single_device(eight_devices):
+    from vk_gltf_renderer_tpu.parallel.mesh import render_mesh
+
+    r1 = _make_renderer()
+    r1.on_render()
+    single = r1.image_linear()
+
+    r8 = _make_renderer()
+    mesh = Mesh(np.array(eight_devices[:8]), ("tiles",))
+    aux = render_mesh(r8, mesh)
+    sharded = r8.image_linear()
+
+    np.testing.assert_allclose(sharded, single, atol=1e-6)
+    assert float(aux["rays"]) > 0
+
+
+def test_sharded_render_two_vs_eight(eight_devices):
+    from vk_gltf_renderer_tpu.parallel.mesh import render_mesh
+
+    imgs = []
+    for nd in (2, 8):
+        r = _make_renderer()
+        mesh = Mesh(np.array(eight_devices[:nd]), ("tiles",))
+        render_mesh(r, mesh)
+        imgs.append(r.image_linear())
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-6)
+
+
+def test_graft_entry_points(eight_devices):
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    accum = out[0]
+    assert np.isfinite(np.asarray(accum)).all()
+    g.dryrun_multichip(8)

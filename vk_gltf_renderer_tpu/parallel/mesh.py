@@ -47,6 +47,7 @@ def make_sharded_render_fn(cfg: RenderConfig, mesh: Mesh, axis: str = "tiles"):
         "view_inv": rep,
         "frame_idx": rep,
         "total_samples": rep,
+        "pixel_angle": rep,
         "accum": shd,
         "px": shd,
         "py": shd,
