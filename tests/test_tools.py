@@ -172,3 +172,49 @@ def test_render_golden_self_consistency(tmp_path):
     r1 = check_or_create_golden(render(), g)
     r2 = check_or_create_golden(render(), g)
     assert r2["rmse"] < 4e-3, r2  # identical up to 8-bit quantization
+
+
+def test_motion_vectors_static_camera_zero():
+    from vk_gltf_renderer_tpu.ops.temporal import motion_vectors
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(size=(8, 8, 3)), jnp.float32)
+    solid = jnp.ones((8, 8), bool)
+    vp = jnp.asarray(np.diag([1.0, 1.0, 1.0, 1.0]).astype(np.float32))
+    mv = motion_vectors(pos, solid, vp, vp, 8, 8)
+    np.testing.assert_allclose(np.asarray(mv), 0.0, atol=1e-4)
+
+
+def test_temporal_accumulate_converges_and_rejects():
+    from vk_gltf_renderer_tpu.ops.temporal import temporal_accumulate
+
+    rng = np.random.default_rng(1)
+    clean = np.full((16, 16, 3), 0.5, np.float32)
+    motion = np.zeros((16, 16, 2), np.float32)
+    valid = np.ones((16, 16), bool)
+    hist = clean + rng.normal(0, 0.01, clean.shape).astype(np.float32)
+    cur = clean + rng.normal(0, 0.2, clean.shape).astype(np.float32)
+    out = np.asarray(temporal_accumulate(jnp.asarray(cur), jnp.asarray(hist), jnp.asarray(motion), jnp.asarray(valid)))
+    # blended output is closer to clean than the noisy current frame
+    assert np.abs(out - clean).mean() < np.abs(cur - clean).mean()
+    # stale history (wrong value) is neighborhood-clamped toward current
+    bad_hist = np.full_like(clean, 5.0)
+    out2 = np.asarray(temporal_accumulate(jnp.asarray(cur), jnp.asarray(bad_hist), jnp.asarray(motion), jnp.asarray(valid)))
+    assert np.abs(out2 - clean).mean() < 0.5  # clamp rejected the 5.0 history
+
+
+def test_temporal_reprojection_shifts_history():
+    from vk_gltf_renderer_tpu.ops.temporal import temporal_accumulate
+
+    h = w = 16
+    hist = np.zeros((h, w, 3), np.float32)
+    hist[:, 4] = 1.0  # bright column at x=4
+    cur = np.zeros((h, w, 3), np.float32)
+    cur[:, 6] = 1.0  # moved to x=6
+    motion = np.zeros((h, w, 2), np.float32)
+    motion[..., 0] = -2.0  # history position = current - 2 px
+    valid = np.ones((h, w), bool)
+    out = np.asarray(temporal_accumulate(jnp.asarray(cur), jnp.asarray(hist), jnp.asarray(motion), jnp.asarray(valid), alpha=0.5))
+    # reprojected history aligns with the current bright column
+    assert out[:, 6].mean() > 0.7
+    assert out[:, 4].mean() < 0.2

@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--infinitePlaneDistance", type=float, default=0.0)
     p.add_argument("--infinitePlaneShadowCatcher", type=int, default=0)
     p.add_argument("--variant", type=int, default=None, help="KHR_materials_variants index")
+    p.add_argument("--camera", type=float, nargs=9, default=None,
+                   metavar=("EX", "EY", "EZ", "CX", "CY", "CZ", "UX", "UY", "UZ"),
+                   help="override camera: eye, center, up")
+    p.add_argument("--fov", type=float, default=45.0, help="vertical fov (degrees) with --camera")
     # benchmark
     p.add_argument("--benchmark", type=str, default=None, help="benchmark .cfg script")
     p.add_argument("--logLevel", type=int, default=2)
@@ -100,6 +104,17 @@ def main(argv=None) -> int:
     if args.variant is not None:
         n = r.set_variant(args.variant)
         print(f"variant {args.variant}: switched {n} primitives")
+    if args.camera:
+        import numpy as _np
+
+        from .renderer import CameraState
+
+        c = args.camera
+        r.camera = CameraState(
+            eye=_np.asarray(c[0:3]), center=_np.asarray(c[3:6]), up=_np.asarray(c[6:9]),
+            yfov=_np.radians(args.fov),
+        )
+        r.reset_frame()
     load_s = time.perf_counter() - t0
     tris = int(sum(p.index_count // 3 for p in r.scene.render_primitives))
     print(f"Loaded {args.scenefile}: {len(r.scene.render_nodes)} render nodes, {tris} triangles ({load_s:.2f}s)")

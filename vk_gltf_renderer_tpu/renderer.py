@@ -110,6 +110,8 @@ class GltfRenderer:
         self._last_aux = None
         self.aperture = 0.0
         self.focal_distance = 0.0
+        self._prev_vp = None  # previous frame view-proj (temporal denoise)
+        self._history = None  # temporally accumulated denoised history
         self.background = None  # (r,g,b) solid backplate or None
         self.use_infinite_plane = False
         self.plane_height = 0.0
@@ -401,6 +403,31 @@ class GltfRenderer:
 
         img = tonemap(jnp.asarray(self.image_linear()), self.tonemapper)
         return np.asarray(img)
+
+    def image_denoised(self, *, temporal: bool = True, iterations: int = 4) -> np.ndarray:
+        """Denoised linear image: spatial a-trous + optional temporal
+        reprojection against the previous frame's history (the DLSS/OptiX
+        replacement pipeline; motion from prevMVP like the reference's
+        guide contract)."""
+        import jax.numpy as jnp
+
+        from .ops.denoise import denoise_renderer
+        from .ops.temporal import motion_vectors, temporal_accumulate
+        from .utils import mathutil as mu
+
+        cur = jnp.asarray(denoise_renderer(self, iterations=iterations))
+        cam = self.camera
+        view = mu.look_at(cam.eye, cam.center, cam.up)
+        proj = mu.perspective(cam.yfov, self.width / self.height, cam.znear, cam.zfar)
+        vp = jnp.asarray((proj.astype(np.float64) @ view.astype(np.float64)).astype(np.float32))
+        if temporal and self._history is not None and self._prev_vp is not None and self._last_aux is not None:
+            pos = jnp.asarray(self._last_aux["first_pos"]).reshape(self.height, self.width, 3)
+            solid = jnp.asarray(self._last_aux["solid"]).reshape(self.height, self.width)
+            mv = motion_vectors(pos, solid, self._prev_vp, vp, self.width, self.height)
+            cur = temporal_accumulate(cur, self._history, mv, jnp.ones((self.height, self.width), bool))
+        self._history = cur
+        self._prev_vp = vp
+        return np.asarray(cur)
 
     def image_with_silhouette(self) -> np.ndarray:
         """Tonemapped image + selection outline (reference silhouette pass,
