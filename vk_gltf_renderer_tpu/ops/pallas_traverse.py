@@ -51,7 +51,14 @@ PACKET_BIG_TILES = 8  # coherent rays: 8 tiles (8192 rays) share one stack
 STACK = 128
 
 
-def _traverse_kernel(nodes_f_ref, nodes_i_ref, tris_ref, ro_ref, rd_ref, out_ref, stack_ref):
+def _make_kernel(anyhit: bool):
+    def kernel(nodes_f_ref, nodes_i_ref, tris_ref, ro_ref, rd_ref, out_ref, stack_ref):
+        return _traverse_body(nodes_f_ref, nodes_i_ref, tris_ref, ro_ref, rd_ref, out_ref, stack_ref, anyhit)
+
+    return kernel
+
+
+def _traverse_body(nodes_f_ref, nodes_i_ref, tris_ref, ro_ref, rd_ref, out_ref, stack_ref, anyhit=False):
     """One packet vs the whole VMEM-resident BVH.
 
     nodes_f: [Nn, 16] f32 (l_lo, l_hi, r_lo, r_hi, pad) — child AABB pairs
@@ -192,14 +199,14 @@ def _traverse_kernel(nodes_f_ref, nodes_i_ref, tris_ref, ro_ref, rd_ref, out_ref
     out_ref[0, 3] = v_best
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tiles"))
-def traverse_packets(nodes_f, nodes_i, tris, rays_ro, rays_rd, interpret=False, tiles=1):
+@functools.partial(jax.jit, static_argnames=("interpret", "tiles", "anyhit"))
+def traverse_packets(nodes_f, nodes_i, tris, rays_ro, rays_rd, interpret=False, tiles=1, anyhit=False):
     """rays_ro/rays_rd: [G, 4, tiles*8, 128] packed (x,y,z,tmax|tmin).
     Returns [G, 4, tiles*8, 128] (t, tri, u, v)."""
     g = rays_ro.shape[0]
     sub = tiles * SUB
     return pl.pallas_call(
-        _traverse_kernel,
+        _make_kernel(anyhit),
         grid=(g,),
         in_specs=[
             pl.BlockSpec(nodes_f.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -235,7 +242,7 @@ def _pack(ro, rd, tmin, tmax, packet):
     return ro_p, rd_p, n
 
 
-def intersect_rays_packet(wb, ro, rd, tmin=0.0, tmax=None, interpret=False, coherent=False):
+def intersect_rays_packet(wb, ro, rd, tmin=0.0, tmax=None, interpret=False, coherent=False, anyhit=False):
     """intersect_rays-compatible API over the flattened world BVH.
 
     coherent=True uses 8x bigger packets (8192 lanes, one shared stack) —
@@ -250,7 +257,7 @@ def intersect_rays_packet(wb, ro, rd, tmin=0.0, tmax=None, interpret=False, cohe
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tiles = PACKET_BIG_TILES if (coherent and n >= PACKET * PACKET_BIG_TILES) else 1
     ro_p, rd_p, n0 = _pack(ro, rd, tmin, tmax, PACKET * tiles)
-    out = traverse_packets(wb.nodes_f, wb.nodes_i, wb.tris, ro_p, rd_p, interpret=interpret, tiles=tiles)
+    out = traverse_packets(wb.nodes_f, wb.nodes_i, wb.tris, ro_p, rd_p, interpret=interpret, tiles=tiles, anyhit=anyhit)
     flatd = out.transpose(0, 2, 3, 1).reshape(-1, 4)[:n0]
     t = flatd[:, 0]
     wtri = flatd[:, 1].astype(jnp.int32)

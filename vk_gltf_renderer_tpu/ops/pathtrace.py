@@ -159,7 +159,7 @@ def _inverse_perm(order):
     return jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
 
 
-def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=None, coherent=False, order=None):
+def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=None, coherent=False, order=None, anyhit=False):
     """Traversal dispatch: Pallas packet kernel on TPU (553 Mrays/s coherent
     on v5e), stackless XLA wavefront elsewhere (portable, same results).
 
@@ -189,10 +189,14 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
         order = None
         ro_s, rd_s, tmax_s, tmin_s = ro, rd, tmax, tmin
 
-    if cfg.traversal == "packet":
+    if cfg.traversal == "null":  # profiling stub: everything misses
+        n_ = ro_s.shape[0]
+        hits = {"t": jnp.full(n_, INFINITE), "rnode": jnp.full(n_, -1, jnp.int32),
+                "tri": jnp.full(n_, -1, jnp.int32), "u": jnp.zeros(n_), "v": jnp.zeros(n_)}
+    elif cfg.traversal == "packet":
         from .pallas_traverse import intersect_rays_packet
 
-        hits = intersect_rays_packet(bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s, coherent=coherent)
+        hits = intersect_rays_packet(bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s, coherent=coherent, anyhit=anyhit)
     else:
         hits = intersect_rays_wavefront(bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s)
 
@@ -291,7 +295,7 @@ def _trace_shadow(flat, bvh, ro, rd, dist, seed, cfg: RenderConfig, alive=None, 
     (gltf_pathtrace.slang:776-820 semantics)."""
     n = ro.shape[0]
     if "transmission" not in cfg.features and not cfg.alpha_any:
-        hits = trace_closest(bvh, ro, rd, cfg, tmin=0.0, tmax=dist, alive=alive, coherent=True, order=order)
+        hits = trace_closest(bvh, ro, rd, cfg, tmin=0.0, tmax=dist, alive=alive, coherent=True, order=order, anyhit=True)
         occluded = hits["tri"] >= 0
         return jnp.where(occluded[..., None], 0.0, 1.0), seed
 
