@@ -47,6 +47,7 @@ class WorldBvh:
     wtri_rnode: np.ndarray
     wtri_tri: np.ndarray
     refit_levels: np.ndarray  # [L,K] internal-node ids, deepest level first (-1 pad)
+    portal_roots: np.ndarray  # [P] node ids of the treelet cut (phase-B roots)
     num_world_tris: int
 
     def tree_flatten(self):
@@ -127,7 +128,8 @@ def build_world_bvh(flat) -> WorldBvh:
         return WorldBvh(
             nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
             wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
-            refit_levels=np.full((1, 1), -1, np.int32), num_world_tris=1,
+            refit_levels=np.full((1, 1), -1, np.int32),
+            portal_roots=np.zeros(1, np.int32), num_world_tris=1,
         )
 
     # native (C++) builder when available; numpy path is the oracle/fallback
@@ -272,6 +274,7 @@ def build_world_bvh(flat) -> WorldBvh:
         nodes_self[0, 0:3] = tlo.min(axis=0)
         nodes_self[0, 3:6] = thi.max(axis=0)
         refit_levels = np.full((1, 1), -1, np.int32)
+        portal_roots = np.zeros(1, np.int32)
     else:
         child_info = {}
         for i in order_nodes:
@@ -327,6 +330,21 @@ def build_world_bvh(flat) -> WorldBvh:
                 for c in (nodes_i[nd, 0], nodes_i[nd, 1]):
                     depth[c] = depth[nd] + 1
                     bfs.append(int(c))
+
+        # treelet cut for the binned traversal (ops/treelet.py): portals =
+        # nodes at depth K (or shallower leaves). K targets ~256 portals so
+        # phase-A top-cut cost and phase-B subtree size balance.
+        target = 256
+        K = max(1, int(np.ceil(np.log2(min(target, max(nn // 8, 2))))))
+        portal_list = []
+        for nd in bfs:
+            d = depth[nd]
+            if d == K or (d < K and nodes_i[nd, 3] > 0):
+                portal_list.append(nd)
+        nodes_i[:, 6] = -1
+        for pid, nd in enumerate(portal_list):
+            nodes_i[nd, 6] = pid
+        portal_roots = np.asarray(portal_list, np.int32)
         internal_ids = np.nonzero(nodes_i[:, 3] == 0)[0]
         levels = []
         for d in range(int(depth[internal_ids].max()), -1, -1):
@@ -347,7 +365,7 @@ def build_world_bvh(flat) -> WorldBvh:
     return WorldBvh(
         nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
         wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
-        refit_levels=refit_levels, num_world_tris=nt,
+        refit_levels=refit_levels, portal_roots=portal_roots, num_world_tris=nt,
     )
 
 

@@ -109,6 +109,7 @@ class RenderConfig:
     transmission_rounds: int = 4  # shadow-ray transmission marches
     traversal: str = "packet"  # "packet" (Pallas, TPU) | "wavefront" (XLA)
     sort_rays: bool = True  # reorder rays (octant+Morton) before each trace
+    packet_tiles: int = 8  # max 1024-lane tiles sharing one traversal stack (measured optimum in-frame)
     # solid background (eSceneUseSolidBackground): None or (r, g, b)
     background: tuple | None = None
     # infinite plane + shadow catcher (frameInfo.infinitePlane*,
@@ -196,7 +197,7 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
     elif cfg.traversal == "packet":
         from .pallas_traverse import intersect_rays_packet
 
-        hits = intersect_rays_packet(bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s, coherent=coherent, anyhit=anyhit)
+        hits = intersect_rays_packet(bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s, coherent=coherent, anyhit=anyhit, max_tiles=cfg.packet_tiles)
     else:
         hits = intersect_rays_wavefront(bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s)
 

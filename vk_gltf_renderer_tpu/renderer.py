@@ -101,6 +101,7 @@ class GltfRenderer:
         self.accum = None
         self._render_fn = None
         self._cfg = None
+        self.packet_tiles = 8  # traversal stack width (1024-lane tiles)
         self.animate = False
         self.firefly_clamp = 10.0
         self.env_intensity = 1.0
@@ -319,6 +320,7 @@ class GltfRenderer:
             plane_height=self.plane_height,
             plane_shadow_catcher=self.plane_shadow_catcher,
             shadow_catcher_darken=self.shadow_catcher_darken,
+            packet_tiles=self.packet_tiles,
         )
 
     def _ensure_render_fn(self):
