@@ -35,7 +35,7 @@ import numpy as np
 
 from .bvh import _build_radix_tree, morton3d
 
-LEAF_SIZE = 4
+LEAF_SIZE = 8
 
 
 @dataclass
@@ -71,8 +71,192 @@ def _register():
 _register()
 
 
+def _levels_and_portals(nodes_i):
+    """Shared post-pass: BFS depths -> (refit_levels, portal cut).
+
+    Mutates nodes_i[:, 6] with portal ids (treelet cut) and returns
+    (refit_levels, portal_roots)."""
+    nn = nodes_i.shape[0]
+    depth = np.full(nn, -1, np.int64)
+    depth[0] = 0
+    bfs = [0]
+    for nd in bfs:
+        if nodes_i[nd, 3] == 0:  # internal
+            for c in (nodes_i[nd, 0], nodes_i[nd, 1]):
+                depth[c] = depth[nd] + 1
+                bfs.append(int(c))
+
+    # treelet cut (see traversal notes): portals = nodes at depth K, or
+    # shallower leaves; K targets ~256 portals.
+    target = 256
+    K = max(1, int(np.ceil(np.log2(min(target, max(nn // 8, 2))))))
+    portal_list = []
+    for nd in bfs:
+        d = depth[nd]
+        if d == K or (d < K and nodes_i[nd, 3] > 0):
+            portal_list.append(nd)
+    nodes_i[:, 6] = -1
+    for pid, nd in enumerate(portal_list):
+        nodes_i[nd, 6] = pid
+    portal_roots = np.asarray(portal_list, np.int32)
+
+    internal_ids = np.nonzero(nodes_i[:, 3] == 0)[0]
+    levels = []
+    if internal_ids.size:
+        for d in range(int(depth[internal_ids].max()), -1, -1):
+            lv = internal_ids[depth[internal_ids] == d]
+            if lv.size:
+                levels.append(lv)
+    if not levels:
+        return np.full((1, 1), -1, np.int32), portal_roots
+    kmax = max(len(lv) for lv in levels)
+    refit_levels = np.full((len(levels), kmax), -1, np.int32)
+    for idx, lv in enumerate(levels):
+        refit_levels[idx, : len(lv)] = lv
+    return refit_levels, portal_roots
+
+
+_SAH_BINS = 16
+
+
+def _build_sah(tlo, thi, cen):
+    """Top-down binned SAH build (Wald 2007-style, 16 bins per axis).
+
+    Replaces the LBVH radix tree for moderate triangle counts: SAH trees
+    cost ~1.3-2x fewer node visits per ray, which multiplies directly into
+    the packet kernel's per-frame traversal time (its cost is
+    visits x packet count). Same output contract as the LBVH path:
+      (order, nodes_i, nodes_f, nodes_self)
+    with leaves <= LEAF_SIZE tris over the REORDERED triangle array, the
+    near-child contract (left = smaller centroid on nodes_i[:,5]) and
+    parents in nodes_i[:,4]. Reference builds its BLAS via the Vulkan
+    driver (gltf_scene_rtx.cpp); the build policy here is ours.
+    """
+    nt = tlo.shape[0]
+    perm = np.arange(nt, dtype=np.int64)
+    # first pass: recursive partition producing (first,count) leaves and a
+    # temp tree in parent-before-child order
+    t_left, t_right, t_first, t_count, t_axis = [], [], [], [], []
+    t_lo, t_hi = [], []
+
+    def new_node():
+        t_left.append(-1)
+        t_right.append(-1)
+        t_first.append(-1)
+        t_count.append(0)
+        t_axis.append(0)
+        t_lo.append(None)
+        t_hi.append(None)
+        return len(t_left) - 1
+
+    root = new_node()
+    stack = [(root, 0, nt)]
+    while stack:
+        nid, s, e = stack.pop()
+        ids = perm[s:e]
+        n = e - s
+        lo = tlo[ids].min(axis=0)
+        hi = thi[ids].max(axis=0)
+        t_lo[nid] = lo
+        t_hi[nid] = hi
+        if n <= LEAF_SIZE:
+            t_first[nid] = s
+            t_count[nid] = n
+            continue
+        c = cen[ids]
+        clo = c.min(axis=0)
+        chi = c.max(axis=0)
+        ext = chi - clo
+        best_cost = np.inf
+        best_axis = -1
+        best_split = -1
+        best_bins = None
+        for axis in range(3):
+            if ext[axis] <= 1e-12:
+                continue
+            b = np.minimum(
+                ((c[:, axis] - clo[axis]) * (_SAH_BINS / ext[axis])).astype(np.int64),
+                _SAH_BINS - 1,
+            )
+            cnt = np.bincount(b, minlength=_SAH_BINS)
+            blo = np.full((_SAH_BINS, 3), np.inf)
+            bhi = np.full((_SAH_BINS, 3), -np.inf)
+            np.minimum.at(blo, b, tlo[ids])
+            np.maximum.at(bhi, b, thi[ids])
+            # prefix (left) and suffix (right) sweep boxes
+            llo = np.minimum.accumulate(blo, axis=0)
+            lhi = np.maximum.accumulate(bhi, axis=0)
+            rlo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+            rhi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+            lcnt = np.cumsum(cnt)
+
+            def area(alo, ahi):
+                d = np.maximum(ahi - alo, 0.0)
+                return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+            # split after bin k: left = bins [0,k], right = [k+1, NB)
+            la = area(llo[:-1], lhi[:-1])
+            ra = area(rlo[1:], rhi[1:])
+            lc = lcnt[:-1]
+            rc = n - lc
+            cost = la * lc + ra * rc
+            cost[(lc == 0) | (rc == 0)] = np.inf
+            k = int(np.argmin(cost))
+            if cost[k] < best_cost:
+                best_cost = cost[k]
+                best_axis = axis
+                best_split = k
+                best_bins = b
+        if best_axis < 0:
+            # degenerate (all centroids equal): median split keeps depth log n
+            mid = s + n // 2
+        else:
+            mask = best_bins <= best_split
+            mid = s + int(mask.sum())
+            perm[s:e] = np.concatenate([ids[mask], ids[~mask]])
+            t_axis[nid] = best_axis
+        if mid == s or mid == e:  # SAH refused; force median
+            mid = s + n // 2
+        l_id = new_node()
+        r_id = new_node()
+        t_left[nid] = l_id
+        t_right[nid] = r_id
+        stack.append((r_id, mid, e))
+        stack.append((l_id, s, mid))
+
+    nn = len(t_left)
+    nodes_i = np.zeros((nn, 8), np.int32)
+    nodes_f = np.zeros((nn, 16), np.float32)
+    nodes_self = np.zeros((nn, 8), np.float32)
+    parent = np.full(nn, -1, np.int32)
+    for nid in range(nn):
+        nodes_self[nid, 0:3] = t_lo[nid]
+        nodes_self[nid, 3:6] = t_hi[nid]
+        if t_count[nid] > 0:
+            nodes_i[nid, 2] = t_first[nid]
+            nodes_i[nid, 3] = t_count[nid]
+            continue
+        l_id, r_id, axis = t_left[nid], t_right[nid], t_axis[nid]
+        # near-child contract: left = smaller centroid on the split axis
+        cl = (t_lo[l_id][axis] + t_hi[l_id][axis]) * 0.5
+        cr = (t_lo[r_id][axis] + t_hi[r_id][axis]) * 0.5
+        if cr < cl:
+            l_id, r_id = r_id, l_id
+        nodes_i[nid, 0] = l_id
+        nodes_i[nid, 1] = r_id
+        nodes_i[nid, 5] = axis
+        nodes_f[nid, 0:3] = t_lo[l_id]
+        nodes_f[nid, 3:6] = t_hi[l_id]
+        nodes_f[nid, 6:9] = t_lo[r_id]
+        nodes_f[nid, 9:12] = t_hi[r_id]
+        parent[l_id] = nid
+        parent[r_id] = nid
+    nodes_i[:, 4] = parent
+    return perm, nodes_i, nodes_f, nodes_self
+
+
 def build_world_bvh(flat) -> WorldBvh:
-    """Bake instances to world space + LBVH over all world triangles."""
+    """Bake instances to world space + SAH/LBVH over all world triangles."""
     vtx = np.asarray(flat.vtx_pos, np.float64)
     tri_idx = np.asarray(flat.tri_idx)
     rn_o2w = np.asarray(flat.rn_o2w, np.float64)
@@ -130,6 +314,27 @@ def build_world_bvh(flat) -> WorldBvh:
             wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
             refit_levels=np.full((1, 1), -1, np.int32),
             portal_roots=np.zeros(1, np.int32), num_world_tris=1,
+        )
+
+    # binned SAH (default: better trees -> fewer node visits per packet);
+    # LBVH radix tree above the size cutoff or via VKGR_BVH=lbvh
+    import os
+
+    use_sah = os.environ.get("VKGR_BVH", "sah") == "sah" and nt <= 300_000
+    if use_sah and nt > LEAF_SIZE:
+        order, nodes_i, nodes_f, nodes_self = _build_sah(tlo, thi, cen)
+        wv = wv[order]
+        wtri_rnode = wtri_rnode[order]
+        wtri_tri = wtri_tri[order]
+        refit_levels, portal_roots = _levels_and_portals(nodes_i)
+        tris16 = np.zeros((nt + LEAF_SIZE, 16), np.float32)
+        tris16[:nt, :9] = wv
+        wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
+        wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
+        return WorldBvh(
+            nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
+            wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
+            refit_levels=refit_levels, portal_roots=portal_roots, num_world_tris=nt,
         )
 
     # native (C++) builder when available; numpy path is the oracle/fallback
@@ -320,41 +525,7 @@ def build_world_bvh(flat) -> WorldBvh:
             nodes_self[nid, 0:3] = lo
             nodes_self[nid, 3:6] = hi
         nodes_i[:, 4] = parent_new
-
-        # refit levels over internal nodes (deepest first)
-        depth = np.full(nn, -1, np.int64)
-        depth[0] = 0
-        bfs = [0]
-        for nd in bfs:
-            if nodes_i[nd, 3] == 0:  # internal
-                for c in (nodes_i[nd, 0], nodes_i[nd, 1]):
-                    depth[c] = depth[nd] + 1
-                    bfs.append(int(c))
-
-        # treelet cut for the binned traversal (ops/treelet.py): portals =
-        # nodes at depth K (or shallower leaves). K targets ~256 portals so
-        # phase-A top-cut cost and phase-B subtree size balance.
-        target = 256
-        K = max(1, int(np.ceil(np.log2(min(target, max(nn // 8, 2))))))
-        portal_list = []
-        for nd in bfs:
-            d = depth[nd]
-            if d == K or (d < K and nodes_i[nd, 3] > 0):
-                portal_list.append(nd)
-        nodes_i[:, 6] = -1
-        for pid, nd in enumerate(portal_list):
-            nodes_i[nd, 6] = pid
-        portal_roots = np.asarray(portal_list, np.int32)
-        internal_ids = np.nonzero(nodes_i[:, 3] == 0)[0]
-        levels = []
-        for d in range(int(depth[internal_ids].max()), -1, -1):
-            lv = internal_ids[depth[internal_ids] == d]
-            if lv.size:
-                levels.append(lv)
-        kmax = max(len(l) for l in levels)
-        refit_levels = np.full((len(levels), kmax), -1, np.int32)
-        for idx, lv in enumerate(levels):
-            refit_levels[idx, : len(lv)] = lv
+        refit_levels, portal_roots = _levels_and_portals(nodes_i)
 
     # LEAF_SIZE padding rows let leaf loops fetch fixed-size slabs without
     # bounds checks (degenerate zero triangles never hit)

@@ -44,6 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .bvh_flatten import LEAF_SIZE
+
 INFINITE = jnp.float32(1e32)
 SUB, LANE = 8, 128
 PACKET = SUB * LANE  # base packet: 1024 rays (bounce rays)
@@ -158,7 +160,7 @@ def _traverse_body(nodes_f_ref, nodes_i_ref, tris_ref, ro_ref, rd_ref, out_ref, 
         is_leaf = count > 0
 
         def leaf(sp, t_best, tri_best, u_best, v_best):
-            for c in range(4):  # LEAF_SIZE (tris table is padded)
+            for c in range(LEAF_SIZE):  # tris table is padded
                 t_best, tri_best, u_best, v_best = tri_test(
                     first + c, t_best, tri_best, u_best, v_best, (c < count) & en
                 )

@@ -28,6 +28,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .bvh_flatten import LEAF_SIZE
+
 INFINITE = jnp.float32(1e32)
 
 FROM_PARENT = 0
@@ -124,7 +126,7 @@ def traverse_wavefront(nodes_self, nodes_i, tris, ro, rd, tmin, tmax, max_steps=
         hit = aabb_hit(f, t_best) & testing
         do_tri = hit & leaf
         first = meta[:, 2]
-        for c in range(4):  # LEAF_SIZE (tris padded at build)
+        for c in range(LEAF_SIZE):  # tris padded at build
             row = first + c
             tv = tris[row]
             thit, tt, uu, vv = tri_hit(tv, t_best)
