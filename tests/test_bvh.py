@@ -114,3 +114,50 @@ def test_blas_forest_counts(box_glb):
     # root AABB == scene AABB of the primitive
     np.testing.assert_allclose(lo[roots[0]], np.asarray(flat.vtx_pos).min(axis=0), atol=1e-6)
     np.testing.assert_allclose(hi[roots[0]], np.asarray(flat.vtx_pos).max(axis=0), atol=1e-6)
+
+
+def test_sah_native_matches_numpy_oracle():
+    """Native (C++) binned-SAH builder must produce a structurally valid
+    tree with the same shape + cost as the numpy oracle (_build_sah)."""
+    import numpy as np
+    import pytest
+
+    from vk_gltf_renderer_tpu.native import build_sah_native
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import LEAF_SIZE, _build_sah
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    v0 = rng.rand(n, 3).astype(np.float32) * 10
+    e = rng.rand(n, 3, 3).astype(np.float32) * 0.3
+    tris = v0[:, None, :] + e
+    tlo, thi = tris.min(1), tris.max(1)
+    cen = (tlo + thi) * 0.5
+
+    nat = build_sah_native(tlo, thi, cen, LEAF_SIZE)
+    if nat is None:
+        pytest.skip("native toolchain unavailable")
+    ref = _build_sah(tlo, thi, cen)
+
+    for built in (nat, ref):
+        perm, ni, nf, ns = built
+        assert sorted(perm.tolist()) == list(range(n))
+        leaves = ni[ni[:, 3] > 0]
+        segs = sorted((int(f), int(c)) for f, c in leaves[:, 2:4])
+        pos = 0
+        for f, c in segs:
+            assert f == pos
+            pos += c
+        assert pos == n
+        tl, th = tlo[perm], thi[perm]
+        internal = np.nonzero(ni[:, 3] == 0)[0]
+        for nid in internal:
+            l, r = ni[nid, 0], ni[nid, 1]
+            assert ni[l, 4] == nid and ni[r, 4] == nid
+            assert (nf[nid, 0:3] == ns[l, 0:3]).all()
+            assert (nf[nid, 9:12] == ns[r, 3:6]).all()
+        for nid in np.nonzero(ni[:, 3] > 0)[0]:
+            f, c = ni[nid, 2], ni[nid, 3]
+            assert (tl[f : f + c] >= ns[nid, 0:3] - 1e-4).all()
+            assert (th[f : f + c] <= ns[nid, 3:6] + 1e-4).all()
+
+    assert nat[1].shape == ref[1].shape  # same tree size

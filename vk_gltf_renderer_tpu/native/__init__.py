@@ -65,8 +65,62 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.vkgr_build_sah.restype = ctypes.c_int
+    lib.vkgr_build_sah.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return _lib
+
+
+def build_sah_native(tlo: np.ndarray, thi: np.ndarray, cen: np.ndarray, leaf_size: int):
+    """Binned-SAH build in C++ (parallel near the root).
+
+    Returns (perm [n] i64, nodes_i [nn,8] i32, nodes_f [nn,16] f32,
+    nodes_self [nn,8] f32) in the ops.bvh_flatten layout, or None if the
+    native library is unavailable. Same contract as
+    ops.bvh_flatten._build_sah (the numpy oracle)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = tlo.shape[0]
+    tlo = np.ascontiguousarray(tlo, np.float32)
+    thi = np.ascontiguousarray(thi, np.float32)
+    cen = np.ascontiguousarray(cen, np.float32)
+    perm = np.empty(n, np.int32)
+    cap = 2 * n
+    nodes_i = np.empty((cap, 8), np.int32)
+    nodes_f = np.zeros((cap, 16), np.float32)
+    nodes_self = np.empty((cap, 8), np.float32)
+    out_nn = np.zeros(1, np.int64)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    rc = lib.vkgr_build_sah(
+        n, p(tlo, ctypes.c_float), p(thi, ctypes.c_float), p(cen, ctypes.c_float),
+        leaf_size, p(perm, ctypes.c_int32), p(nodes_i, ctypes.c_int32),
+        p(nodes_f, ctypes.c_float), p(nodes_self, ctypes.c_float),
+        p(out_nn, ctypes.c_int64),
+    )
+    if rc != 0:
+        return None
+    nn = int(out_nn[0])
+    return (
+        perm.astype(np.int64),
+        np.ascontiguousarray(nodes_i[:nn]),
+        np.ascontiguousarray(nodes_f[:nn]),
+        np.ascontiguousarray(nodes_self[:nn]),
+    )
 
 
 def build_radix_tree_native(tlo: np.ndarray, thi: np.ndarray, cen: np.ndarray):

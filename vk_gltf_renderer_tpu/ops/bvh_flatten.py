@@ -320,9 +320,17 @@ def build_world_bvh(flat) -> WorldBvh:
     # LBVH radix tree above the size cutoff or via VKGR_BVH=lbvh
     import os
 
-    use_sah = os.environ.get("VKGR_BVH", "sah") == "sah" and nt <= 300_000
+    use_sah = os.environ.get("VKGR_BVH", "sah") == "sah"
     if use_sah and nt > LEAF_SIZE:
-        order, nodes_i, nodes_f, nodes_self = _build_sah(tlo, thi, cen)
+        from ..native import build_sah_native
+
+        built = build_sah_native(tlo, thi, cen, LEAF_SIZE)
+        if built is None and nt <= 300_000:  # numpy oracle path (slow: python loop)
+            built = _build_sah(tlo, thi, cen)
+        if built is None:
+            use_sah = False
+    if use_sah and nt > LEAF_SIZE:
+        order, nodes_i, nodes_f, nodes_self = built
         wv = wv[order]
         wtri_rnode = wtri_rnode[order]
         wtri_tri = wtri_tri[order]
