@@ -363,3 +363,23 @@ def test_volume_scatter_runs_and_converges():
     img = r.image_linear()
     assert np.isfinite(img).all()
     assert img.mean() > 0.01
+
+
+def test_sheen_lut_energy_and_preview():
+    """Directional-albedo LUT: bounded by 1 (white furnace), higher for
+    rougher sheen at grazing; preview consumes it without NaNs."""
+    import numpy as np
+
+    from vk_gltf_renderer_tpu.ops.sheen_lut import compute_sheen_lut, sheen_albedo
+
+    lut = compute_sheen_lut()
+    assert lut.shape == (32, 32)
+    assert np.isfinite(lut).all()
+    assert (lut >= 0).all() and (lut <= 1.05).all()  # near-white-furnace bound
+    # grazing view reflects more sheen than head-on for rough sheen
+    assert lut[2, -1] > lut[-1, -1]
+
+    import jax.numpy as jnp
+
+    e = sheen_albedo(jnp.asarray([0.1, 0.5, 1.0]), jnp.asarray([0.8, 0.8, 0.8]))
+    assert jnp.isfinite(e).all() and (e >= 0).all()

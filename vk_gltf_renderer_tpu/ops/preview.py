@@ -76,6 +76,16 @@ def render_preview(flat, bvh, env, frame, cfg: RenderConfig):
     kd = (1.0 - pbr["metallic"])[..., None] * pbr["base_color"]
     color = pbr["emissive"] + kd * irr / jnp.pi + spec
 
+    if "sheen" in cfg.features:
+        # energy-correct sheen under IBL via the directional-albedo LUT
+        # (Khronos albedo-scaling recipe; LUT integrates the SAME Charlie D
+        # + Ashikhmin V lobe the path tracer evaluates, ops/sheen_lut.py)
+        from .sheen_lut import sheen_albedo
+
+        e_sheen = sheen_albedo(ndotv, pbr["sheen_roughness"])
+        scale = 1.0 - jnp.max(pbr["sheen_color"], axis=-1) * e_sheen
+        color = color * scale[..., None] + pbr["sheen_color"] * (e_sheen[..., None] * irr / jnp.pi)
+
     # single sun shadow when using the sky (matches raster sun shading)
     if cfg.env_kind == "sky":
         sun_dir = env["sun_dir"]
