@@ -161,3 +161,32 @@ def test_sah_native_matches_numpy_oracle():
             assert (th[f : f + c] <= ns[nid, 3:6] + 1e-4).all()
 
     assert nat[1].shape == ref[1].shape  # same tree size
+
+
+def test_bvh4_matches_brute_oracle():
+    """BVH4 collapse + 4-wide kernel (interpret mode) vs per-triangle brute."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.pallas_traverse import intersect_rays_packet
+    from vk_gltf_renderer_tpu.ops.traverse import as_device, intersect_brute
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    flat = build_scene_flat(sc)
+    wb = build_world_bvh(flat)
+    rng = np.random.RandomState(5)
+    n = 1024
+    ro = rng.randn(n, 3).astype(np.float32) * 2
+    rd = rng.randn(n, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    h4 = intersect_rays_packet(as_device(wb), jnp.asarray(ro), jnp.asarray(rd), interpret=True, wide=True)
+    hb = intersect_brute(as_device(flat), jnp.asarray(ro), jnp.asarray(rd))
+    t4, tb = np.asarray(h4["t"]), np.asarray(hb["t"])
+    assert ((t4 < 1e30) == (tb < 1e30)).all()
+    m = tb < 1e30
+    assert np.allclose(t4[m], tb[m], atol=1e-4)
+    assert (np.asarray(h4["tri"])[m] == np.asarray(hb["tri"])[m]).all()

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .bvh_flatten import LEAF_SIZE
+
 
 def skin_vertices(positions, normals, joints0, weights0, joint_matrices):
     """4-influence linear-blend skinning (skinning.comp.slang:28-70).
@@ -94,9 +96,10 @@ def refit_world_bvh(wb, new_tris):
     """Refit node AABBs after vertex/transform animation (the reference's
     BLAS ALLOW_UPDATE path, gltf_scene_rtx.cpp:551 updateBottomLevelAS).
 
-    wb: WorldBvh (child-box layout, <=4-tri leaves) with precomputed refit
-    levels; new_tris [T'+4,16] in BVH order.
-    Returns (nodes_f', nodes_self', tris') — topology unchanged.
+    wb: WorldBvh (child-box layout, <=LEAF_SIZE-tri leaves) with
+    precomputed refit levels; new_tris [T'+pad,16] in BVH order.
+    Returns (nodes_f', nodes_self', nodes4_f', tris') — topology unchanged;
+    the BVH4 mirror is regathered through wb.map4.
     """
     v0 = new_tris[:, 0:3]
     v1 = new_tris[:, 3:6]
@@ -114,7 +117,7 @@ def refit_world_bvh(wb, new_tris):
     big = jnp.float32(3e37)
     leaf_lo = jnp.full((nn, 3), big)
     leaf_hi = jnp.full((nn, 3), -big)
-    for c in range(4):
+    for c in range(LEAF_SIZE):
         row = first + c
         valid = (leaf_mask & (c < count))[:, None]
         leaf_lo = jnp.where(valid, jnp.minimum(leaf_lo, tlo[row]), leaf_lo)
@@ -147,7 +150,19 @@ def refit_world_bvh(wb, new_tris):
     nodes_f = jnp.concatenate(
         [lo[lsafe], hi[lsafe], lo[rsafe], hi[rsafe], jnp.zeros((nn, 4))], axis=1
     ).astype(jnp.float32)
-    return nodes_f, nodes_self, new_tris
+    # BVH4 mirror: child boxes regathered from the binary self boxes; empty
+    # slots (map4 == -1) keep their inverted never-hit boxes
+    map4 = jnp.asarray(wb.map4)
+    old4 = jnp.asarray(wb.nodes4_f)
+    parts = []
+    for slot in range(4):
+        src = map4[:, slot]
+        safe_src = jnp.maximum(src, 0)
+        box = jnp.concatenate([lo[safe_src], hi[safe_src]], axis=1)
+        box = jnp.where((src >= 0)[:, None], box, old4[:, 6 * slot : 6 * slot + 6])
+        parts.append(box)
+    nodes4_f = jnp.concatenate(parts + [old4[:, 24:]], axis=1).astype(jnp.float32)
+    return nodes_f, nodes_self, nodes4_f, new_tris
 
 
 def bake_world_tris(vtx_pos, tri_idx, rn_o2w, wtri_rnode, wtri_tri):

@@ -48,6 +48,9 @@ class WorldBvh:
     wtri_tri: np.ndarray
     refit_levels: np.ndarray  # [L,K] internal-node ids, deepest level first (-1 pad)
     portal_roots: np.ndarray  # [P] node ids of the treelet cut (phase-B roots)
+    nodes4_i: np.ndarray  # [M,8] BVH4: c0..c3 (see build_bvh4), axis0..2, pad
+    nodes4_f: np.ndarray  # [M,32] BVH4: 4 child AABBs
+    map4: np.ndarray  # [M,4] binary source node per child slot (refit)
     num_world_tris: int
 
     def tree_flatten(self):
@@ -309,11 +312,13 @@ def build_world_bvh(flat) -> WorldBvh:
         tris16[0, :9] = wv[0]
         wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
         wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
+        n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
         return WorldBvh(
             nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
             wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
             refit_levels=np.full((1, 1), -1, np.int32),
-            portal_roots=np.zeros(1, np.int32), num_world_tris=1,
+            portal_roots=np.zeros(1, np.int32),
+            nodes4_i=n4i, nodes4_f=n4f, map4=m4, num_world_tris=1,
         )
 
     # binned SAH (default: better trees -> fewer node visits per packet);
@@ -339,10 +344,12 @@ def build_world_bvh(flat) -> WorldBvh:
         tris16[:nt, :9] = wv
         wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
         wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
+        n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
         return WorldBvh(
             nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
             wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
-            refit_levels=refit_levels, portal_roots=portal_roots, num_world_tris=nt,
+            refit_levels=refit_levels, portal_roots=portal_roots,
+            nodes4_i=n4i, nodes4_f=n4f, map4=m4, num_world_tris=nt,
         )
 
     # native (C++) builder when available; numpy path is the oracle/fallback
@@ -541,12 +548,121 @@ def build_world_bvh(flat) -> WorldBvh:
     tris16[:nt, :9] = wv
     wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
     wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
+    n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
     return WorldBvh(
         nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
         wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
-        refit_levels=refit_levels, portal_roots=portal_roots, num_world_tris=nt,
+        refit_levels=refit_levels, portal_roots=portal_roots,
+        nodes4_i=n4i, nodes4_f=n4f, map4=m4, num_world_tris=nt,
     )
 
 
 def vmem_bytes(wb: WorldBvh) -> int:
     return wb.nodes_f.nbytes + wb.nodes_i.nbytes + wb.tris.nbytes
+
+
+# ---------------------------------------------------------------- BVH4
+# 2-level collapse of the binary tree into 4-wide nodes for the packet
+# kernel: per pop, ONE [1,32] fetch tests 4 child boxes — the vector work
+# per tree progress is unchanged (4 box tests either way) while the scalar
+# work (pops, fetches, conds — the measured kernel bottleneck) is ~halved.
+#
+#   nodes4_f [M, 32] f32: 4 child AABBs (lo3 hi3 each, slots of 6; 24 used,
+#                         pad 8). Missing children get inverted boxes
+#                         (lo=+BIG, hi=-BIG) so their slab test never hits.
+#   nodes4_i [M, 8]  i32: c0..c3 (>=0: BVH4 internal id; <0: leaf encoded
+#                         as -(first*16+count)-1; missing = -1 i.e. count 0),
+#                         axis0 (this split), axis1 (left pair), axis2
+#                         (right pair), pad
+#   map4     [M, 4]  i32: source BINARY node id per child slot (-1 missing)
+#                         — refit recomputes nodes4_f = nodes_self[map4].
+
+_B4_EMPTY_LO = 3e38
+_B4_EMPTY_HI = -3e38
+
+
+def _leaf_code(first, count):
+    return -(int(first) * 16 + int(count)) - 1
+
+
+def build_bvh4(nodes_i, nodes_f, nodes_self):
+    """Collapse the flattened binary tree into the BVH4 layout."""
+    del nodes_f  # boxes come from nodes_self (child own-boxes)
+
+    def child_entry(b):
+        """binary child id -> (slot4_value_or_placeholder, is_internal)"""
+        if nodes_i[b, 3] > 0:  # binary leaf
+            return _leaf_code(nodes_i[b, 2], nodes_i[b, 3]), False, b
+        return None, True, b
+
+    n4_i, n4_f, m4 = [], [], []
+    id_of = {}
+    from collections import deque
+
+    if nodes_i[0, 3] > 0:  # root is a leaf: single BVH4 node with 1 child
+        n4_i.append([_leaf_code(nodes_i[0, 2], nodes_i[0, 3]), -1, -1, -1, 0, 0, 0, 0])
+        f = np.full(32, 0.0, np.float32)
+        f[0:24:6] = _B4_EMPTY_LO
+        f[0:3] = nodes_self[0, 0:3]
+        f[3:6] = nodes_self[0, 3:6]
+        for s in range(1, 4):
+            f[6 * s : 6 * s + 3] = _B4_EMPTY_LO
+            f[6 * s + 3 : 6 * s + 6] = _B4_EMPTY_HI
+        n4_f.append(f)
+        m4.append([0, -1, -1, -1])
+        return (
+            np.asarray(n4_i, np.int32),
+            np.stack(n4_f).astype(np.float32),
+            np.asarray(m4, np.int32),
+        )
+
+    work = deque([0])
+    id_of[0] = 0
+    n4_i.append(None)
+    n4_f.append(None)
+    m4.append(None)
+    while work:
+        b = work.popleft()
+        nid = id_of[b]
+        l, r = int(nodes_i[b, 0]), int(nodes_i[b, 1])
+        slots = []  # (binary id or None, leaf_code or None)
+        axes = [int(nodes_i[b, 5]), 0, 0]
+        for side, c in ((1, l), (2, r)):
+            if nodes_i[c, 3] > 0:  # leaf child occupies one slot, pad one
+                slots.append(c)
+                slots.append(None)
+            else:
+                axes[side] = int(nodes_i[c, 5])
+                slots.append(int(nodes_i[c, 0]))
+                slots.append(int(nodes_i[c, 1]))
+        row_i = [0, 0, 0, 0, axes[0], axes[1], axes[2], 0]
+        row_f = np.empty(32, np.float32)
+        row_f[24:] = 0.0
+        row_m = [-1, -1, -1, -1]
+        for s, c in enumerate(slots):
+            if c is None:
+                row_i[s] = -1
+                row_f[6 * s : 6 * s + 3] = _B4_EMPTY_LO
+                row_f[6 * s + 3 : 6 * s + 6] = _B4_EMPTY_HI
+                continue
+            row_m[s] = c
+            row_f[6 * s : 6 * s + 3] = nodes_self[c, 0:3]
+            row_f[6 * s + 3 : 6 * s + 6] = nodes_self[c, 3:6]
+            if nodes_i[c, 3] > 0:
+                row_i[s] = _leaf_code(nodes_i[c, 2], nodes_i[c, 3])
+            else:
+                if c not in id_of:
+                    id_of[c] = len(n4_i)
+                    n4_i.append(None)
+                    n4_f.append(None)
+                    m4.append(None)
+                    work.append(c)
+                row_i[s] = id_of[c]
+        n4_i[nid] = row_i
+        n4_f[nid] = row_f
+        m4[nid] = row_m
+    return (
+        np.asarray(n4_i, np.int32),
+        np.stack(n4_f).astype(np.float32),
+        np.asarray(m4, np.int32),
+    )

@@ -176,7 +176,7 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
         tmax = jnp.full((n,), tmax)
     if alive is not None:
         tmax = jnp.where(alive, tmax, -1.0)
-    do_sort = cfg.sort_rays and cfg.traversal == "packet" and n >= 4096
+    do_sort = cfg.sort_rays and cfg.traversal in ("packet", "packet4") and n >= 4096
     if do_sort:
         if order is None:
             keys = _sort_keys(bvh, ro, rd, alive if alive is not None else jnp.ones(n, bool))
@@ -194,10 +194,13 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
         n_ = ro_s.shape[0]
         hits = {"t": jnp.full(n_, INFINITE), "rnode": jnp.full(n_, -1, jnp.int32),
                 "tri": jnp.full(n_, -1, jnp.int32), "u": jnp.zeros(n_), "v": jnp.zeros(n_)}
-    elif cfg.traversal == "packet":
+    elif cfg.traversal in ("packet", "packet4"):
         from .pallas_traverse import intersect_rays_packet
 
-        hits = intersect_rays_packet(bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s, coherent=coherent, anyhit=anyhit, max_tiles=cfg.packet_tiles)
+        hits = intersect_rays_packet(
+            bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s, coherent=coherent,
+            anyhit=anyhit, max_tiles=cfg.packet_tiles, wide=cfg.traversal == "packet4",
+        )
     else:
         hits = intersect_rays_wavefront(bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s)
 
@@ -422,7 +425,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         # ONE reorder per bounce, reused by the closest AND shadow traces
         # (shadow origins are the hit points — same spatial clustering)
         bounce_order = None
-        if cfg.sort_rays and cfg.traversal == "packet" and ro.shape[0] >= 4096:
+        if cfg.sort_rays and cfg.traversal in ("packet", "packet4") and ro.shape[0] >= 4096:
             keys = _sort_keys(bvh, ro, rd, alive)
             o_ = jnp.argsort(keys)
             bounce_order = (o_, _inverse_perm(o_))

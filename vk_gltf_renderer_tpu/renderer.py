@@ -14,6 +14,7 @@ Each on_render():
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -275,8 +276,10 @@ class GltfRenderer:
             vtx_pos, jnp.asarray(self.flat.tri_idx), jnp.asarray(o2w),
             jnp.asarray(self.bvh.wtri_rnode), jnp.asarray(self.bvh.wtri_tri),
         )
-        nodes_f, nodes_self, tris = refit_world_bvh(self.bvh, tris)
-        self.bvh = dataclasses.replace(self.bvh, nodes_f=nodes_f, nodes_self=nodes_self, tris=tris)
+        nodes_f, nodes_self, nodes4_f, tris = refit_world_bvh(self.bvh, tris)
+        self.bvh = dataclasses.replace(
+            self.bvh, nodes_f=nodes_f, nodes_self=nodes_self, nodes4_f=nodes4_f, tris=tris
+        )
         return True
 
     # -------------------------------------------------------------- frames
@@ -300,8 +303,9 @@ class GltfRenderer:
         feats = frozenset(feats)
         alpha_any = any(m.get("alphaMode", "OPAQUE") != "OPAQUE" for m in self.scene.model.materials)
         on_tpu = jax.devices()[0].platform != "cpu"
+        traversal = os.environ.get("VKGR_TRAVERSAL", "packet" if on_tpu else "wavefront")
         return RenderConfig(
-            traversal="packet" if on_tpu else "wavefront",
+            traversal=traversal,
             width=self.width,
             height=self.height,
             spp=self.spp,
