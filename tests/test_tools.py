@@ -218,3 +218,27 @@ def test_temporal_reprojection_shifts_history():
     # reprojected history aligns with the current bright column
     assert out[:, 6].mean() > 0.7
     assert out[:, 4].mean() < 0.2
+
+
+def test_terminal_viewer_scripted():
+    """Viewer loop end-to-end in scripted mode: orbit, dolly, renderer
+    toggle, denoise toggle, image out."""
+    import subprocess
+    import sys
+
+    out = "/tmp/viewer_test.png"
+    r = subprocess.run(
+        [sys.executable, "-m", "vk_gltf_renderer_tpu.viewer",
+         "--scenefile", "/root/reference/resources/Box.glb",
+         "--size", "32", "--keys", "ad+pn", "--output", out],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Saved" in r.stdout and "[preview +denoise]" in r.stdout
+    import numpy as np
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape[:2] == (32, 32) and img.max() > 0

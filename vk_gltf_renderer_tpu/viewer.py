@@ -1,0 +1,205 @@
+"""Interactive terminal viewer — the framework's interactive front end.
+
+The reference is an interactive Vulkan app (GltfRenderer UI: orbit camera,
+renderer toggle, variants, denoiser toggle — renderer.cpp onUIRender /
+onRender loop + nvgui camera widgets). A TPU host has no swapchain, so the
+interactive surface here is the terminal: frames render on device and
+display as 24-bit ANSI half-blocks (2 px per character cell), with the same
+interaction verbs.
+
+Keys:
+  a / d      orbit azimuth        w / s    orbit elevation
+  + / -      dolly in / out       arrows   pan
+  p          toggle path tracer <-> preview renderer
+  n          toggle denoised display
+  v          cycle material variants
+  r          re-fit camera to scene bounds
+  q / Esc    quit
+
+Scripted mode (CI / no TTY): --keys "aadw+p q" replays a key sequence,
+rendering between keys, then writes --output and exits — the same loop the
+interactive path runs, minus the TTY.
+
+Usage:
+  python -m vk_gltf_renderer_tpu.viewer --scenefile scene.glb [--hdr e.hdr]
+      [--size 96] [--spp 1] [--keys "..."] [--output out.png]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _halfblocks(img: np.ndarray) -> str:
+    """[H,W,3] uint8 -> ANSI string, 2 vertical pixels per cell."""
+    h, w = img.shape[:2]
+    if h % 2:
+        img = np.concatenate([img, np.zeros((1, w, 3), np.uint8)])
+        h += 1
+    top = img[0::2]
+    bot = img[1::2]
+    rows = []
+    for y in range(h // 2):
+        cells = []
+        for x in range(w):
+            tr, tg, tb = (int(v) for v in top[y, x])
+            br, bg, bb = (int(v) for v in bot[y, x])
+            cells.append(f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀")
+        rows.append("".join(cells) + "\x1b[0m")
+    return "\n".join(rows)
+
+
+class TerminalViewer:
+    def __init__(self, scene_path, hdr_path=None, size=96, spp=1, max_depth=3):
+        from .renderer import GltfRenderer
+
+        self.r = GltfRenderer(width=size, height=size, spp=spp, max_depth=max_depth)
+        self.r.create_scene(scene_path)
+        if hdr_path:
+            self.r.create_hdr(hdr_path)
+        self.denoised = False
+        self._orbit = [0.0, 0.3]  # azimuth, elevation offsets
+        self._fit = None
+        self._refresh_camera(reset=True)
+
+    # ---------------------------------------------------------- camera
+    def _refresh_camera(self, reset=False):
+        from .renderer import CameraState, fit_camera
+
+        if reset:
+            self._fit = fit_camera(self.r.scene)
+            self._orbit = [0.0, 0.3]
+            self._pan = np.zeros(3)
+            self._dist = float(np.linalg.norm(self._fit.eye - self._fit.center))
+        base = self._fit
+        az, el = self._orbit
+        el = float(np.clip(el, -1.4, 1.4))
+        c = np.asarray(base.center, np.float64) + self._pan
+        d = self._dist
+        eye = c + d * np.array([np.sin(az) * np.cos(el), np.sin(el), np.cos(az) * np.cos(el)])
+        self.r.camera = CameraState(eye=eye.astype(np.float32), center=c.astype(np.float32),
+                                    up=np.array([0, 1, 0], np.float32), yfov=base.yfov)
+        self.r.reset_frame()
+
+    # ---------------------------------------------------------- input
+    def handle_key(self, k: str) -> bool:
+        """Apply one interaction verb; False = quit."""
+        step = 0.15
+        if k in ("q", "\x1b"):
+            return False
+        if k == "a":
+            self._orbit[0] -= step
+        elif k == "d":
+            self._orbit[0] += step
+        elif k == "w":
+            self._orbit[1] += step
+        elif k == "s":
+            self._orbit[1] -= step
+        elif k == "+":
+            self._dist *= 0.85
+        elif k == "-":
+            self._dist /= 0.85
+        elif k == "r":
+            self._refresh_camera(reset=True)
+            return True
+        elif k == "p":
+            self.r.render_system = 1 - self.r.render_system
+            self.r.reset_frame()
+            return True
+        elif k == "n":
+            self.denoised = not self.denoised
+            return True
+        elif k == "v":
+            n = len(self.r.scene.model.extensions.get("KHR_materials_variants", {}).get("variants", [])) \
+                if self.r.scene.model.extensions else 0
+            if n:
+                self.r.set_variant((getattr(self.r, "_viewer_variant", -1) + 1) % n)
+                self.r._viewer_variant = (getattr(self.r, "_viewer_variant", -1) + 1) % n
+            return True
+        elif k == " ":
+            return True
+        else:
+            return True
+        self._refresh_camera()
+        return True
+
+    # ---------------------------------------------------------- frames
+    def frame_u8(self) -> np.ndarray:
+        self.r.on_render()
+        img = self.r.image_denoised() if self.denoised else self.r.image_tonemapped()
+        return np.asarray(np.clip(np.asarray(img) * 255.0, 0, 255), np.uint8)
+
+    def status(self) -> str:
+        mode = "preview" if self.r.render_system == 1 else "pathtrace"
+        dn = " +denoise" if self.denoised else ""
+        return f"[{mode}{dn}] frame {self.r.frame_idx} | a/d w/s orbit  +/- dolly  p renderer  n denoise  r refit  q quit"
+
+
+def run_interactive(v: TerminalViewer):
+    import select
+    import termios
+    import tty
+
+    fd = sys.stdin.fileno()
+    old = termios.tcgetattr(fd)
+    try:
+        tty.setcbreak(fd)
+        sys.stdout.write("\x1b[2J")  # clear
+        while True:
+            img = v.frame_u8()
+            sys.stdout.write("\x1b[H" + _halfblocks(img) + "\n" + v.status() + "\x1b[K\n")
+            sys.stdout.flush()
+            if select.select([sys.stdin], [], [], 0.01)[0]:
+                k = sys.stdin.read(1)
+                if not v.handle_key(k):
+                    break
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, old)
+        sys.stdout.write("\x1b[0m\n")
+
+
+def run_scripted(v: TerminalViewer, keys: str, output: str | None):
+    """Replay keys (space = just render a frame), write final image."""
+    alive = True
+    for k in keys:
+        v.frame_u8()
+        alive = v.handle_key(k)
+        if not alive:
+            break
+    img = v.frame_u8()
+    if output:
+        from PIL import Image
+
+        Image.fromarray(img).save(output)
+        print(f"Saved {output}")
+    # one pane of ANSI output proves the display path end-to-end
+    small = img[:: max(1, img.shape[0] // 16), :: max(1, img.shape[1] // 16)]
+    print(_halfblocks(small))
+    print(v.status())
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--scenefile", required=True)
+    p.add_argument("--hdr", default=None)
+    p.add_argument("--size", type=int, default=96)
+    p.add_argument("--spp", type=int, default=1)
+    p.add_argument("--maxDepth", type=int, default=3)
+    p.add_argument("--keys", default=None, help="scripted key sequence (no TTY needed)")
+    p.add_argument("--output", default=None)
+    args = p.parse_args(argv)
+
+    v = TerminalViewer(args.scenefile, args.hdr, size=args.size, spp=args.spp, max_depth=args.maxDepth)
+    if args.keys is not None or not sys.stdin.isatty():
+        run_scripted(v, args.keys or "", args.output)
+    else:
+        run_interactive(v)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
