@@ -155,3 +155,34 @@ def test_orthographic_camera_render():
     assert np.isfinite(img).all()
     solid = np.asarray(r._last_aux["solid"]).reshape(24, 24)
     assert solid.any()
+
+
+def test_material_edit_surgical_sync_matches_full_rebuild():
+    """MATERIALS-dirty sync must produce the same image as a from-scratch
+    rebuild (the surgical refresh_materials path vs build_scene_flat)."""
+    import numpy as np
+
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer
+
+    def render_after_edit(surgical: bool):
+        r = GltfRenderer(width=48, height=48, spp=1, max_depth=2)
+        r.create_scene("/root/reference/resources/shader_ball.gltf")
+        r.on_render()
+        m = r.scene.model.materials[0]
+        m.setdefault("pbrMetallicRoughness", {})["baseColorFactor"] = [0.1, 0.9, 0.2, 1.0]
+        m["pbrMetallicRoughness"]["metallicFactor"] = 0.0
+        from vk_gltf_renderer_tpu.models import DirtyFlags
+
+        r.scene.mark_dirty(DirtyFlags.MATERIALS)
+        if surgical:
+            r.sync_scene_changes()
+        else:
+            r.rebuild_device_scene()
+            r.reset_frame()
+        r.on_render()
+        return np.asarray(r.image_linear())
+
+    a = render_after_edit(True)
+    b = render_after_edit(False)
+    assert np.isfinite(a).all()
+    assert np.allclose(a, b, atol=1e-5), f"max diff {np.abs(a - b).max()}"

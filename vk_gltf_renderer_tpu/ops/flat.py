@@ -372,3 +372,45 @@ def _build_lights(scene) -> dict:
             ci, co = np.cos(inner), np.cos(outer)
             out["light_cone"][i] = [co, 1.0 / max(ci - co, 1e-4)]
     return out
+
+
+def refresh_materials(flat: SceneFlat, scene) -> SceneFlat:
+    """Surgical material/light sync: re-pack ONLY the material + texture-info
+    + light arrays and swap them into the existing SceneFlat — the analog of
+    the reference's updateMaterialBuffer / updateLightBuffer partial uploads
+    (gltf_scene_vk.cpp updateMaterial path) instead of a full SceneVk
+    rebuild. Geometry, BVH and the texture pool are untouched (image data
+    cannot change through material edits; texture ASSIGNMENTS can, which the
+    ti_* arrays carry)."""
+    import dataclasses
+
+    model = scene.model
+    conv = mats.MaterialConverter(model)
+    shade_mats = conv.convert_all()
+    mat_soa = _materials_soa(shade_mats)
+    mat_packed = _materials_packed(mat_soa, len(shade_mats))
+    ti = conv.texture_infos
+    lights = _build_lights(scene)
+    extra = {}
+    # the pool is pruned to textures in use; an edit can reference new ones
+    old_refs = set(int(v) for v in np.asarray(flat.ti_index).tolist() if v >= 0)
+    new_refs = set(int(t.index) for t in ti if t.index >= 0)
+    if not new_refs <= old_refs:
+        if model.images:
+            from .textures import build_texture_pool
+
+            tex = build_texture_pool(model, used_texinfos=ti)
+        else:
+            tex = _white_texture_pool()
+        extra = dict(tex_texels=tex[0], tex_desc=tex[1], tex_mip_table=tex[2], tex_num_mips=tex[3])
+    return dataclasses.replace(
+        flat,
+        materials=mat_soa,
+        mat_packed=mat_packed,
+        ti_index=np.array([t.index for t in ti], np.int32),
+        ti_texcoord=np.array([t.tex_coord for t in ti], np.int32),
+        ti_uvxform=np.stack([t.uv_transform for t in ti]).astype(np.float32),
+        num_lights=len(scene.render_lights),
+        **lights,
+        **extra,
+    )

@@ -195,7 +195,9 @@ class GltfRenderer:
                 self.flat = build_scene_flat(self.scene)
                 self.bvh = build_world_bvh(self.flat)
         elif df & (DirtyFlags.MATERIALS | DirtyFlags.LIGHTS):
-            self.flat = build_scene_flat(self.scene)
+            from .ops.flat import refresh_materials
+
+            self.flat = refresh_materials(self.flat, self.scene)
         self.scene.clear_dirty_flags()
         self.reset_frame()
         return True
