@@ -108,9 +108,17 @@ def append_accessor(model: GltfModel, data: np.ndarray, type_str: str, *, target
     buf = model.buffers[0]
     # 4-byte align
     pad = -len(buf) % 4
-    buf.extend(b"\0" * pad)
-    offset = len(buf)
-    buf.extend(data.tobytes())
+    offset = len(buf) + pad
+    payload = b"\0" * pad + data.tobytes()
+    try:
+        buf.extend(payload)
+    except BufferError:
+        # live numpy views (np.frombuffer) block bytearray resize; move the
+        # buffer to a fresh copy — old views keep the old object alive,
+        # future reads re-derive from model.buffers[0]
+        buf = bytearray(buf)
+        buf.extend(payload)
+        model.buffers[0] = buf
     model.gltf["buffers"][0]["byteLength"] = len(buf)
     bv = {"buffer": 0, "byteOffset": offset, "byteLength": data.nbytes}
     if target is not None:

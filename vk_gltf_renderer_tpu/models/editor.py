@@ -187,6 +187,17 @@ class SceneEditor:
         self.scene.mark_dirty(DirtyFlags.RENDER_NODES | DirtyFlags.PRIMITIVES_CHANGED)
 
     # ------------------------------------------------------------ primitives
+    def recompute_tangents(self, mesh_id: int, prim_id: int = 0) -> int:
+        """MikkTSpace-contract tangent recompute with vertex splitting
+        (reference recomputeTangents action, gltf_create_tangent.cpp).
+        Returns the number of split vertices; marks TANGENTS +
+        PRIMITIVES_CHANGED dirty (vertex count may change)."""
+        from .geometry import recompute_tangents_mikk
+
+        n = recompute_tangents_mikk(self.scene.model, mesh_id, prim_id)
+        self.scene.mark_dirty(DirtyFlags.TANGENTS | DirtyFlags.PRIMITIVES_CHANGED)
+        return n
+
     def add_primitive(self, kind: str, *, name: str | None = None, material: int | None = None, parent=None, segments: int = 32) -> int:
         """Add a procedural plane/cube/sphere node
         (reference gltf_scene_editor.hpp:54-84)."""

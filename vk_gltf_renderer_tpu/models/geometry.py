@@ -138,3 +138,132 @@ def _make_fast_tangent(n: np.ndarray) -> np.ndarray:
     b = n[:, 0] * n[:, 1] * a
     t = np.stack([1.0 + sgn * n[:, 0] * n[:, 0] * a, sgn * b, -sgn * n[:, 0]], axis=1)
     return t
+
+
+def generate_tangents_mikk(positions, normals, uv0, tri):
+    """MikkTSpace-contract tangent generation with vertex splitting.
+
+    The reference recomputes tangents through the MikkTSpace library
+    (gltf_create_tangent.cpp, recomputeTangents with vertex splitting).
+    This implements the same observable contract rather than binding the
+    library: per-face Lengyel tangents, corner-ANGLE weighting, averaging
+    restricted to same-HANDEDNESS corner groups, and vertices used with
+    both handednesses are SPLIT so each final vertex has one coherent
+    tangent frame (mirrored-UV seams stop averaging to garbage).
+
+    Returns (tan4 [V',4], tri' [T,3], dup_src [V'-V]) where dup_src maps
+    each appended duplicate vertex to its source row (the caller copies
+    the remaining attributes; positions/normals/uvs here are NOT copied).
+    """
+    v = positions
+    nvert = v.shape[0]
+    p0, p1, p2 = v[tri[:, 0]], v[tri[:, 1]], v[tri[:, 2]]
+    w0, w1, w2 = uv0[tri[:, 0]], uv0[tri[:, 1]], uv0[tri[:, 2]]
+    e1, e2 = p1 - p0, p2 - p0
+    du1, dv1 = w1[:, 0] - w0[:, 0], w1[:, 1] - w0[:, 1]
+    du2, dv2 = w2[:, 0] - w0[:, 0], w2[:, 1] - w0[:, 1]
+    det = du1 * dv2 - du2 * dv1
+    good = np.abs(det) >= 1e-20
+    r = np.where(good, 1.0 / np.where(det == 0, 1.0, det), 0.0)
+    tdir = (e1 * dv2[:, None] - e2 * dv1[:, None]) * r[:, None]
+    bdir = (e2 * du1[:, None] - e1 * du2[:, None]) * r[:, None]
+    face_sign = np.where(det < 0, -1, 1).astype(np.int8)  # UV mirrored?
+
+    # corner angles (MikkTSpace weighting)
+    def corner_angle(a, b, c):
+        u = b - a
+        w_ = c - a
+        un = u / np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-20)
+        wn = w_ / np.maximum(np.linalg.norm(w_, axis=1, keepdims=True), 1e-20)
+        return np.arccos(np.clip(np.sum(un * wn, axis=1), -1.0, 1.0))
+
+    ang = np.stack(
+        [corner_angle(p0, p1, p2), corner_angle(p1, p2, p0), corner_angle(p2, p0, p1)], axis=1
+    )  # [T,3]
+
+    # accumulate per (vertex, handedness-group)
+    acc_t = np.zeros((nvert, 2, 3))
+    acc_b = np.zeros((nvert, 2, 3))
+    grp = (face_sign < 0).astype(np.int64)  # 0 = +1 group, 1 = -1 group
+    for k in range(3):
+        w_k = ang[:, k : k + 1]
+        np.add.at(acc_t, (tri[:, k], grp), tdir * w_k)
+        np.add.at(acc_b, (tri[:, k], grp), bdir * w_k)
+
+    used = np.zeros((nvert, 2), bool)
+    for k in range(3):
+        used[tri[:, k], grp] = True
+    both = used[:, 0] & used[:, 1]
+
+    # split: group 0 keeps the original slot; group 1 gets a duplicate
+    dup_src = np.nonzero(both)[0].astype(np.int64)
+    new_of = np.full(nvert, -1, np.int64)
+    new_of[dup_src] = nvert + np.arange(dup_src.size)
+    nv2 = nvert + dup_src.size
+
+    tri2 = tri.copy().astype(np.int64)
+    for k in range(3):
+        vids = tri2[:, k]
+        moved = (grp == 1) & both[vids]
+        tri2[:, k] = np.where(moved, new_of[vids], vids)
+
+    # per final vertex: pick its group's accumulation (vertices used only in
+    # group 1 and not split keep their original slot with group-1 data)
+    g_of = np.zeros(nv2, np.int64)
+    g_of[:nvert] = np.where(~used[:, 0] & used[:, 1], 1, 0)
+    g_of[nvert:] = 1
+    src = np.concatenate([np.arange(nvert), dup_src])
+    t_acc = acc_t[src, g_of]
+    b_acc = acc_b[src, g_of]
+    n2 = normals[src]
+
+    t = t_acc - n2 * np.sum(n2 * t_acc, axis=1, keepdims=True)
+    tl = np.linalg.norm(t, axis=1, keepdims=True)
+    bad = tl[:, 0] < 1e-8
+    t = np.where(bad[:, None], _make_fast_tangent(n2), t / np.maximum(tl, 1e-20))
+    handed = np.where(np.sum(np.cross(n2, t) * b_acc, axis=1) < 0.0, -1.0, 1.0)
+    handed = np.where(bad, 1.0, handed)
+    tan4 = np.concatenate([t, handed[:, None]], axis=1).astype(np.float32)
+    return tan4, tri2.astype(np.int64), dup_src
+
+
+def recompute_tangents_mikk(model, mesh_id: int, prim_id: int = 0) -> int:
+    """Rewrite one primitive with MikkTSpace-contract tangents (splitting
+    vertices at handedness seams) — the model-level recompute-tangents
+    action. Returns the number of split (appended) vertices."""
+    from . import accessors as acc
+
+    prim = model.meshes[mesh_id]["primitives"][prim_id]
+    pd = extract_primitive(model, prim)
+    if pd.uv0 is None:
+        raise ValueError("primitive has no TEXCOORD_0; tangents need UVs")
+    nrm = pd.normals if pd.normals is not None else compute_smooth_normals(pd.positions, pd.indices)
+    tan4, tri2, dup_src = generate_tangents_mikk(pd.positions, nrm, pd.uv0, pd.indices)
+
+    def expand(a):
+        return np.concatenate([a, a[dup_src]]) if dup_src.size else a
+
+    attrs = {
+        "POSITION": (expand(pd.positions), "VEC3"),
+        "NORMAL": (expand(nrm.astype(np.float32)), "VEC3"),
+        "TANGENT": (tan4, "VEC4"),
+        "TEXCOORD_0": (expand(pd.uv0.astype(np.float32)), "VEC2"),
+    }
+    for name, arr in (
+        ("TEXCOORD_1", pd.uv1), ("COLOR_0", pd.color0),
+        ("JOINTS_0", pd.joints0), ("WEIGHTS_0", pd.weights0),
+    ):
+        if arr is not None:
+            kind = {2: "VEC2", 3: "VEC3", 4: "VEC4"}[arr.shape[1]]
+            attrs[name] = (expand(np.asarray(arr)), kind)
+
+    for name, (arr, kind) in attrs.items():
+        if name == "JOINTS_0":
+            arr = arr.astype(np.uint16)
+        else:
+            arr = arr.astype(np.float32)
+        prim["attributes"][name] = acc.append_accessor(model, arr, kind, target=34962)
+    prim["indices"] = acc.append_accessor(
+        model, tri2.astype(np.uint32).reshape(-1), "SCALAR", target=34963
+    )
+    return int(dup_src.size)
