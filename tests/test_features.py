@@ -383,3 +383,37 @@ def test_sheen_lut_energy_and_preview():
 
     e = sheen_albedo(jnp.asarray([0.1, 0.5, 1.0]), jnp.asarray([0.8, 0.8, 0.8]))
     assert jnp.isfinite(e).all() and (e >= 0).all()
+
+
+def test_iridescence_full_airy_properties():
+    """Full thin-film Fresnel (Belcour-Barla): vanishing film -> Schlick;
+    energy bounded; thickness shifts hue (channels diverge); TIR safe."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vk_gltf_renderer_tpu.ops.bsdf import _eval_iridescence, _schlick3
+
+    n = 64
+    cos1 = jnp.linspace(0.05, 1.0, n)
+    f0 = jnp.tile(jnp.asarray([[0.04, 0.04, 0.04]]), (n, 1))
+
+    # thickness ~ 0: the film IOR blends to the outside medium -> Schlick
+    thin = _eval_iridescence(jnp.full(n, 1.3), cos1, jnp.full(n, 1e-3), f0)
+    ref = _schlick3(f0, cos1)
+    assert np.allclose(np.asarray(thin), np.asarray(ref), atol=5e-3)
+
+    # a real film: bounded and channel-divergent (hue shift)
+    mid = _eval_iridescence(jnp.full(n, 1.3), cos1, jnp.full(n, 400.0), f0)
+    mid = np.asarray(mid)
+    assert np.isfinite(mid).all() and (mid >= 0).all() and (mid <= 1).all()
+    spread = mid.max(axis=1) - mid.min(axis=1)
+    assert spread.max() > 0.05  # interference separates the channels
+
+    # thickness sweep changes the color (phase moves)
+    a = np.asarray(_eval_iridescence(jnp.full(1, 1.3), jnp.asarray([0.8]), jnp.asarray([300.0]), f0[:1]))
+    b = np.asarray(_eval_iridescence(jnp.full(1, 1.3), jnp.asarray([0.8]), jnp.asarray([600.0]), f0[:1]))
+    assert np.abs(a - b).max() > 0.02
+
+    # film denser than incident medium at grazing: no NaNs (TIR branch)
+    g = _eval_iridescence(jnp.full(n, 0.8), cos1, jnp.full(n, 400.0), f0)
+    assert np.isfinite(np.asarray(g)).all()

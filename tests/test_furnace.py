@@ -178,7 +178,16 @@ def test_iridescence_shifts_specular_color():
     """Thin-film iridescence must make the specular reflection chromatic
     and vary with film thickness."""
     n = 4096
-    base = _pbr_default(n, metallic=jnp.ones(n), roughness=jnp.full((n, 2), 0.02))
+    # NOTE: a PERFECT reflector (f0 = 1) under a thin film is achromatic —
+    # R23 = 1 cancels every interference term in the exact airy stack
+    # (physically: nothing transmits into the base to interfere). Use a
+    # partial reflector so the film has something to work with.
+    base = _pbr_default(
+        n,
+        metallic=jnp.ones(n),
+        roughness=jnp.full((n, 2), 0.02),
+        base_color=jnp.full((n, 3), 0.6),
+    )
     k1 = _view_dirs(n, 7)
     k2 = k1 * jnp.asarray([-1.0, -1.0, 1.0])  # mirror directions
 

@@ -133,29 +133,98 @@ def _cos_hemisphere(N, T, B, u1, u2):
     return _from_local(local, T, B, N)
 
 
-def _apply_iridescence(pbr, f0, cos_theta):
-    """Thin-film interference modulation of the specular F0
-    (KHR_materials_iridescence; the reference evaluates it inside the
-    nvshaders fresnel stack, gltf_material_eval.h.slang:349-365 feeds the
-    parameters). Compact airy-lobe approximation: per-channel phase from
-    the optical path difference at three representative wavelengths."""
+# XYZ (CIE 1931) -> linear Rec.709, used by the thin-film sensitivity fit
+_XYZ_TO_RGB = (
+    (3.2404542, -1.5371385, -0.4985314),
+    (-0.9692660, 1.8760108, 0.0415560),
+    (0.0556434, -0.2040259, 1.0572252),
+)
+
+
+def _eval_sensitivity(opd, shift):
+    """Belcour-Barla spectral-sensitivity integral (Gaussian fits of the
+    CIE XYZ curves), opd in nanometers. Returns RGB [.., 3]."""
+    phase = 2.0 * jnp.pi * opd[..., None] * 1.0e-9  # meters
+    val = jnp.asarray([5.4856e-13, 4.4201e-13, 5.2481e-13])
+    pos = jnp.asarray([1.6810e06, 1.7953e06, 2.2084e06])
+    var = jnp.asarray([4.3278e09, 9.3046e09, 6.6121e09])
+    xyz = val * jnp.sqrt(2.0 * jnp.pi * var) * jnp.cos(pos * phase + shift) * jnp.exp(-var * phase * phase)
+    x_extra = (
+        9.7470e-14
+        * jnp.sqrt(2.0 * jnp.pi * 4.5282e09)
+        * jnp.cos(2.2399e06 * phase[..., 0] + shift[..., 0])
+        * jnp.exp(-4.5282e09 * phase[..., 0] * phase[..., 0])
+    )
+    xyz = xyz.at[..., 0].add(x_extra) / 1.0685e-7
+    m = jnp.asarray(_XYZ_TO_RGB)
+    return jnp.einsum("ij,...j->...i", m, xyz)
+
+
+def _ior_to_f0(nt, ni):
+    return ((nt - ni) / jnp.maximum(nt + ni, 1e-6)) ** 2
+
+
+def _f0_to_ior(f0):
+    r = jnp.sqrt(jnp.clip(f0, 0.0, 0.9999))
+    return (1.0 + r) / jnp.maximum(1.0 - r, 1e-6)
+
+
+def _eval_iridescence(n_film, cos_theta1, thickness, base_f0):
+    """Full thin-film interference Fresnel (Belcour & Barla 2017 as adopted
+    by KHR_materials_iridescence; the reference runs the same stack inside
+    nvshaders, gltf_material_eval.h.slang:349-365 feeds the parameters).
+    Airy summation with 2 interference orders through the CIE sensitivity
+    fits. Outside medium IOR = 1. Returns per-channel Fresnel [.., 3]."""
+    outside = 1.0
+    # the film vanishes below ~30nm: blend its IOR toward the outside medium
+    t01 = jnp.clip(thickness / 30.0, 0.0, 1.0)
+    film_ior = outside + (n_film - outside) * (t01 * t01 * (3.0 - 2.0 * t01))
+    sin2_1 = jnp.maximum(0.0, 1.0 - cos_theta1 * cos_theta1)
+    sin2_2 = (outside / jnp.maximum(film_ior, 1e-6)) ** 2 * sin2_1
+    tir = sin2_2 > 1.0
+    cos_theta2 = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_2))
+
+    # first interface (outside | film), scalar per lane. EXACT Fresnel —
+    # Schlick is wrong for a near-index-matched interface (f0 -> 0 but its
+    # grazing term stays (1-cos)^5), which would break the thin-film limit
+    r12 = _fresnel_dielectric(cos_theta1, outside, film_ior)
+    t121 = 1.0 - r12
+    phi12 = jnp.where(film_ior < outside, jnp.pi, 0.0)
+    phi21 = jnp.pi - phi12
+
+    # second interface (film | base), per channel via F0 -> equivalent IOR
+    base_ior = _f0_to_ior(base_f0)
+    r1 = _ior_to_f0(base_ior, film_ior[..., None])
+    r23 = _schlick3(r1, cos_theta2)
+    phi23 = jnp.where(base_ior < film_ior[..., None], jnp.pi, 0.0)
+
+    opd = 2.0 * film_ior * thickness * cos_theta2  # nm
+    phi = phi21[..., None] + phi23
+
+    r123 = jnp.clip(r12[..., None] * r23, 0.0, 0.9999)  # NO floor: a
+    # vanishing film must kill the interference terms exactly
+    sr123 = jnp.sqrt(r123)
+    rs = (t121[..., None] ** 2) * r23 / jnp.maximum(1.0 - r123, 1e-6)
+    irid = r12[..., None] + rs  # C0 (m = 0)
+    cm = rs - t121[..., None]
+    for m in (1, 2):
+        cm = cm * sr123
+        sm = 2.0 * _eval_sensitivity(m * opd, m * phi)
+        irid = irid + cm * sm
+    irid = jnp.clip(irid, 0.0, 1.0)
+    return jnp.where(tir[..., None], jnp.ones_like(irid), irid)
+
+
+def _fresnel_spec(pbr, f0, cos_theta):
+    """Specular Fresnel with optional thin-film iridescence: the spec mixes
+    the full airy evaluation against Schlick by the iridescence factor."""
+    fr = _schlick3(f0, cos_theta)
     irid = pbr.get("iridescence")
     if irid is None:
-        return f0
-    thick = pbr["iridescence_thickness"]  # nanometers
-    n_film = pbr["iridescence_ior"]
-    # refraction angle inside the film
-    sin2 = jnp.maximum(0.0, 1.0 - cos_theta * cos_theta) / jnp.maximum(n_film * n_film, 1e-6)
-    cos_t2 = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2))
-    opd = 2.0 * n_film * thick * cos_t2  # nm
-    lambdas = jnp.asarray([610.0, 550.0, 465.0])
-    phi = (2.0 * jnp.pi) * opd[..., None] / lambdas + jnp.pi
-    # interference brightens (constructive, capped at 1) or darkens
-    # (destructive) each channel's reflectance
-    mod = 0.5 + 0.5 * jnp.cos(phi)
-    f_irid = jnp.clip(f0 * (2.0 * mod), 0.0, 1.0)
-    w = (irid * (thick > 0.0))[..., None]
-    return f0 * (1.0 - w) + f_irid * w
+        return fr
+    f_irid = _eval_iridescence(pbr["iridescence_ior"], cos_theta, pbr["iridescence_thickness"], f0)
+    w = (irid * (pbr["iridescence_thickness"] > 0.0))[..., None]
+    return fr * (1.0 - w) + f_irid * w
 
 
 def _f0_dielectric(pbr):
@@ -228,8 +297,7 @@ def bsdf_evaluate(pbr, k1, k2):
     f0_d = _f0_dielectric(pbr)
     m = pbr["metallic"][..., None]
     f0 = f0_d * (1.0 - m) + pbr["base_color"] * m
-    f0 = _apply_iridescence(pbr, f0, v_dot_h)
-    fr = _schlick3(f0, v_dot_h)
+    fr = _fresnel_spec(pbr, f0, v_dot_h)
 
     d = _ggx_d(h, ax, ay)
     g2 = _ggx_g2(k1_l, k2_l, ax, ay)
@@ -411,8 +479,7 @@ def bsdf_sample(pbr, k1, u, extra_u):
     f0_d = _f0_dielectric(pbr)
     m3 = pbr["metallic"][..., None]
     f0 = f0_d * (1.0 - m3) + pbr["base_color"] * m3
-    f0 = _apply_iridescence(pbr, f0, jnp.abs(dot3(k1, h_w)))
-    fr_imp = _schlick3(f0, jnp.abs(dot3(k1, h_w)))
+    fr_imp = _fresnel_spec(pbr, f0, jnp.abs(dot3(k1, h_w)))
     bsdf_over_pdf = jnp.where(
         (impulse & pick_g)[..., None], fr_imp / jnp.maximum(w_g, 1e-6)[..., None], bsdf_over_pdf
     )
