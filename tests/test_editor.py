@@ -278,3 +278,36 @@ def test_render_node_registry():
     assert rid >= 0
     assert reg.get_node_and_prim(rid) == (0, 0)
     assert rid in reg.render_nodes_for_node(0)
+
+
+def test_pick_honors_node_selectability():
+    """KHR_node_selectability: unselectable nodes are pick-transparent."""
+    import numpy as np
+
+    from conftest import make_triangle_gltf
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.models.gltf import load_model_from_json
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer
+
+    gltf, bufs = make_triangle_gltf()
+    r = GltfRenderer(width=32, height=32, spp=1, max_depth=1)
+    sc = Scene()
+    sc.load_from_model(load_model_from_json(gltf, bufs))
+    r.scene = sc
+    from vk_gltf_renderer_tpu.renderer import fit_camera
+
+    r.camera = fit_camera(sc)
+    r.rebuild_device_scene()
+    r.on_render()
+    hit = next(
+        ((x, y) for y in range(0, 32, 2) for x in range(0, 32, 2) if r.pick(x, y) >= 0),
+        None,
+    )
+    assert hit is not None  # the triangle is on screen somewhere
+    rid = r.pick(*hit)
+
+    node_id = sc.render_nodes[rid].ref_node_id
+    sc.model.nodes[node_id].setdefault("extensions", {})["KHR_node_selectability"] = {
+        "selectable": False
+    }
+    assert r.pick(*hit) == -1

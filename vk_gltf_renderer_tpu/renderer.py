@@ -455,10 +455,19 @@ class GltfRenderer:
         return np.asarray(silhouette(oid, jnp.asarray(mask), img))
 
     def pick(self, px: int, py: int) -> int:
-        """Ray-pick the render node under a pixel (reference RayPicker)."""
+        """Ray-pick the render node under a pixel (reference RayPicker).
+        Nodes marked unselectable (KHR_node_selectability) return -1, the
+        same contract the reference's selection path honors."""
         from .ops.postfx import pick_ray
 
-        return pick_ray(self, px, py)
+        rid = pick_ray(self, px, py)
+        if rid >= 0:
+            rn = self.scene.render_nodes[rid]
+            node = self.scene.model.nodes[rn.ref_node_id] if rn.ref_node_id >= 0 else {}
+            ext = node.get("extensions", {}).get("KHR_node_selectability", {})
+            if not ext.get("selectable", True):
+                return -1
+        return rid
 
     def save_image(self, path) -> None:
         """Headless image save (reference saveHeadlessOutputImage
