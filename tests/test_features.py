@@ -417,3 +417,83 @@ def test_iridescence_full_airy_properties():
     # film denser than incident medium at grazing: no NaNs (TIR branch)
     g = _eval_iridescence(jnp.full(n, 0.8), cos1, jnp.full(n, 400.0), f0)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def _encode_bc1_block(c0_565, c1_565, indices):
+    import struct
+
+    idx = 0
+    for i, v in enumerate(indices):
+        idx |= (v & 3) << (2 * i)
+    return struct.pack("<HHI", c0_565, c1_565, idx)
+
+
+def test_dds_bc1_and_uncompressed_decode():
+    """Hand-crafted DDS containers against the BC1 spec + raw BGRA."""
+    import struct
+
+    import numpy as np
+
+    from vk_gltf_renderer_tpu.ops.dds import decode_dds
+
+    # --- BC1: 4x4, c0 = pure red (0xF800), c1 = pure blue (0x001F),
+    # indices: row0 all c0, row1 all c1, row2 all 2/3 mix, row3 all 1/3 mix
+    blk = _encode_bc1_block(0xF800, 0x001F, [0] * 4 + [1] * 4 + [2] * 4 + [3] * 4)
+    header = b"DDS " + struct.pack("<I", 124) + struct.pack("<3I", 0, 4, 4)
+    header += b"\0" * (72 - 16)
+    header += struct.pack("<2I4s", 32, 0x4, b"DXT1") + b"\0" * 20
+    header += b"\0" * (124 + 4 - len(header))
+    img = decode_dds(header + blk)
+    assert img.shape == (4, 4, 4)
+    px = (img * 255).round().astype(int)
+    assert (px[0, 0] == [255, 0, 0, 255]).all()
+    assert (px[1, 0] == [0, 0, 255, 255]).all()
+    assert (px[2, 0] == [(2 * 255) // 3, 0, 255 // 3, 255]).all()
+    assert (px[3, 0] == [255 // 3, 0, (2 * 255) // 3, 255]).all()
+
+    # --- uncompressed 32-bit BGRA 2x2
+    raw = np.array(
+        [[[1, 2, 3, 255], [4, 5, 6, 255]], [[7, 8, 9, 255], [10, 11, 12, 255]]], np.uint8
+    )
+    bgra = raw[..., [2, 1, 0, 3]].tobytes()
+    header = b"DDS " + struct.pack("<I", 124) + struct.pack("<3I", 0, 2, 2)
+    header += b"\0" * (72 - 16)
+    header += struct.pack("<2I4s", 32, 0x40, b"\0\0\0\0")
+    header += struct.pack("<5I", 32, 0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000)
+    header += b"\0" * (124 + 4 - len(header))
+    img2 = decode_dds(header + bgra)
+    assert ((img2 * 255).round().astype(np.uint8) == raw).all()
+
+
+def test_ktx2_rgba8_and_zlib_decode():
+    import struct
+
+    import numpy as np
+
+    from vk_gltf_renderer_tpu.ops.dds import KTX2_MAGIC, decode_ktx2
+
+    rgba = np.arange(2 * 2 * 4, dtype=np.uint8).reshape(2, 2, 4)
+
+    def make(scheme, payload):
+        head = KTX2_MAGIC + struct.pack("<9I", 37, 1, 2, 2, 0, 0, 1, 1, scheme)
+        # dfd/kvd/sgd offsets+lengths (unused by our parser): 2I + 2I + 2Q
+        head += struct.pack("<2I2I2Q", 0, 0, 0, 0, 0, 0)
+        assert len(head) == 80
+        off = 80 + 24
+        head += struct.pack("<3Q", off, len(payload), rgba.nbytes)
+        return head + payload
+
+    img = decode_ktx2(make(0, rgba.tobytes()))
+    assert ((img * 255).round().astype(np.uint8) == rgba).all()
+
+    import zlib
+
+    img = decode_ktx2(make(3, zlib.compress(rgba.tobytes())))
+    assert ((img * 255).round().astype(np.uint8) == rgba).all()
+
+    import pytest
+
+    from vk_gltf_renderer_tpu.ops.dds import UnsupportedCodec
+
+    with pytest.raises(UnsupportedCodec):
+        decode_ktx2(make(2, b"zstd-data"))

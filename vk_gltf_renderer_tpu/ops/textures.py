@@ -57,7 +57,10 @@ def find_srgb_images(model) -> set:
 
 
 def decode_image(model, image: dict) -> np.ndarray:
-    """Decode one glTF image to float32 RGBA [H,W,4] in [0,1]."""
+    """Decode one glTF image to float32 RGBA [H,W,4] in [0,1].
+
+    PNG/JPG/WebP-by-PIL plus DDS and KTX2 containers (ops/dds.py — the
+    nv_dds/nv_ktx role, gltf_image_loader.cpp:1-242)."""
     from PIL import Image
 
     if "bufferView" in image:
@@ -65,20 +68,25 @@ def decode_image(model, image: dict) -> np.ndarray:
         buf = model.buffers[bv.get("buffer", 0)]
         off = bv.get("byteOffset", 0)
         data = bytes(buf[off : off + bv["byteLength"]])
-        img = Image.open(io.BytesIO(data))
     elif "uri" in image:
         uri = image["uri"]
         if uri.startswith("data:"):
             import base64
 
-            img = Image.open(io.BytesIO(base64.b64decode(uri.split(",", 1)[1])))
+            data = base64.b64decode(uri.split(",", 1)[1])
         else:
             from urllib.parse import unquote
 
-            img = Image.open(model.base_dir / unquote(uri))
+            data = (model.base_dir / unquote(uri)).read_bytes()
     else:
         return np.ones((1, 1, 4), np.float32)
-    img = img.convert("RGBA")
+
+    from .dds import sniff_decode
+
+    decoded = sniff_decode(data)
+    if decoded is not None:
+        return decoded
+    img = Image.open(io.BytesIO(data)).convert("RGBA")
     return np.asarray(img, np.float32) / 255.0
 
 
