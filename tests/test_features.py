@@ -497,3 +497,56 @@ def test_ktx2_rgba8_and_zlib_decode():
 
     with pytest.raises(UnsupportedCodec):
         decode_ktx2(make(2, b"zstd-data"))
+
+
+def test_retroreflection_mrm_preview():
+    """KHR_materials_retroreflection: parsed into the material pipeline and
+    blended by the preview's MRM specular (reference applies it in the
+    raster path only, gltf_raster.slang:136-175)."""
+    import numpy as np
+
+    from vk_gltf_renderer_tpu.models.materials import MaterialConverter, detect_scene_features
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.models.gltf import load_model_from_json
+    from conftest import make_triangle_gltf
+
+    gltf, bufs = make_triangle_gltf()
+    gltf["materials"][0].setdefault("extensions", {})["KHR_materials_retroreflection"] = {
+        "retroreflectionFactor": 0.75
+    }
+    gltf.setdefault("extensionsUsed", []).append("KHR_materials_retroreflection")
+    sc = Scene()
+    sc.load_from_model(load_model_from_json(gltf, bufs))
+    feats = detect_scene_features(sc.model)
+    assert "retroreflection" in feats
+    conv = MaterialConverter(sc.model)
+    mats = conv.convert_all()
+    assert abs(mats[0].retroreflection_factor - 0.75) < 1e-6
+
+    # preview renders differently with the retro lobe on vs a copy with 0
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer, fit_camera
+
+    def render(factor):
+        g2 = {**gltf}
+        import copy
+
+        g2 = copy.deepcopy(gltf)
+        g2["materials"][0]["extensions"]["KHR_materials_retroreflection"][
+            "retroreflectionFactor"
+        ] = factor
+        g2["materials"][0]["pbrMetallicRoughness"] = {
+            "metallicFactor": 1.0, "roughnessFactor": 0.05,
+        }
+        r = GltfRenderer(width=32, height=32, spp=1, max_depth=1, render_system=1)
+        s2 = Scene()
+        s2.load_from_model(load_model_from_json(g2, bufs))
+        r.scene = s2
+        r.camera = fit_camera(s2)
+        r.rebuild_device_scene()
+        r.on_render()
+        return np.asarray(r.image_linear())
+
+    a = render(0.0)
+    b = render(1.0)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert np.abs(a - b).max() > 1e-4  # the lobe direction changed

@@ -34,6 +34,7 @@ ALL_FEATURES = (
     "anisotropy",
     "sheen",
     "dispersion",
+    "retroreflection",
     "specular_glossiness",
     "diffuse_transmission",
     "unlit",
@@ -97,6 +98,9 @@ class ShadeMaterial:
     sheen_roughness_factor: float = 0.0
     # KHR_materials_dispersion
     dispersion: float = 0.0
+    # KHR_materials_retroreflection (MRM, raster/preview path only — the
+    # reference's path tracer also ignores it, gltf_raster.slang:136-175)
+    retroreflection_factor: float = 0.0
     # KHR_materials_pbrSpecularGlossiness (deprecated)
     pbr_model: int = PBR_METALLIC_ROUGHNESS
     diffuse_factor: np.ndarray = field(default_factory=lambda: np.ones(4, np.float32))
@@ -116,6 +120,7 @@ class ShadeMaterial:
     emissive_texture: int = 0
     occlusion_texture: int = 0
     transmission_texture: int = 0
+    retroreflection_texture: int = 0
     thickness_texture: int = 0
     clearcoat_texture: int = 0
     clearcoat_roughness_texture: int = 0
@@ -256,6 +261,10 @@ class MaterialConverter:
             m.sheen_roughness_texture = self._tex_slot(e.get("sheenRoughnessTexture"))
         if "KHR_materials_dispersion" in ext:
             m.dispersion = ext["KHR_materials_dispersion"].get("dispersion", 0.0)
+        if "KHR_materials_retroreflection" in ext:
+            e = ext["KHR_materials_retroreflection"]
+            m.retroreflection_factor = e.get("retroreflectionFactor", 0.0)
+            m.retroreflection_texture = self._tex_slot(e.get("retroreflectionTexture"))
         if "KHR_materials_pbrSpecularGlossiness" in ext:
             e = ext["KHR_materials_pbrSpecularGlossiness"]
             m.pbr_model = PBR_SPECULAR_GLOSSINESS
@@ -300,6 +309,7 @@ def detect_scene_features(model) -> frozenset:
         "KHR_materials_anisotropy": "anisotropy",
         "KHR_materials_sheen": "sheen",
         "KHR_materials_dispersion": "dispersion",
+        "KHR_materials_retroreflection": "retroreflection",
         "KHR_materials_pbrSpecularGlossiness": "specular_glossiness",
         "KHR_materials_diffuse_transmission": "diffuse_transmission",
         "KHR_materials_unlit": "unlit",

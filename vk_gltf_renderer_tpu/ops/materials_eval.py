@@ -290,6 +290,15 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
     # ---- dispersion
     pbr["dispersion"] = m["dispersion"] if "dispersion" in features else jnp.zeros(shape)
 
+    # ---- retroreflection (consumed by the preview's MRM blend only; the
+    # reference's path tracer likewise ignores it)
+    if "retroreflection" in features:
+        retro = m["retroreflection_factor"]
+        retro = retro * _tex(flat, m["retroreflection_texture"], hit, lod)[..., 0]
+        pbr["retroreflection"] = retro
+    else:
+        pbr["retroreflection"] = jnp.zeros(shape)
+
     # ---- diffuse transmission
     if "diffuse_transmission" in features:
         dt = m["diffuse_transmission_factor"]

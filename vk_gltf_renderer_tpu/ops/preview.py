@@ -67,6 +67,13 @@ def render_preview(flat, bvh, env, frame, cfg: RenderConfig):
     # specular: single env fetch along the mirror direction, Schlick weight
     refl = rd - 2.0 * dot3(rd, N)[..., None] * N
     spec_env, _ = sample_environment(env, refl, cfg)
+    if "retroreflection" in cfg.features:
+        # MRM (the reference's raster-only model, gltf_raster.slang:136-175):
+        # the retro lobe evaluates the BRDF with the mirrored view, which for
+        # this one-fetch IBL approx means looking BACK toward the viewer
+        retro_env, _ = sample_environment(env, -rd, cfg)
+        w_r = pbr["retroreflection"][..., None]
+        spec_env = spec_env * (1.0 - w_r) + retro_env * w_r
     f0 = 0.04 * (1.0 - pbr["metallic"][..., None]) + pbr["base_color"] * pbr["metallic"][..., None]
     ndotv = jnp.abs(dot3(N, -rd))
     fres = f0 + (1.0 - f0) * ((1.0 - ndotv) ** 5)[..., None]
