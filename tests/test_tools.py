@@ -242,3 +242,28 @@ def test_terminal_viewer_scripted():
 
     img = np.asarray(Image.open(out))
     assert img.shape[:2] == (32, 32) and img.max() > 0
+
+
+def test_settings_persistence_cli_override(tmp_path, monkeypatch):
+    """Saved settings apply to flags NOT passed on the CLI; CLI wins when
+    passed (the reference's ini + wasParsed filter contract)."""
+    import json
+
+    monkeypatch.setenv("VKGR_SETTINGS", str(tmp_path / "settings.json"))
+    from vk_gltf_renderer_tpu.utils import settings as st
+    from vk_gltf_renderer_tpu.headless import build_parser
+
+    st.save_settings({"flags": {"ptDepth": 9, "tonemapper": "aces"},
+                      "recent_files": ["/tmp/a.glb"]})
+
+    argv = ["--scenefile", "x.glb", "--ptDepth", "3"]
+    args = build_parser().parse_args(argv)
+    st.apply_saved_settings(args, argv)
+    assert args.ptDepth == 3  # CLI wins
+    assert args.tonemapper == "aces"  # saved value fills the gap
+
+    st.remember(args, "/tmp/b.glb")
+    data = json.loads((tmp_path / "settings.json").read_text())
+    assert data["flags"]["ptDepth"] == 3
+    assert data["recent_files"][:2] == ["/tmp/b.glb", "/tmp/a.glb"]
+    assert st.recent_files()[0] == "/tmp/b.glb"

@@ -60,7 +60,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import sys
+
+    raw = argv if argv is not None else sys.argv[1:]
     args = build_parser().parse_args(argv)
+
+    # saved-settings overlay, CLI wins (the reference's ImGui-ini handler
+    # with the wasParsed CLI-override filter, renderer.cpp:224-254)
+    from .utils.settings import apply_saved_settings, remember
+
+    apply_saved_settings(args, raw)
 
     if args.platform:
         import jax
@@ -171,6 +180,7 @@ def main(argv=None) -> int:
         f"ms_per_frame={ms_per_frame:.2f} throughput_MSps={msps:.2f} Mrays_per_sec={mrays:.1f}"
     )
     print("BENCHMARK_JSON " + json.dumps(summary))
+    remember(args, args.scenefile)
     return 0
 
 
