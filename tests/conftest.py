@@ -8,6 +8,9 @@ import os
 # startup, so the env var alone is NOT enough — jax.config.update below is
 # the authoritative switch.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# isolate settings persistence: tests must not read or clobber the user's
+# ~/.config store (subprocess drives inherit this too)
+os.environ.setdefault("VKGR_SETTINGS", "/tmp/vkgr_test_settings.json")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
