@@ -28,13 +28,16 @@ CASES = [
     ("ball_sky", f"{RES}/shader_ball.gltf", None, {}),
     ("ball_hdr", f"{RES}/shader_ball.gltf", f"{RES}/std_env.hdr", {}),
     ("ball_hdr_dof", f"{RES}/shader_ball.gltf", f"{RES}/std_env.hdr", {"aperture": 0.02}),
+    ("ball_preview", f"{RES}/shader_ball.gltf", f"{RES}/std_env.hdr", {"render_system": 1}),
 ]
 
 
 def _render(scene_path, hdr_path, opts):
     from vk_gltf_renderer_tpu.renderer import GltfRenderer
 
-    r = GltfRenderer(width=128, height=128, spp=1, max_depth=3)
+    opts = dict(opts)
+    rs = opts.pop("render_system", 0)
+    r = GltfRenderer(width=128, height=128, spp=1, max_depth=3, render_system=rs)
     r.create_scene(scene_path)
     if hdr_path:
         r.create_hdr(hdr_path)
