@@ -267,3 +267,39 @@ def test_settings_persistence_cli_override(tmp_path, monkeypatch):
     assert data["flags"]["ptDepth"] == 3
     assert data["recent_files"][:2] == ["/tmp/b.glb", "/tmp/a.glb"]
     assert st.recent_files()[0] == "/tmp/b.glb"
+
+
+def test_benchmark_compare_thresholds(tmp_path, capsys):
+    """Harness self-test (reference utils/benchmark/tests/
+    test_benchmark_results.py role): compare flags time regressions over
+    the threshold, memory regressions over 64 MB, and passes otherwise."""
+    import csv
+    import types
+
+    from vk_gltf_renderer_tpu.benchmark.__main__ import cmd_compare
+
+    def write(path, rows):
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["scene", "spp", "width", "ms_per_frame", "peak_bytes"])
+            w.writeheader()
+            for r in rows:
+                w.writerow(r)
+
+    old = tmp_path / "old.csv"
+    new = tmp_path / "new.csv"
+    base = {"scene": "s.glb", "spp": "1", "width": "64"}
+    write(old, [{**base, "ms_per_frame": "100.0", "peak_bytes": "1000000"}])
+
+    # within threshold: pass
+    write(new, [{**base, "ms_per_frame": "103.0", "peak_bytes": "1000000"}])
+    args = types.SimpleNamespace(old=str(old), new=str(new), threshold=5.0, mem_threshold_mb=64.0)
+    assert cmd_compare(args) == 0
+
+    # time regression: fail
+    write(new, [{**base, "ms_per_frame": "120.0", "peak_bytes": "1000000"}])
+    assert cmd_compare(args) == 1
+
+    # memory regression: fail
+    write(new, [{**base, "ms_per_frame": "100.0", "peak_bytes": str(1000000 + 100 * 1024 * 1024)}])
+    assert cmd_compare(args) == 1
+    capsys.readouterr()
