@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--infinitePlaneDistance", type=float, default=0.0)
     p.add_argument("--infinitePlaneShadowCatcher", type=int, default=0)
     p.add_argument("--variant", type=int, default=None, help="KHR_materials_variants index")
+    p.add_argument("--animate", type=int, default=0, help="play animations during headless frames")
+    p.add_argument("--animation", type=int, default=0, help="animation index to play")
     p.add_argument("--camera", type=float, nargs=9, default=None,
                    metavar=("EX", "EY", "EZ", "CX", "CY", "CZ", "UX", "UY", "UZ"),
                    help="override camera: eye, center, up")
@@ -113,6 +115,9 @@ def main(argv=None) -> int:
     if args.variant is not None:
         n = r.set_variant(args.variant)
         print(f"variant {args.variant}: switched {n} primitives")
+    if args.animate and r.scene.animations:
+        r.animate = True
+        r.scene.current_animation = max(0, min(args.animation, len(r.scene.animations) - 1))
     if args.camera:
         import numpy as _np
 
