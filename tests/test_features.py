@@ -550,3 +550,27 @@ def test_retroreflection_mrm_preview():
     b = render(1.0)
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert np.abs(a - b).max() > 1e-4  # the lobe direction changed
+
+
+def test_texture_extension_source_resolution():
+    """EXT_texture_webp / MSFT_texture_dds / KHR_texture_basisu sources
+    override the base texture.source fallback."""
+    from conftest import make_triangle_gltf
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.models.gltf import load_model_from_json
+    from vk_gltf_renderer_tpu.models.materials import MaterialConverter
+
+    gltf, bufs = make_triangle_gltf()
+    gltf["images"] = [{"uri": "fallback.png"}, {"uri": "real.webp"}]
+    gltf["textures"] = [{"source": 0, "extensions": {"EXT_texture_webp": {"source": 1}}}]
+    gltf["materials"][0]["pbrMetallicRoughness"] = {"baseColorTexture": {"index": 0}}
+    sc = Scene()
+    sc.load_from_model(load_model_from_json(gltf, bufs))
+    conv = MaterialConverter(sc.model)
+    conv.convert_all()
+    # texture-info slot 1 (slot 0 = no-texture sentinel) points at image 1
+    assert conv.texture_infos[1].index == 1
+
+    from vk_gltf_renderer_tpu.ops.textures import find_srgb_images
+
+    assert find_srgb_images(sc.model) == {1}

@@ -164,7 +164,17 @@ class MaterialConverter:
             return 0
         gltf_tex_index = tex_ref["index"]
         tex = self.model.textures[gltf_tex_index]
-        source = tex.get("source", tex.get("extensions", {}).get("KHR_texture_basisu", {}).get("source", -1))
+        # extension sources take precedence over the fallback `source`
+        # (EXT_texture_webp / MSFT_texture_dds / KHR_texture_basisu all
+        # carry {"source": image}; the base source is the PNG/JPG fallback)
+        text = tex.get("extensions", {})
+        source = -1
+        for e in ("EXT_texture_webp", "MSFT_texture_dds", "KHR_texture_basisu"):
+            if e in text and text[e].get("source") is not None:
+                source = text[e]["source"]
+                break
+        if source < 0:
+            source = tex.get("source", -1)
         tc = tex_ref.get("texCoord", 0)
         xf = tex_ref.get("extensions", {}).get("KHR_texture_transform")
         uvt = np.array([[1, 0, 0], [0, 1, 0]], np.float32)

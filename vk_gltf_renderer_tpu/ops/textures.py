@@ -41,7 +41,14 @@ def find_srgb_images(model) -> set:
         if not isinstance(tex_ref, dict) or "index" not in tex_ref:
             return
         tex = model.textures[tex_ref["index"]]
-        src = tex.get("source", -1)
+        src = -1
+        text = tex.get("extensions", {})
+        for e in ("EXT_texture_webp", "MSFT_texture_dds", "KHR_texture_basisu"):
+            if e in text and text[e].get("source") is not None:
+                src = text[e]["source"]
+                break
+        if src < 0:
+            src = tex.get("source", -1)
         if src >= 0:
             srgb.add(src)
 
