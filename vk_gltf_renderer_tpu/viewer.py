@@ -9,7 +9,7 @@ interaction verbs.
 
 Keys:
   a / d      orbit azimuth        w / s    orbit elevation
-  + / -      dolly in / out       arrows   pan
+  + / -      dolly in / out       h/j/k/l or arrows   pan
   p          toggle path tracer <-> preview renderer
   n          toggle denoised display
   v          cycle material variants
@@ -103,6 +103,17 @@ class TerminalViewer:
             self._dist *= 0.85
         elif k == "-":
             self._dist /= 0.85
+        elif k in ("h", "j", "k", "l"):
+            # pan in the camera plane (arrow keys alias to these)
+            import numpy as _np
+
+            az, el = self._orbit
+            right = _np.array([_np.cos(az), 0.0, -_np.sin(az)])
+            up = _np.array([0.0, 1.0, 0.0])
+            amt = self._dist * 0.05
+            self._pan = self._pan + {
+                "h": -right, "l": right, "k": up, "j": -up
+            }[k] * amt
         elif k == "r":
             self._refresh_camera(reset=True)
             return True
@@ -155,6 +166,14 @@ def run_interactive(v: TerminalViewer):
             sys.stdout.flush()
             if select.select([sys.stdin], [], [], 0.01)[0]:
                 k = sys.stdin.read(1)
+                if k == "\x1b":
+                    # arrow keys arrive as ESC [ A/B/C/D; a lone ESC quits
+                    if select.select([sys.stdin], [], [], 0.05)[0]:
+                        seq = sys.stdin.read(2)
+                        k = {"[A": "k", "[B": "j", "[C": "l", "[D": "h"}.get(seq, "")
+                        if not k:
+                            continue
+                    # else: bare ESC falls through to handle_key -> quit
                 if not v.handle_key(k):
                     break
     finally:
