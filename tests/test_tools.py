@@ -303,3 +303,62 @@ def test_benchmark_compare_thresholds(tmp_path, capsys):
     write(new, [{**base, "ms_per_frame": "100.0", "peak_bytes": str(1000000 + 100 * 1024 * 1024)}])
     assert cmd_compare(args) == 1
     capsys.readouterr()
+
+
+def test_headless_animate_flag(tmp_path):
+    """--animate plays the scene animation across headless frames: the
+    rendered pose differs from frame 0's."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    # synthetic 1s 180-degree rotation animation
+    positions = np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    times = np.array([0.0, 1.0], np.float32)
+    rots = np.array([[0, 0, 0, 1], [0, 0, 1, 0]], np.float32)
+    buf = positions.tobytes() + idx.tobytes() + b"\0\0" + times.tobytes() + rots.tobytes()
+    gltf = {
+        "asset": {"version": "2.0"}, "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}, "indices": 1, "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {"baseColorFactor": [0.8, 0.2, 0.2, 1]}}],
+        "animations": [{"channels": [{"sampler": 0, "target": {"node": 0, "path": "rotation"}}],
+                        "samplers": [{"input": 2, "output": 3, "interpolation": "LINEAR"}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3",
+             "min": [-1, -1, 0], "max": [1, 1, 0]},
+            {"bufferView": 1, "componentType": 5123, "count": 3, "type": "SCALAR"},
+            {"bufferView": 2, "componentType": 5126, "count": 2, "type": "SCALAR",
+             "min": [0], "max": [1]},
+            {"bufferView": 3, "componentType": 5126, "count": 2, "type": "VEC4"}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 6},
+            {"buffer": 0, "byteOffset": 44, "byteLength": 8},
+            {"buffer": 0, "byteOffset": 52, "byteLength": 32}],
+        "buffers": [{"uri": "anim.bin", "byteLength": len(buf)}],
+    }
+    (tmp_path / "anim.bin").write_bytes(buf)
+    (tmp_path / "anim.gltf").write_text(json.dumps(gltf))
+
+    def run(extra, out):
+        r = subprocess.run(
+            [sys.executable, "-m", "vk_gltf_renderer_tpu.headless",
+             "--scenefile", str(tmp_path / "anim.gltf"), "--size", "24", "24",
+             "--output", out] + extra,
+            capture_output=True, text=True, timeout=600,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"}, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-1500:]
+
+    from PIL import Image
+
+    run(["--frames", "1"], str(tmp_path / "f0.png"))
+    run(["--frames", "25", "--animate", "1"], str(tmp_path / "f25.png"))
+    a = np.asarray(Image.open(tmp_path / "f0.png")).astype(np.float32)
+    b = np.asarray(Image.open(tmp_path / "f25.png")).astype(np.float32)
+    assert np.abs(a - b).mean() > 1.0  # the triangle rotated
