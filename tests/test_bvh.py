@@ -190,3 +190,64 @@ def test_bvh4_matches_brute_oracle():
     m = tb < 1e30
     assert np.allclose(t4[m], tb[m], atol=1e-4)
     assert (np.asarray(h4["tri"])[m] == np.asarray(hb["tri"])[m]).all()
+
+
+def test_lane_traversal_matches_brute_oracle():
+    """Per-lane skip-pointer kernel (ops/lane_traverse.py, interpret mode)
+    vs per-triangle brute force, closest-hit AND any-hit occlusion."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.lane_traverse import intersect_rays_lane
+    from vk_gltf_renderer_tpu.ops.traverse import as_device, intersect_brute
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    flat = build_scene_flat(sc)
+    wb = build_world_bvh(flat)
+    rng = np.random.RandomState(7)
+    n = 2048
+    ro = rng.randn(n, 3).astype(np.float32) * 2
+    rd = rng.randn(n, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    hl = intersect_rays_lane(as_device(wb), jnp.asarray(ro), jnp.asarray(rd), interpret=True)
+    hb = intersect_brute(as_device(flat), jnp.asarray(ro), jnp.asarray(rd))
+    tl, tb = np.asarray(hl["t"]), np.asarray(hb["t"])
+    assert ((tl < 1e30) == (tb < 1e30)).all()
+    m = tb < 1e30
+    assert np.allclose(tl[m], tb[m], atol=1e-4)
+    assert (np.asarray(hl["tri"])[m] == np.asarray(hb["tri"])[m]).all()
+    assert (np.asarray(hl["rnode"])[m] == np.asarray(hb["rnode"])[m]).all()
+    # any-hit mode: identical OCCLUSION answer (not necessarily closest)
+    ha = intersect_rays_lane(as_device(wb), jnp.asarray(ro), jnp.asarray(rd), interpret=True, anyhit=True)
+    assert ((np.asarray(ha["tri"]) >= 0) == m).all()
+
+
+def test_lane_refit_pages_matches_rebuild():
+    """refit_lane_pages (device path) == a fresh host build on moved geometry."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.lane_traverse import build_lane_tree, refit_lane_pages
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    flat = build_scene_flat(sc)
+    wb = build_world_bvh(flat)
+    # perturb geometry: shift all tris; refit node boxes accordingly
+    tris2 = np.asarray(wb.tris).copy()
+    tris2[:, 0:9] += 0.25
+    ns2 = np.asarray(wb.nodes_self).copy()
+    ns2[:, 0:6] += 0.25
+    fresh, _, _ = build_lane_tree(wb.nodes_i, ns2, tris2, None)
+    refit = refit_lane_pages(
+        jnp.asarray(wb.lane_pages), jnp.asarray(wb.lane_geo_idx),
+        jnp.asarray(ns2), jnp.asarray(tris2),
+    )
+    assert np.allclose(np.asarray(refit), fresh, atol=1e-6)

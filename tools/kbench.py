@@ -1,0 +1,125 @@
+"""Traversal-kernel microbenchmark on the real TPU.
+
+Loads shader_ball, builds the flattened world BVH, and times kernel
+variants on (a) coherent primary rays, (b) semi-coherent bounce-like
+rays, (c) incoherent random rays. Timing follows utils/tpu_bench.py
+(enqueue N, one readback, subtract RTT).
+
+Usage: python tools/kbench.py [--rays 262144] [--variant packet]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from vk_gltf_renderer_tpu.models.scene import Scene
+from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh
+from vk_gltf_renderer_tpu.utils.tpu_bench import timeit_device
+
+
+def make_rays(wb, n, kind, seed=0):
+    """Ray sets mimicking frame stages."""
+    rng = np.random.default_rng(seed)
+    lo = np.asarray(wb.nodes_self[0, 0:3])
+    hi = np.asarray(wb.nodes_self[0, 3:6])
+    c = (lo + hi) / 2
+    ext = float(np.max(hi - lo))
+    if kind == "primary":
+        # pinhole camera looking at the scene center
+        s = int(np.sqrt(n))
+        eye = c + np.array([0.0, 0.3 * ext, 1.6 * ext])
+        px, py = np.meshgrid(np.linspace(-0.5, 0.5, s), np.linspace(-0.4, 0.2, s))
+        d = np.stack([px.ravel(), py.ravel(), -np.ones(s * s)], axis=-1)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        ro = np.broadcast_to(eye, (s * s, 3)).copy()
+        rd = d
+        n = s * s
+    elif kind == "bounce":
+        # origins on a sphere shell inside the scene, cosine-ish directions
+        u = rng.normal(size=(n, 3))
+        u /= np.linalg.norm(u, axis=-1, keepdims=True)
+        ro = c + u * ext * 0.25
+        rd = rng.normal(size=(n, 3))
+        rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    else:  # random
+        ro = c + (rng.random((n, 3)) - 0.5) * ext * 1.2
+        rd = rng.normal(size=(n, 3))
+        rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    return jnp.asarray(ro, jnp.float32), jnp.asarray(rd, jnp.float32)
+
+
+def sort_rays(wb, ro, rd):
+    """Morton sort like trace_closest does in-frame."""
+    from vk_gltf_renderer_tpu.ops.pathtrace import _sort_keys
+    keys = _sort_keys(None if False else type("B", (), {"nodes_self": wb.nodes_self})(), np.asarray(ro), np.asarray(rd), np.ones(ro.shape[0], bool))
+    o = np.argsort(np.asarray(keys))
+    return ro[o], rd[o]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=262144)
+    ap.add_argument("--scene", default="/root/reference/resources/shader_ball.gltf")
+    ap.add_argument("--tiles", type=int, default=8)
+    ap.add_argument("--kinds", default="primary,bounce,random")
+    ap.add_argument("--variants", default="packet")
+    ap.add_argument("--anyhit", action="store_true")
+    ap.add_argument("--sort", action="store_true")
+    ap.add_argument("--inner", type=int, default=4)
+    args = ap.parse_args()
+
+    scene = Scene()
+    scene.load(args.scene)
+    flat = build_scene_flat(scene)
+    wb = build_world_bvh(flat)
+    print(f"scene: {wb.num_world_tris} world tris, {wb.nodes_i.shape[0]} nodes", flush=True)
+
+    for kind in args.kinds.split(","):
+        ro, rd = make_rays(wb, args.rays, kind)
+        if args.sort:
+            ro, rd = sort_rays(wb, ro, rd)
+        n = ro.shape[0]
+        for variant in args.variants.split(","):
+            if variant == "packet":
+                from vk_gltf_renderer_tpu.ops.pallas_traverse import intersect_rays_packet
+
+                def run(ro, rd):
+                    return intersect_rays_packet(
+                        wb, ro, rd, coherent=True, max_tiles=args.tiles, anyhit=args.anyhit
+                    )
+            elif variant == "lane":
+                from vk_gltf_renderer_tpu.ops.lane_traverse import intersect_rays_lane
+
+                def run(ro, rd):
+                    return intersect_rays_lane(
+                        wb, ro, rd, coherent=True, max_tiles=args.tiles, anyhit=args.anyhit,
+                        inner_steps=args.inner,
+                    )
+            elif variant == "wavefront":
+                from vk_gltf_renderer_tpu.ops.traverse_wavefront import intersect_rays_wavefront
+
+                def run(ro, rd):
+                    return intersect_rays_wavefront(wb, ro, rd)
+            else:
+                raise SystemExit(f"unknown variant {variant}")
+
+            out = run(ro, rd)  # compile + correctness probe
+            hits = int(jnp.sum(out["tri"] >= 0))
+            dt = timeit_device(run, ro, rd, iters=10, warmup=2)
+            print(
+                f"{kind:8s} {variant:10s} tiles={args.tiles:3d} n={n}  "
+                f"{dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mrays/s  hit%={100*hits/n:.1f}",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,12 @@ from .bvh import _build_radix_tree, morton3d
 LEAF_SIZE = 8
 
 
+def _lane_tables(nodes_i, nodes_self, tris16):
+    from .lane_traverse import build_lane_tree
+
+    return build_lane_tree(nodes_i, nodes_self, tris16, None)
+
+
 @dataclass
 class WorldBvh:
     nodes_f: np.ndarray
@@ -51,6 +57,8 @@ class WorldBvh:
     nodes4_i: np.ndarray  # [M,8] BVH4: c0..c3 (see build_bvh4), axis0..2, pad
     nodes4_f: np.ndarray  # [M,32] BVH4: 4 child AABBs
     map4: np.ndarray  # [M,4] binary source node per child slot (refit)
+    lane_pages: np.ndarray  # [P*12,128] f32 skip-DFS page table (ops/lane_traverse.py)
+    lane_geo_idx: np.ndarray  # [P*12,128] i32 geometry-source map for device refit
     num_world_tris: int
 
     def tree_flatten(self):
@@ -313,12 +321,13 @@ def build_world_bvh(flat) -> WorldBvh:
         wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
         wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
         n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
+        lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16)
         return WorldBvh(
             nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
             wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
             refit_levels=np.full((1, 1), -1, np.int32),
             portal_roots=np.zeros(1, np.int32),
-            nodes4_i=n4i, nodes4_f=n4f, map4=m4, num_world_tris=1,
+            nodes4_i=n4i, nodes4_f=n4f, map4=m4, lane_pages=lp, lane_geo_idx=lgi, num_world_tris=1,
         )
 
     # binned SAH (default: better trees -> fewer node visits per packet);
@@ -345,11 +354,12 @@ def build_world_bvh(flat) -> WorldBvh:
         wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
         wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
         n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
+        lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16)
         return WorldBvh(
             nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
             wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
             refit_levels=refit_levels, portal_roots=portal_roots,
-            nodes4_i=n4i, nodes4_f=n4f, map4=m4, num_world_tris=nt,
+            nodes4_i=n4i, nodes4_f=n4f, map4=m4, lane_pages=lp, lane_geo_idx=lgi, num_world_tris=nt,
         )
 
     # native (C++) builder when available; numpy path is the oracle/fallback
@@ -549,11 +559,12 @@ def build_world_bvh(flat) -> WorldBvh:
     wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
     wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
     n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
+    lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16)
     return WorldBvh(
         nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
         wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
         refit_levels=refit_levels, portal_roots=portal_roots,
-        nodes4_i=n4i, nodes4_f=n4f, map4=m4, num_world_tris=nt,
+        nodes4_i=n4i, nodes4_f=n4f, map4=m4, lane_pages=lp, lane_geo_idx=lgi, num_world_tris=nt,
     )
 
 
