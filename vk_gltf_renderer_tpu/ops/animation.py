@@ -162,7 +162,26 @@ def refit_world_bvh(wb, new_tris):
         box = jnp.where((src >= 0)[:, None], box, old4[:, 6 * slot : 6 * slot + 6])
         parts.append(box)
     nodes4_f = jnp.concatenate(parts + [old4[:, 24:]], axis=1).astype(jnp.float32)
-    return nodes_f, nodes_self, nodes4_f, new_tris
+
+    # v2 fused rows: boxes are columns 0:12; codes/axis (12:16) are topology
+    old_fi = jnp.asarray(wb.nodes_fi)
+    nodes_fi = jnp.concatenate([nodes_f[:, 0:12], old_fi[:, 12:16]], axis=1).astype(jnp.float32)
+    # leaf tri blocks regathered from the refit triangles
+    t8s = jnp.asarray(wb.tri8_src)
+    Lrows = t8s.shape[0] // 8
+    blk = new_tris[jnp.maximum(t8s, 0), 0:16]
+    blk = jnp.where((t8s >= 0)[:, None], blk, 0.0)
+    # slots 9.. are static metadata (per-tri rnode/tri ids), not geometry
+    old128 = jnp.asarray(wb.tris128).reshape(Lrows * 8, 16)
+    blk = jnp.concatenate([blk[:, 0:9], old128[:, 9:16]], axis=1)
+    tris128 = blk.reshape(Lrows, 128).astype(jnp.float32)
+    # lane-traversal page values (topology static, geometry regathered)
+    from .lane_traverse import refit_lane_pages
+
+    lane_pages = refit_lane_pages(
+        jnp.asarray(wb.lane_pages), jnp.asarray(wb.lane_geo_idx), nodes_self, new_tris
+    )
+    return nodes_f, nodes_self, nodes4_f, new_tris, nodes_fi, tris128, lane_pages
 
 
 def bake_world_tris(vtx_pos, tri_idx, rn_o2w, wtri_rnode, wtri_tri):

@@ -44,6 +44,83 @@ def _lane_tables(nodes_i, nodes_self, tris16):
     return build_lane_tree(nodes_i, nodes_self, tris16, None)
 
 
+def _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri):
+    """Fused tables for the v2 packet kernel (pallas_traverse).
+
+    Measured on v5e: a scalar-indexed [1,16] dynamic slice costs ~78 cycles
+    and pipelined [1,128] fetches ~3 — so v2 does ONE [1,16] fetch per
+    internal visit (boxes + child codes + axis fused) and ONE [1,128]
+    fetch per leaf visit (all 8 triangles in a leaf-aligned block row),
+    replacing v1's nodes_f + nodes_i + 8 single-tri fetches.
+
+      nodes_fi [Nn,16] f32: l_lo(3) l_hi(3) r_lo(3) r_hi(3) code_l code_r
+                            axis pad.  code >= 0: internal child id;
+                            code < 0: leaf, -(code+1) = leafrow*16 + count.
+      tris128  [L,128] f32: per-leaf block of 8 tris, 16 floats each
+                            (v0.xyz v1.xyz v2.xyz pad7); count < 8 padded
+                            with degenerate zero triangles.
+      wtri8_rnode/wtri8_tri [L*8] i32: render-node / global tri id per
+                            leaf-block slot (-1 for padding).
+      tri8_src [L*8] i32:   source row in tris16 per slot (-1 pad) — lets
+                            the refit path regather block values on device.
+
+    Caps: leafrow*16+count must stay exact in f32 -> <= 2^20 leaves
+    (~8M world triangles).
+    """
+    nodes_i = np.asarray(nodes_i)
+    nn = nodes_i.shape[0]
+    count = nodes_i[:, 3].astype(np.int64)
+    first = nodes_i[:, 2].astype(np.int64)
+    is_leaf = count > 0
+    leaf_ids = np.nonzero(is_leaf)[0]
+    leafrow = np.full(nn, -1, np.int64)
+    leafrow[leaf_ids] = np.arange(leaf_ids.size)
+    L = max(leaf_ids.size, 1)
+    if leaf_ids.size >= 1 << 20:
+        raise ValueError("packet2 kernel caps at 2^20 leaves")
+
+    code = np.where(is_leaf, -(leafrow * 16 + count) - 1, np.arange(nn)).astype(np.float64)
+    nodes_fi = np.zeros((nn, 16), np.float32)
+    nodes_fi[:, 0:12] = np.asarray(nodes_f)[:, 0:12]
+    l = nodes_i[:, 0].astype(np.int64)
+    r = nodes_i[:, 1].astype(np.int64)
+    nodes_fi[:, 12] = code[l]
+    nodes_fi[:, 13] = code[r]
+    nodes_fi[:, 14] = nodes_i[:, 5]
+
+    tris16 = np.asarray(tris16, np.float32)
+    tris128 = np.zeros((L, 8, 16), np.float32)
+    tris128[:, :, 9:11] = -1.0
+    w8r = np.full(L * 8, -1, np.int32)
+    w8t = np.full(L * 8, -1, np.int32)
+    t8s = np.full(L * 8, -1, np.int32)
+    if leaf_ids.size:
+        c = count[leaf_ids]
+        reps = np.repeat(np.arange(leaf_ids.size), c)
+        k = np.arange(reps.size) - np.repeat(np.cumsum(c) - c, c)
+        rows = first[leaf_ids][reps] + k
+        tris128[reps, k] = tris16[rows]
+        # slots 9/10 carry the per-triangle render-node and global tri ids
+        # so the kernel can OUTPUT them directly (XLA gathers on TPU are
+        # ~34 ns/element — profiling showed post-trace id lookups costing
+        # more than traversal itself)
+        tris128[reps, k, 9] = np.asarray(wtri_rnode)[rows].astype(np.float32)
+        tris128[reps, k, 10] = np.asarray(wtri_tri)[rows].astype(np.float32)
+        slot = reps * 8 + k
+        w8r[slot] = np.asarray(wtri_rnode)[rows]
+        w8t[slot] = np.asarray(wtri_tri)[rows]
+        t8s[slot] = rows
+    root_code = int(code[0])
+    return (
+        nodes_fi,
+        tris128.reshape(L, 128),
+        w8r,
+        w8t,
+        t8s,
+        root_code,
+    )
+
+
 @dataclass
 class WorldBvh:
     nodes_f: np.ndarray
@@ -59,17 +136,25 @@ class WorldBvh:
     map4: np.ndarray  # [M,4] binary source node per child slot (refit)
     lane_pages: np.ndarray  # [P*12,128] f32 skip-DFS page table (ops/lane_traverse.py)
     lane_geo_idx: np.ndarray  # [P*12,128] i32 geometry-source map for device refit
+    nodes_fi: np.ndarray  # [Nn,16] f32 fused v2 node rows (_packet2_tables)
+    tris128: np.ndarray  # [L,128] f32 leaf-aligned tri blocks (8 tris/row)
+    wtri8_rnode: np.ndarray  # [L*8] i32 render node per leaf slot (-1 pad)
+    wtri8_tri: np.ndarray  # [L*8] i32 global tri per leaf slot (-1 pad)
+    tri8_src: np.ndarray  # [L*8] i32 tris16 source row per slot (refit)
     num_world_tris: int
+    root_code: int = 0
+
+    _STATIC = ("num_world_tris", "root_code")
 
     def tree_flatten(self):
-        names = [f.name for f in dc_fields(self) if f.name != "num_world_tris"]
-        return [getattr(self, n) for n in names], (self.num_world_tris,)
+        names = [f.name for f in dc_fields(self) if f.name not in self._STATIC]
+        return [getattr(self, n) for n in names], (self.num_world_tris, self.root_code)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        names = [f.name for f in dc_fields(cls) if f.name != "num_world_tris"]
+        names = [f.name for f in dc_fields(cls) if f.name not in cls._STATIC]
         kw = dict(zip(names, children))
-        kw["num_world_tris"] = aux[0]
+        kw["num_world_tris"], kw["root_code"] = aux
         return cls(**kw)
 
 
@@ -322,12 +407,15 @@ def build_world_bvh(flat) -> WorldBvh:
         wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
         n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
         lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16)
+        nfi, t128, w8r, w8t, t8s, rcode = _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri)
         return WorldBvh(
             nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
             wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
             refit_levels=np.full((1, 1), -1, np.int32),
             portal_roots=np.zeros(1, np.int32),
-            nodes4_i=n4i, nodes4_f=n4f, map4=m4, lane_pages=lp, lane_geo_idx=lgi, num_world_tris=1,
+            nodes4_i=n4i, nodes4_f=n4f, map4=m4, lane_pages=lp, lane_geo_idx=lgi,
+        nodes_fi=nfi, tris128=t128, wtri8_rnode=w8r, wtri8_tri=w8t, tri8_src=t8s,
+        root_code=rcode, num_world_tris=1,
         )
 
     # binned SAH (default: better trees -> fewer node visits per packet);
@@ -355,11 +443,14 @@ def build_world_bvh(flat) -> WorldBvh:
         wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
         n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
         lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16)
+        nfi, t128, w8r, w8t, t8s, rcode = _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri)
         return WorldBvh(
             nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
             wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
             refit_levels=refit_levels, portal_roots=portal_roots,
-            nodes4_i=n4i, nodes4_f=n4f, map4=m4, lane_pages=lp, lane_geo_idx=lgi, num_world_tris=nt,
+            nodes4_i=n4i, nodes4_f=n4f, map4=m4, lane_pages=lp, lane_geo_idx=lgi,
+        nodes_fi=nfi, tris128=t128, wtri8_rnode=w8r, wtri8_tri=w8t, tri8_src=t8s,
+        root_code=rcode, num_world_tris=nt,
         )
 
     # native (C++) builder when available; numpy path is the oracle/fallback
@@ -560,11 +651,14 @@ def build_world_bvh(flat) -> WorldBvh:
     wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
     n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
     lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16)
+    nfi, t128, w8r, w8t, t8s, rcode = _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri)
     return WorldBvh(
         nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
         wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
         refit_levels=refit_levels, portal_roots=portal_roots,
-        nodes4_i=n4i, nodes4_f=n4f, map4=m4, lane_pages=lp, lane_geo_idx=lgi, num_world_tris=nt,
+        nodes4_i=n4i, nodes4_f=n4f, map4=m4, lane_pages=lp, lane_geo_idx=lgi,
+        nodes_fi=nfi, tris128=t128, wtri8_rnode=w8r, wtri8_tri=w8t, tri8_src=t8s,
+        root_code=rcode, num_world_tris=nt,
     )
 
 

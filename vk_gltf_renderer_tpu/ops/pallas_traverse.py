@@ -358,6 +358,225 @@ def _traverse4_body(nodes4_f_ref, nodes4_i_ref, tris_ref, ro_ref, rd_ref, out_re
     out_ref[0, 3] = v_best
 
 
+def _traverse2_body(nodes_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_ref, root_code=0, anyhit=False):
+    """v2 packet traversal: fused node rows + leaf-block tri rows.
+
+    Per INTERNAL visit: ONE [1,16] fetch (both child boxes + child codes +
+    axis), two slab tests, one packed any() reduction, two pushes. Per LEAF
+    visit: ONE [1,128] fetch (8 triangles with ALL their vertices), zero
+    node-table fetches — the leaf is sign-encoded in the stack entry
+    (e < 0, -(e+1) = leafrow*16 + count).
+
+    anyhit: an accepted triangle hit poisons the lane with t_best = -1 so
+    every subsequent box test fails (tfar <= t_cur < 0 <= tnear) — occluded
+    lanes stop generating work and the stack drains, WITHOUT any extra
+    per-visit reduction. Callers read occlusion from tri >= 0 (t is the
+    sentinel, not a distance). Reference anchor: the RTX any-hit
+    early-accept path, raytracer_interface.h.slang:149-187.
+    """
+    rox = ro_ref[0, 0]
+    roy = ro_ref[0, 1]
+    roz = ro_ref[0, 2]
+    tmax = ro_ref[0, 3]
+    rdx = rd_ref[0, 0]
+    rdy = rd_ref[0, 1]
+    rdz = rd_ref[0, 2]
+    tmin = rd_ref[0, 3]
+    sub = rox.shape[0]
+
+    def inv(d):
+        return jnp.where(jnp.abs(d) < 1e-20, jnp.where(d >= 0, 1e30, -1e30), 1.0 / d)
+
+    ix, iy, iz = inv(rdx), inv(rdy), inv(rdz)
+
+    sx = jnp.sum(jnp.where(rdx >= 0, 1, -1)) >= 0
+    sy = jnp.sum(jnp.where(rdy >= 0, 1, -1)) >= 0
+    sz = jnp.sum(jnp.where(rdz >= 0, 1, -1)) >= 0
+
+    stack_ref[0] = root_code
+
+    def tri_tests(row, t_best, rn_best, tri_best, u_best, v_best, count):
+        tv = tris128_ref[pl.ds(row, 1), :]  # [1,128] = 8 tris
+        for c in range(LEAF_SIZE):
+            o = c * 16
+            v0x, v0y, v0z = tv[0, o + 0], tv[0, o + 1], tv[0, o + 2]
+            e1x, e1y, e1z = tv[0, o + 3] - v0x, tv[0, o + 4] - v0y, tv[0, o + 5] - v0z
+            e2x, e2y, e2z = tv[0, o + 6] - v0x, tv[0, o + 7] - v0y, tv[0, o + 8] - v0z
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = (c < count) & (jnp.abs(det) >= 1e-12)
+            inv_det = 1.0 / jnp.where(jnp.abs(det) >= 1e-12, det, 1.0)
+            tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+            uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hit = ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) & (tt > tmin) & (tt < t_best)
+            t_best = jnp.where(hit, jnp.float32(-1.0) if anyhit else tt, t_best)
+            rn_best = jnp.where(hit, tv[0, o + 9], rn_best)
+            tri_best = jnp.where(hit, tv[0, o + 10], tri_best)
+            u_best = jnp.where(hit, uu, u_best)
+            v_best = jnp.where(hit, vv, v_best)
+        return t_best, rn_best, tri_best, u_best, v_best
+
+    def body(state):
+        sp, t_best, rn_best, tri_best, u_best, v_best = state
+        sp = sp - 1
+        e = stack_ref[sp]
+
+        def leaf(sp, t_best, rn_best, tri_best, u_best, v_best):
+            code = -e - 1
+            row = code // 16
+            cnt = code - row * 16
+            t_best, rn_best, tri_best, u_best, v_best = tri_tests(
+                row, t_best, rn_best, tri_best, u_best, v_best, cnt
+            )
+            return sp, t_best, rn_best, tri_best, u_best, v_best
+
+        def internal(sp, t_best, rn_best, tri_best, u_best, v_best):
+            f = nodes_fi_ref[pl.ds(e, 1), :]  # [1,16]
+
+            def one(o):
+                t0x = (f[0, o + 0] - rox) * ix
+                t1x = (f[0, o + 3] - rox) * ix
+                t0y = (f[0, o + 1] - roy) * iy
+                t1y = (f[0, o + 4] - roy) * iy
+                t0z = (f[0, o + 2] - roz) * iz
+                t1z = (f[0, o + 5] - roz) * iz
+                tnear = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+                )
+                tfar = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), t_best),
+                )
+                return tnear <= tfar
+
+            hit_l = one(0)
+            hit_r = one(6)
+            packed = jnp.sum(hit_l.astype(jnp.int32) * 65536 + hit_r.astype(jnp.int32))
+            any_l = packed >= 65536
+            any_r = (packed & 65535) > 0
+            code_l = f[0, 12].astype(jnp.int32)
+            code_r = f[0, 13].astype(jnp.int32)
+            axis = f[0, 14].astype(jnp.int32)
+            sign = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+            first_c = jnp.where(sign, code_l, code_r)
+            second = jnp.where(sign, code_r, code_l)
+            any_first = jnp.where(sign, any_l, any_r)
+            any_second = jnp.where(sign, any_r, any_l)
+            stack_ref[sp] = second
+            sp = sp + jnp.where(any_second, 1, 0)
+            stack_ref[sp] = first_c
+            sp = sp + jnp.where(any_first, 1, 0)
+            return sp, t_best, rn_best, tri_best, u_best, v_best
+
+        return jax.lax.cond(e < 0, leaf, internal, sp, t_best, rn_best, tri_best, u_best, v_best)
+
+    state = (
+        jnp.int32(1),
+        tmax,
+        jnp.full((sub, LANE), -1.0),
+        jnp.full((sub, LANE), -1.0),
+        jnp.zeros((sub, LANE)),
+        jnp.zeros((sub, LANE)),
+    )
+    _, t_best, rn_best, tri_best, u_best, v_best = jax.lax.while_loop(
+        lambda s: s[0] > 0, body, state
+    )
+
+    out_ref[0, 0] = t_best
+    out_ref[0, 1] = rn_best  # render-node id (from tris128 slot 9), f32
+    out_ref[0, 2] = tri_best  # global tri id (slot 10), f32
+    out_ref[0, 3] = u_best
+    out_ref[0, 4] = v_best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tiles", "anyhit", "root_code"))
+def traverse_packets2(nodes_fi, tris128, rays_ro, rays_rd, root_code, interpret=False, tiles=1, anyhit=False):
+    """v2 kernel dispatch; rays packed like traverse_packets. Returns
+    [G, 5, tiles*8, 128] (t|sentinel, rnode, tri, u, v) — ids resolved
+    IN-KERNEL from tris128 slots 9/10 (post-trace XLA id gathers measured
+    ~9 ms per 262k rays — more than the traversal itself)."""
+    g = rays_ro.shape[0]
+    sub = tiles * SUB
+    kernel = functools.partial(_traverse2_body, root_code=root_code, anyhit=anyhit)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(nodes_fi.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris128.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 5, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 5, sub, LANE), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(nodes_fi, tris128, rays_ro, rays_rd)
+
+
+def _pack_soa(comps, packet):
+    """SoA ray packing: 4 [N] component vectors -> [G, 4, sub, 128] with
+    pure reshapes + one concat (NO minor-dim transpose — XLA TPU layout
+    changes on [N,4] arrays cost more than the traversal kernel)."""
+    n = comps[0].shape[0]
+    pad = (-n) % packet
+    if pad:
+        comps = [jnp.concatenate([c, jnp.zeros((pad,), c.dtype)]) for c in comps]
+    m = n + pad
+    g = m // packet
+    sub = packet // LANE
+    return jnp.concatenate([c.reshape(g, 1, sub, LANE) for c in comps], axis=1), n
+
+
+def intersect_rays_packet_soa(
+    wb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
+    interpret=False, anyhit=False, tiles=8,
+):
+    """SoA-component variant of intersect_rays_packet (v2 kernel only):
+    takes 8 [N] vectors, returns dict of [N] channels with ids resolved
+    in-kernel. The caller is responsible for any coherence ordering."""
+    n = rox.shape[0]
+    tiles = max(1, min(tiles, max(n // PACKET, 1)))
+    ro_p, _ = _pack_soa([rox, roy, roz, tmax], PACKET * tiles)
+    rd_p, _ = _pack_soa([rdx, rdy, rdz, tmin], PACKET * tiles)
+    out = traverse_packets2(
+        wb.nodes_fi, wb.tris128, ro_p, rd_p, wb.root_code,
+        interpret=interpret, tiles=tiles, anyhit=anyhit,
+    )
+    g = out.shape[0]
+
+    def chan(k):
+        return out[:, k].reshape(-1)[:n]
+
+    t = chan(0)
+    rnode = chan(1).astype(jnp.int32)
+    tri = chan(2).astype(jnp.int32)
+    valid = tri >= 0
+    if anyhit:
+        t = jnp.where(valid, 0.0, INFINITE)
+    else:
+        t = jnp.where(valid, t, INFINITE)
+    return {
+        "t": t,
+        "rnode": jnp.where(valid, rnode, -1),
+        "tri": jnp.where(valid, tri, -1),
+        "u": chan(3),
+        "v": chan(4),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "tiles"))
 def traverse_packets4(nodes4_f, nodes4_i, tris, rays_ro, rays_rd, interpret=False, tiles=1):
     """BVH4 variant of traverse_packets; same ray packing + output."""
@@ -427,7 +646,7 @@ def _pack(ro, rd, tmin, tmax, packet):
     return ro_p, rd_p, n
 
 
-def intersect_rays_packet(wb, ro, rd, tmin=0.0, tmax=None, interpret=False, coherent=False, anyhit=False, max_tiles=None, wide=False):
+def intersect_rays_packet(wb, ro, rd, tmin=0.0, tmax=None, interpret=False, coherent=False, anyhit=False, max_tiles=None, wide=False, v2=True):
     """intersect_rays-compatible API over the flattened world BVH.
 
     coherent=True uses bigger packets (many tiles, one shared stack): the
@@ -450,6 +669,11 @@ def intersect_rays_packet(wb, ro, rd, tmin=0.0, tmax=None, interpret=False, cohe
     ro_p, rd_p, n0 = _pack(ro, rd, tmin, tmax, PACKET * tiles)
     if wide:
         out = traverse_packets4(wb.nodes4_f, wb.nodes4_i, wb.tris, ro_p, rd_p, interpret=interpret, tiles=tiles)
+    elif v2:
+        out = traverse_packets2(
+            wb.nodes_fi, wb.tris128, ro_p, rd_p, wb.root_code,
+            interpret=interpret, tiles=tiles, anyhit=anyhit,
+        )
     else:
         out = traverse_packets(wb.nodes_f, wb.nodes_i, wb.tris, ro_p, rd_p, interpret=interpret, tiles=tiles, anyhit=anyhit)
     flatd = out.transpose(0, 2, 3, 1).reshape(-1, 4)[:n0]
@@ -457,10 +681,21 @@ def intersect_rays_packet(wb, ro, rd, tmin=0.0, tmax=None, interpret=False, cohe
     wtri = flatd[:, 1].astype(jnp.int32)
     valid = wtri >= 0
     safe = jnp.maximum(wtri, 0)
+    if v2 and not wide:
+        rnode = jnp.where(valid, wb.wtri8_rnode[safe], -1)
+        tri = jnp.where(valid, wb.wtri8_tri[safe], -1)
+    else:
+        rnode = jnp.where(valid, wb.wtri_rnode[safe], -1)
+        tri = jnp.where(valid, wb.wtri_tri[safe], -1)
+    if anyhit and not wide:
+        # v2 any-hit poisons t with a -1 sentinel; report 0 for occluded
+        t = jnp.where(valid, 0.0, INFINITE)
+    else:
+        t = jnp.where(valid, t, INFINITE)
     return {
-        "t": jnp.where(valid, t, INFINITE),
-        "rnode": jnp.where(valid, wb.wtri_rnode[safe], -1),
-        "tri": jnp.where(valid, wb.wtri_tri[safe], -1),
+        "t": t,
+        "rnode": rnode,
+        "tri": tri,
         "u": flatd[:, 2],
         "v": flatd[:, 3],
     }

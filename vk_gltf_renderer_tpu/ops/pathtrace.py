@@ -161,13 +161,18 @@ def _inverse_perm(order):
 
 
 def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=None, coherent=False, order=None, anyhit=False):
-    """Traversal dispatch: Pallas packet kernel on TPU (553 Mrays/s coherent
-    on v5e), stackless XLA wavefront elsewhere (portable, same results).
+    """Traversal dispatch: Pallas packet kernel on TPU, stackless XLA
+    wavefront elsewhere (portable, same results).
 
-    With `alive` given and sort_rays on, rays are reordered by
-    (liveness, octant, origin Morton) before tracing and results scattered
-    back — wavefront compaction without dynamic shapes. Dead lanes trace
-    with tmax=-1 so their packets terminate at the root test.
+    With sort_rays on, rays are reordered by (liveness, octant, origin
+    Morton) before tracing — wavefront compaction without dynamic shapes.
+    The reorder is a multi-operand `lax.sort` CO-SORT (the permutation is
+    never materialized): XLA:TPU lowers gather-by-permutation to ~34 ns per
+    element, so the round-1 argsort + fancy-indexing pipeline cost more
+    than traversal itself (profiled: 76%% of frame time); a 10-operand
+    bitonic co-sort of 2M rays is ~13 ms. Results return to lane order via
+    a second co-sort keyed on the carried lane ids. Dead lanes trace with
+    tmax=-1 so their packets terminate at the root test.
     """
     n = ro.shape[0]
     if tmax is None:
@@ -176,37 +181,39 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
         tmax = jnp.full((n,), tmax)
     if alive is not None:
         tmax = jnp.where(alive, tmax, -1.0)
-    do_sort = cfg.sort_rays and cfg.traversal in ("packet", "packet4") and n >= 4096
-    if do_sort:
-        if order is None:
-            keys = _sort_keys(bvh, ro, rd, alive if alive is not None else jnp.ones(n, bool))
-            o = jnp.argsort(keys)
-            order = (o, _inverse_perm(o))
-        o, inv = order
-        ro_s, rd_s = ro[o], rd[o]
-        tmax_s = tmax[o]
-        tmin_s = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))[o]
-    else:
-        order = None
-        ro_s, rd_s, tmax_s, tmin_s = ro, rd, tmax, tmin
+    tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
+    do_sort = cfg.sort_rays and cfg.traversal == "packet" and n >= 4096
 
     if cfg.traversal == "null":  # profiling stub: everything misses
-        n_ = ro_s.shape[0]
-        hits = {"t": jnp.full(n_, INFINITE), "rnode": jnp.full(n_, -1, jnp.int32),
-                "tri": jnp.full(n_, -1, jnp.int32), "u": jnp.zeros(n_), "v": jnp.zeros(n_)}
-    elif cfg.traversal in ("packet", "packet4"):
+        return {"t": jnp.full(n, INFINITE), "rnode": jnp.full(n, -1, jnp.int32),
+                "tri": jnp.full(n, -1, jnp.int32), "u": jnp.zeros(n), "v": jnp.zeros(n)}
+
+    if do_sort:
+        from .pallas_traverse import intersect_rays_packet_soa
+
+        keys = _sort_keys(bvh, ro, rd, alive if alive is not None else jnp.ones(n, bool))
+        lane = jnp.arange(n, dtype=jnp.int32)
+        _, lane_s, rox, roy, roz, rdx, rdy, rdz, tmx, tmn = jax.lax.sort(
+            (keys, lane, ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2], tmax, tmin_b),
+            num_keys=1,
+        )
+        h = intersect_rays_packet_soa(
+            bvh, rox, roy, roz, rdx, rdy, rdz, tmn, tmx,
+            anyhit=anyhit, tiles=cfg.packet_tiles,
+        )
+        _, t, rn, tri, u, v = jax.lax.sort(
+            (lane_s, h["t"], h["rnode"], h["tri"], h["u"], h["v"]), num_keys=1
+        )
+        return {"t": t, "rnode": rn, "tri": tri, "u": u, "v": v}
+
+    if cfg.traversal in ("packet", "packet4"):
         from .pallas_traverse import intersect_rays_packet
 
-        hits = intersect_rays_packet(
-            bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s, coherent=coherent,
+        return intersect_rays_packet(
+            bvh, ro, rd, tmin=tmin_b, tmax=tmax, coherent=coherent,
             anyhit=anyhit, max_tiles=cfg.packet_tiles, wide=cfg.traversal == "packet4",
         )
-    else:
-        hits = intersect_rays_wavefront(bvh, ro_s, rd_s, tmin=tmin_s, tmax=tmax_s)
-
-    if order is not None:
-        hits = {k: v[order[1]] for k, v in hits.items()}
-    return hits
+    return intersect_rays_wavefront(bvh, ro, rd, tmin=tmin_b, tmax=tmax)
 
 
 def sample_environment(env, d, cfg: RenderConfig):
@@ -292,14 +299,14 @@ def _sample_lights(flat, env, pos, normal, seed, cfg: RenderConfig):
     return {"direction": direction, "radiance_over_pdf": radiance, "distance": distance, "pdf": pdf}, seed
 
 
-def _trace_shadow(flat, bvh, ro, rd, dist, seed, cfg: RenderConfig, alive=None, order=None):
+def _trace_shadow(flat, bvh, ro, rd, dist, seed, cfg: RenderConfig, alive=None):
     """Shadow transmission factor [N,3]. Opaque-only scenes: single
     occlusion test. With transmission enabled: march up to
     transmission_rounds surfaces accumulating colored transmission
     (gltf_pathtrace.slang:776-820 semantics)."""
     n = ro.shape[0]
     if "transmission" not in cfg.features and not cfg.alpha_any:
-        hits = trace_closest(bvh, ro, rd, cfg, tmin=0.0, tmax=dist, alive=alive, coherent=True, order=order, anyhit=True)
+        hits = trace_closest(bvh, ro, rd, cfg, tmin=0.0, tmax=dist, alive=alive, coherent=True, anyhit=True)
         occluded = hits["tri"] >= 0
         return jnp.where(occluded[..., None], 0.0, 1.0), seed
 
@@ -347,11 +354,11 @@ def _trace_shadow(flat, bvh, ro, rd, dist, seed, cfg: RenderConfig, alive=None, 
     return transmission, seed
 
 
-def _trace_with_alpha(flat, bvh, ro, rd, seed, cfg: RenderConfig, alive=None, order=None):
+def _trace_with_alpha(flat, bvh, ro, rd, seed, cfg: RenderConfig, alive=None):
     """Closest hit with stochastic alpha: re-trace past rejected hits
     (the TPU analog of the RayQuery any-hit Proceed loop,
     raytracer_interface.h.slang:82-122)."""
-    hits = trace_closest(bvh, ro, rd, cfg, alive=alive, coherent=True, order=order)
+    hits = trace_closest(bvh, ro, rd, cfg, alive=alive, coherent=True)
     if not cfg.alpha_any:
         return hits, seed
     org = ro
@@ -422,14 +429,9 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         first = depth == 0
 
         state["rays"] = state["rays"] + jnp.sum(alive.astype(jnp.float32))
-        # ONE reorder per bounce, reused by the closest AND shadow traces
-        # (shadow origins are the hit points — same spatial clustering)
-        bounce_order = None
-        if cfg.sort_rays and cfg.traversal in ("packet", "packet4") and ro.shape[0] >= 4096:
-            keys = _sort_keys(bvh, ro, rd, alive)
-            o_ = jnp.argsort(keys)
-            bounce_order = (o_, _inverse_perm(o_))
-        hits, seed = _trace_with_alpha(flat, bvh, ro, rd, seed, cfg, alive=alive, order=bounce_order)
+        # each trace co-sorts its own rays: the shadow trace gets ITS
+        # direction octants grouped (measured 2x on mixed-direction packets)
+        hits, seed = _trace_with_alpha(flat, bvh, ro, rd, seed, cfg, alive=alive)
         miss = hits["tri"] < 0
 
         # ---------------- infinite plane (pathtrace_functions.h.slang:556-585)
@@ -649,7 +651,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         sh_base = jnp.where(sh_fwd[..., None], hs["shadow_pos"], hs["pos"])
         sh_off = jnp.where(sh_fwd[..., None], hs["geonrm"], -hs["geonrm"])
         sh_org = safe_offset_ray(sh_base, sh_off)
-        shadow, seed = _trace_shadow(flat, bvh, sh_org, dl["direction"], dl["distance"], seed, cfg, alive=next_event, order=bounce_order)
+        shadow, seed = _trace_shadow(flat, bvh, sh_org, dl["direction"], dl["distance"], seed, cfg, alive=next_event)
         if cfg.use_infinite_plane and cfg.plane_shadow_catcher:
             # shadow catcher (handleShadowCatcher, functions:499-554): the
             # plane is invisible — show env where lit, darken where occluded

@@ -278,9 +278,12 @@ class GltfRenderer:
             vtx_pos, jnp.asarray(self.flat.tri_idx), jnp.asarray(o2w),
             jnp.asarray(self.bvh.wtri_rnode), jnp.asarray(self.bvh.wtri_tri),
         )
-        nodes_f, nodes_self, nodes4_f, tris = refit_world_bvh(self.bvh, tris)
+        nodes_f, nodes_self, nodes4_f, tris, nodes_fi, tris128, lane_pages = refit_world_bvh(
+            self.bvh, tris
+        )
         self.bvh = dataclasses.replace(
-            self.bvh, nodes_f=nodes_f, nodes_self=nodes_self, nodes4_f=nodes4_f, tris=tris
+            self.bvh, nodes_f=nodes_f, nodes_self=nodes_self, nodes4_f=nodes4_f, tris=tris,
+            nodes_fi=nodes_fi, tris128=tris128, lane_pages=lane_pages,
         )
         return True
 
