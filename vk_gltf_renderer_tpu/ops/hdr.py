@@ -95,24 +95,67 @@ def _build_alias_table(weights: np.ndarray):
     return prob, alias
 
 
+# Filtered-importance-sampling resolution (Křivánek & Colbert 2008 style):
+# sampling, NEE radiance and pdf all come from this reduced map, which
+# keeps the estimator self-consistent (pdf matches the sampling density
+# and the radiance it integrates) while making every per-ray lookup a
+# Pallas small-table gather instead of an XLA gather (~34 ns/element).
+# The FULL-resolution map is kept for the directly-visible background
+# (primary-miss fix-up in ops/pathtrace.py). The reference samples the
+# full-resolution alias table on hardware where gathers are free
+# (nvshaders hdr_env_sampling.h.slang); this split is the TPU-native
+# equivalent.
+RED_H, RED_W = 64, 128
+
+
+def _downsample(rgb: np.ndarray) -> np.ndarray:
+    """Energy-preserving block mean onto the RED_H x RED_W grid."""
+    h, w = rgb.shape[:2]
+    ry = np.arange(h) * RED_H // h
+    rx = np.arange(w) * RED_W // w
+    acc = np.zeros((RED_H, RED_W, 3), np.float64)
+    cnt = np.zeros((RED_H, RED_W), np.float64)
+    np.add.at(acc, (ry[:, None].repeat(w, 1), rx[None, :].repeat(h, 0)), rgb)
+    np.add.at(cnt, (ry[:, None].repeat(w, 1), rx[None, :].repeat(h, 0)), 1.0)
+    return (acc / np.maximum(cnt, 1.0)[..., None]).astype(np.float32)
+
+
 def build_environment(rgb: np.ndarray, intensity: float = 1.0, rotation: float = 0.0) -> dict:
-    """Lat-long HDR -> env dict (img rgb+pdf, alias table) — the EnvAccel
-    build (nvvk::HdrIbl importance table)."""
+    """Lat-long HDR -> env dict (full img rgb+pdf + reduced sampling
+    tables) — the EnvAccel build (nvvk::HdrIbl importance table)."""
     h, w = rgb.shape[:2]
     lum = 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
     theta = (np.arange(h) + 0.5) / h * np.pi
     sin_t = np.sin(theta)[:, None]
-    weights = (lum * sin_t).reshape(-1)
-    prob, alias = _build_alias_table(weights)
-
     d_omega = (2.0 * np.pi / w) * (np.pi / h) * np.maximum(sin_t, 1e-8)  # [h,1]
     total = (lum * sin_t).sum()
     pdf = np.where(total > 0, lum * sin_t / np.maximum(total, 1e-20) / d_omega, 1.0 / (4 * np.pi))
     img = np.concatenate([rgb, pdf[..., None]], axis=-1).astype(np.float32)
+
+    # reduced sampling distribution
+    rgb_s = _downsample(rgb)
+    lum_s = 0.2126 * rgb_s[..., 0] + 0.7152 * rgb_s[..., 1] + 0.0722 * rgb_s[..., 2]
+    theta_s = (np.arange(RED_H) + 0.5) / RED_H * np.pi
+    sin_s = np.sin(theta_s)[:, None]
+    prob_s, alias_s = _build_alias_table((lum_s * sin_s).reshape(-1))
+    dom_s = (2.0 * np.pi / RED_W) * (np.pi / RED_H) * np.maximum(sin_s, 1e-8)
+    tot_s = (lum_s * sin_s).sum()
+    pdf_s = np.where(
+        tot_s > 0, lum_s * sin_s / np.maximum(tot_s, 1e-20) / dom_s, 1.0 / (4 * np.pi)
+    )
+    samp = np.stack(
+        [
+            prob_s,
+            alias_s.astype(np.float32),
+            rgb_s[..., 0].reshape(-1),
+            rgb_s[..., 1].reshape(-1),
+            rgb_s[..., 2].reshape(-1),
+            pdf_s.reshape(-1).astype(np.float32),
+        ]
+    ).astype(np.float32)
     return {
         "img": jnp.asarray(img),
-        "prob": jnp.asarray(prob),
-        "alias": jnp.asarray(alias),
+        "samp": jnp.asarray(samp),  # [6, RED_H*RED_W]: prob alias r g b pdf
         "intensity": jnp.float32(intensity),
         "rotation": jnp.float32(rotation),
     }
@@ -143,35 +186,53 @@ def _uv_dir(u, v):
     return jnp.stack([sin_t * jnp.sin(phi), jnp.cos(theta), -sin_t * jnp.cos(phi)], axis=-1)
 
 
-def eval_hdr(env, d):
+def eval_hdr(env, d, full=False):
     """(radiance, pdf) for direction(s) d — the env-miss path
-    (pathtrace_functions.h.slang:474-480)."""
-    img = env["img"]
-    h, w = img.shape[0], img.shape[1]
+    (pathtrace_functions.h.slang:474-480).
+
+    Default: reduced-resolution map via the Pallas gather (pdf MUST come
+    from here — it is the density sample_hdr actually uses). full=True
+    reads the full-resolution image with an XLA gather — only for the
+    directly-visible background fix-up (once per sample, not per bounce).
+    """
     dl = _rotate_y(d, -env["rotation"])
     u, v = _spherical_uv(dl)
-    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    texel = img[y, x]
-    return texel[..., :3] * env["intensity"], texel[..., 3]
+    if full:
+        img = env["img"]
+        h, w = img.shape[0], img.shape[1]
+        x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+        texel = img[y, x]
+        return texel[..., :3] * env["intensity"], texel[..., 3]
+    from .pallas_gather import gather_channels
+
+    x = jnp.clip((u * RED_W).astype(jnp.int32), 0, RED_W - 1)
+    y = jnp.clip((v * RED_H).astype(jnp.int32), 0, RED_H - 1)
+    ch = gather_channels(env["samp"][2:6], (y * RED_W + x).reshape(-1))
+    shp = d.shape[:-1]
+    rgb = jnp.stack([ch[0], ch[1], ch[2]], axis=-1).reshape(shp + (3,))
+    return rgb * env["intensity"], ch[3].reshape(shp)
 
 
 def sample_hdr(env, u3):
-    """Alias-table importance sample: (direction, radiance, pdf)
-    (nvshaders environmentSample semantics)."""
-    img = env["img"]
-    h, w = img.shape[0], img.shape[1]
-    n = h * w
-    q = u3[..., 0] * n
+    """Alias-table importance sample on the reduced map:
+    (direction, radiance, pdf) (nvshaders environmentSample semantics)."""
+    from .pallas_gather import gather_channels
+
+    n = RED_H * RED_W
+    shp = u3.shape[:-1]
+    q = (u3[..., 0] * n).reshape(-1)
     j = jnp.clip(q.astype(jnp.int32), 0, n - 1)
     frac = q - j.astype(jnp.float32)
-    take_alias = frac > env["prob"][j]
-    idx = jnp.where(take_alias, env["alias"][j], j)
-    y = idx // w
-    x = idx % w
-    u = (x.astype(jnp.float32) + u3[..., 1]) / w
-    v = (y.astype(jnp.float32) + u3[..., 2]) / h
+    pa = gather_channels(env["samp"][0:2], j)
+    take_alias = frac > pa[0]
+    idx = jnp.where(take_alias, pa[1].astype(jnp.int32), j)
+    ch = gather_channels(env["samp"][2:6], idx)
+    y = idx // RED_W
+    x = idx - y * RED_W
+    u = (x.astype(jnp.float32).reshape(shp) + u3[..., 1]) / RED_W
+    v = (y.astype(jnp.float32).reshape(shp) + u3[..., 2]) / RED_H
     d = _uv_dir(u, v)
-    texel = img[y, x]
+    rgb = jnp.stack([ch[0], ch[1], ch[2]], axis=-1).reshape(shp + (3,))
     d = _rotate_y(d, env["rotation"])
-    return d, texel[..., :3] * env["intensity"], texel[..., 3]
+    return d, rgb * env["intensity"], ch[3].reshape(shp)

@@ -687,6 +687,21 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
 
     state, _ = jax.lax.scan(bounce, state, jnp.arange(cfg.max_depth, dtype=jnp.int32))
 
+    if cfg.env_kind == "hdr" and cfg.background is None:
+        # directly-visible background fix-up: indirect bounces used the
+        # reduced-resolution sampling map (consistent pdf+radiance, see
+        # ops/hdr.py), but the primary miss is the on-screen background —
+        # swap in the full-resolution radiance (one gather per sample,
+        # instead of per bounce). first_pos holds the primary direction.
+        from .hdr import eval_hdr
+
+        miss1 = ~state["solid"]
+        l_full, _ = eval_hdr(env, state["first_pos"], full=True)
+        l_red, _ = eval_hdr(env, state["first_pos"])
+        state["radiance"] = state["radiance"] + jnp.where(
+            miss1[..., None], l_full - l_red, 0.0
+        )
+
     aux = {
         "first_pos": state["first_pos"],
         "solid": state["solid"],
