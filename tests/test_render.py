@@ -99,3 +99,26 @@ def test_shader_ball_renders():
     img = r.image_linear()
     assert np.isfinite(img).all()
     assert np.asarray(aux["solid"]).any()
+
+
+def test_adaptive_sampler_bucketed_no_recompile_storm():
+    """Adaptive spp retarget quantizes to power-of-two buckets with
+    hysteresis: 100 frames of noisy timings must settle on <= 4 distinct
+    spp values (each distinct value is one XLA variant compile — the
+    reference retargets via push constant with zero recompiles,
+    renderer_pathtracer.cpp:1326-1374; buckets are the TPU equivalent)."""
+    import numpy as np
+
+    from vk_gltf_renderer_tpu.renderer import AdaptiveSampler
+
+    s = AdaptiveSampler(target_fps=30)  # 33.3 ms budget
+    rng = np.random.RandomState(3)
+    seen = set()
+    for i in range(100):
+        per_sample_ms = 2.0 * (1.0 + 0.3 * rng.randn())  # ~2ms/sample, noisy
+        s.update(per_sample_ms * max(s.spp, 1))
+        seen.add(s.spp)
+        assert s.spp in AdaptiveSampler.BUCKETS
+    assert len(seen) <= 4, f"bucketed retarget compiled {len(seen)} variants: {sorted(seen)}"
+    # steady state should sit near budget/per_sample = ~16
+    assert s.spp in (8, 16)

@@ -35,6 +35,9 @@ CSV_FIELDS = [
     "throughput_MSps",
     "Mrays_per_sec",
     "triangles",
+    "max_depth",
+    "env",
+    "renderer",
     "peak_bytes",
 ]
 
@@ -126,8 +129,11 @@ def cmd_compare(args) -> int:
     thresholds docs/benchmarking.md:134-137)."""
 
     def load(p):
+        # key on the FULL config — height/depth/env changes must not alias
+        # rows (reference keys every registered parameter of the sequence)
         with open(p, newline="") as f:
-            return {(r["scene"], r["spp"], r["width"]): r for r in csv.DictReader(f)}
+            keyf = ("scene", "spp", "width", "height", "max_depth", "env", "renderer")
+            return {tuple(r.get(k, "") for k in keyf): r for r in csv.DictReader(f)}
 
     old = load(args.old)
     new = load(args.new)

@@ -179,6 +179,9 @@ def main(argv=None) -> int:
         "Mrays_per_sec": mrays,
         "triangles": tris,
         "scene": str(args.scenefile),
+        "max_depth": args.ptDepth,
+        "env": "hdr" if args.envSystem == 1 else "sky",
+        "renderer": args.renderSystem,
     }
     print(
         f"HEADLESS_SUMMARY frames={timed} wall_ms={wall * 1000:.1f} "

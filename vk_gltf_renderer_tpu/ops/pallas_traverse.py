@@ -676,24 +676,36 @@ def intersect_rays_packet(wb, ro, rd, tmin=0.0, tmax=None, interpret=False, cohe
         )
     else:
         out = traverse_packets(wb.nodes_f, wb.nodes_i, wb.tris, ro_p, rd_p, interpret=interpret, tiles=tiles, anyhit=anyhit)
+    if v2 and not wide:
+        # 5-channel output with ids already resolved in-kernel
+        def chan(k):
+            return out[:, k].reshape(-1)[:n0]
+
+        t = chan(0)
+        rnode = chan(1).astype(jnp.int32)
+        tri = chan(2).astype(jnp.int32)
+        valid = tri >= 0
+        if anyhit:
+            # v2 any-hit poisons t with a -1 sentinel; report 0 for occluded
+            t = jnp.where(valid, 0.0, INFINITE)
+        else:
+            t = jnp.where(valid, t, INFINITE)
+        return {
+            "t": t,
+            "rnode": jnp.where(valid, rnode, -1),
+            "tri": jnp.where(valid, tri, -1),
+            "u": chan(3),
+            "v": chan(4),
+        }
     flatd = out.transpose(0, 2, 3, 1).reshape(-1, 4)[:n0]
     t = flatd[:, 0]
     wtri = flatd[:, 1].astype(jnp.int32)
     valid = wtri >= 0
     safe = jnp.maximum(wtri, 0)
-    if v2 and not wide:
-        rnode = jnp.where(valid, wb.wtri8_rnode[safe], -1)
-        tri = jnp.where(valid, wb.wtri8_tri[safe], -1)
-    else:
-        rnode = jnp.where(valid, wb.wtri_rnode[safe], -1)
-        tri = jnp.where(valid, wb.wtri_tri[safe], -1)
-    if anyhit and not wide:
-        # v2 any-hit poisons t with a -1 sentinel; report 0 for occluded
-        t = jnp.where(valid, 0.0, INFINITE)
-    else:
-        t = jnp.where(valid, t, INFINITE)
+    rnode = jnp.where(valid, wb.wtri_rnode[safe], -1)
+    tri = jnp.where(valid, wb.wtri_tri[safe], -1)
     return {
-        "t": t,
+        "t": jnp.where(valid, t, INFINITE),
         "rnode": rnode,
         "tri": tri,
         "u": flatd[:, 2],

@@ -60,9 +60,19 @@ def fit_camera(scene: Scene, yfov=np.radians(45.0)) -> CameraState:
 class AdaptiveSampler:
     """spp feedback controller (reference renderer_pathtracer.hpp:159-194,
     .cpp:1326-1374): retargets samples-per-frame from the measured frame
-    time toward a budget (60/30/15/10 FPS presets), clamped to [1, 100]."""
+    time toward a budget (60/30/15/10 FPS presets).
+
+    Unlike the reference — which varies numSamples via push constant with
+    zero recompiles (renderer_pathtracer.cpp:1326-1374) — spp here is a
+    jit-specializing static, so every distinct value is an XLA compile
+    (seconds-to-minutes on TPU). The retarget therefore QUANTIZES to
+    power-of-two buckets (1..64): at most 7 variants ever compile, and
+    25% hysteresis keeps the controller from oscillating between two
+    buckets (each flip would otherwise alternate between cached variants
+    every frame and ruin the accumulation cadence)."""
 
     BUDGETS_MS = {60: 16.67, 30: 33.33, 15: 66.67, 10: 100.0}
+    BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
     def __init__(self, target_fps: int = 30):
         self.budget_ms = self.BUDGETS_MS.get(target_fps, 33.33)
@@ -74,7 +84,19 @@ class AdaptiveSampler:
             return self.spp
         per_sample = frame_ms / max(self.spp, 1)
         self._ema_ms = per_sample if self._ema_ms is None else 0.8 * self._ema_ms + 0.2 * per_sample
-        self.spp = int(max(1, min(100, self.budget_ms / max(self._ema_ms, 1e-3))))
+        ideal = self.budget_ms / max(self._ema_ms, 1e-3)
+        # largest bucket that fits the budget
+        target = 1
+        for b in self.BUCKETS:
+            if b <= ideal:
+                target = b
+        # hysteresis: move up only with 25% headroom beyond the bucket edge,
+        # move down only when over budget by 25%
+        if target > self.spp and ideal < target * 1.25:
+            target = self.spp
+        if target < self.spp and ideal > self.spp * 0.8:
+            target = self.spp
+        self.spp = target
         return self.spp
 
 
@@ -391,7 +413,22 @@ class GltfRenderer:
         import time as _time
 
         t0 = _time.perf_counter()
-        accum, aux = fn(self.flat, self.bvh, self._env_arrays(), frame)
+        try:
+            accum, aux = fn(self.flat, self.bvh, self._env_arrays(), frame)
+        except Exception as e:  # poisoned persistent-cache entry: a crashed
+            # compile leaves an executable that loads but fails with
+            # INVALID_ARGUMENT at run time. Rotate to a fresh cache dir,
+            # drop the jit closure and recompile once (the failure-recovery
+            # analog of the reference's embedded-SPIR-V compile fallback,
+            # renderer_pathtracer.cpp:1129-1178).
+            if "INVALID_ARGUMENT" not in repr(e):
+                raise
+            from .utils import compile_cache
+
+            compile_cache.rotate()
+            self._render_fn = None
+            fn = self._ensure_render_fn()
+            accum, aux = fn(self.flat, self.bvh, self._env_arrays(), frame)
         self.accum = accum  # device-resident; no host round-trip per frame
         self.total_samples += self.spp
         self.frame_idx += 1

@@ -27,3 +27,20 @@ def enable(path=None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _enabled = True
+
+
+def rotate() -> str:
+    """Point the persistent cache at a FRESH directory.
+
+    Crashed compiles can leave poisoned entries that load but fail at run
+    time with INVALID_ARGUMENT (the reference's analog is a corrupt
+    VkPipelineCache blob — drivers just rebuild). Rotation makes every
+    subsequent compile miss the poisoned store without deleting the user's
+    cache out from under concurrent processes. Returns the new path."""
+    import tempfile
+
+    import jax
+
+    p = Path(tempfile.mkdtemp(prefix="vkgr_xla_cache_"))
+    jax.config.update("jax_compilation_cache_dir", str(p))
+    return str(p)
