@@ -117,7 +117,7 @@ def test_refit_matches_rebuild(box_glb):
     moved = jnp.asarray(flat.vtx_pos) + jnp.asarray([1.0, 2.0, 3.0])
     tris = bake_world_tris(moved, jnp.asarray(flat.tri_idx), jnp.asarray(flat.rn_o2w),
                            jnp.asarray(wb.wtri_rnode), jnp.asarray(wb.wtri_tri))
-    nodes_f, nodes_self, _, _ = refit_world_bvh(wb, tris)
+    nodes_f, nodes_self, *_ = refit_world_bvh(wb, tris)
     root_lo = np.asarray(nodes_self[0, 0:3])
     root_hi = np.asarray(nodes_self[0, 3:6])
     # Box root world matrix is a pure rotation/identity scale; expect the

@@ -162,24 +162,10 @@ def refit_lane_pages(pages, geo_idx, nodes_self, tris16):
     return jnp.where(geo_idx >= 0, gathered, pages)
 
 
-def _lane_kernel_body(pages_ref, ro_ref, rd_ref, out_ref, *, n_pages, inner_steps, anyhit):
-    rox = ro_ref[0, 0]
-    roy = ro_ref[0, 1]
-    roz = ro_ref[0, 2]
-    tmax = ro_ref[0, 3]
-    rdx = rd_ref[0, 0]
-    rdy = rd_ref[0, 1]
-    rdz = rd_ref[0, 2]
-    tmin = rd_ref[0, 3]
-    sub = rox.shape[0]
-
-    def inv(d):
-        return jnp.where(jnp.abs(d) < 1e-20, jnp.where(d >= 0, 1e30, -1e30), 1.0 / d)
-
-    ix, iy, iz = inv(rdx), inv(rdy), inv(rdz)
-
-    end = jnp.int32(n_pages * PAGE)
-    cur0 = jnp.where(tmax < 0, end, 0).astype(jnp.int32)
+def _make_step(rox, roy, roz, rdx, rdy, rdz, ix, iy, iz, tmin, end, anyhit):
+    """Shared per-step body of the lane kernels: lane-gather 12 fields from
+    the resident page, evaluate BOTH the slab test (internal union layout)
+    and Möller-Trumbore (triangle layout), advance each in-page lane."""
 
     def step(cur, page, fld, t_best, tri_best, u_best, v_best):
         in_pg = (cur >> 7) == page
@@ -242,6 +228,30 @@ def _lane_kernel_body(pages_ref, ro_ref, rd_ref, out_ref, *, n_pages, inner_step
         cur = jnp.where(in_pg, nxt, cur)
         return cur, t_best, tri_best, u_best, v_best
 
+    return step
+
+
+def _lane_kernel_body(pages_ref, ro_ref, rd_ref, out_ref, *, n_pages, inner_steps, anyhit):
+    rox = ro_ref[0, 0]
+    roy = ro_ref[0, 1]
+    roz = ro_ref[0, 2]
+    tmax = ro_ref[0, 3]
+    rdx = rd_ref[0, 0]
+    rdy = rd_ref[0, 1]
+    rdz = rd_ref[0, 2]
+    tmin = rd_ref[0, 3]
+    sub = rox.shape[0]
+
+    def inv(d):
+        return jnp.where(jnp.abs(d) < 1e-20, jnp.where(d >= 0, 1e30, -1e30), 1.0 / d)
+
+    ix, iy, iz = inv(rdx), inv(rdy), inv(rdz)
+
+    end = jnp.int32(n_pages * PAGE)
+    cur0 = jnp.where(tmax < 0, end, 0).astype(jnp.int32)
+
+    step = _make_step(rox, roy, roz, rdx, rdy, rdz, ix, iy, iz, tmin, end, anyhit)
+
     def outer(state):
         page, cur, t_best, tri_best, u_best, v_best = state
         rows = pages_ref[pl.ds(page * FIELDS, FIELDS), :]  # [12,128]
@@ -269,6 +279,99 @@ def _lane_kernel_body(pages_ref, ro_ref, rd_ref, out_ref, *, n_pages, inner_step
     out_ref[0, 1] = tri_best
     out_ref[0, 2] = u_best
     out_ref[0, 3] = v_best
+
+
+def _lane_kernel_stream(pages_ref, ro_ref, rd_ref, out_ref, scratch_ref, sem, *, n_pages, inner_steps, anyhit):
+    """HBM-streaming variant: the page table stays in HBM and each page
+    activation DMAs its [12,128] block into a VMEM scratch. Because lane
+    entry indices are strictly increasing, pages arrive as a monotone
+    stream — VMEM footprint is ONE page (6 KB) regardless of scene size.
+    This is the large-scene path (the reference's analog is the budgeted
+    multi-pass BLAS build, renderer.cpp:1699-1721: bounded device memory
+    at some build/trace-time cost)."""
+    rox = ro_ref[0, 0]
+    roy = ro_ref[0, 1]
+    roz = ro_ref[0, 2]
+    tmax = ro_ref[0, 3]
+    rdx = rd_ref[0, 0]
+    rdy = rd_ref[0, 1]
+    rdz = rd_ref[0, 2]
+    tmin = rd_ref[0, 3]
+    sub = rox.shape[0]
+
+    def inv(d):
+        return jnp.where(jnp.abs(d) < 1e-20, jnp.where(d >= 0, 1e30, -1e30), 1.0 / d)
+
+    ix, iy, iz = inv(rdx), inv(rdy), inv(rdz)
+    end = jnp.int32(n_pages * PAGE)
+    cur0 = jnp.where(tmax < 0, end, 0).astype(jnp.int32)
+
+    step = _make_step(
+        rox, roy, roz, rdx, rdy, rdz, ix, iy, iz, tmin, end, anyhit
+    )
+
+    def outer(state):
+        page, cur, t_best, tri_best, u_best, v_best = state
+        dma = pltpu.make_async_copy(
+            pages_ref.at[pl.ds(page * FIELDS, FIELDS), :], scratch_ref, sem
+        )
+        dma.start()
+        dma.wait()
+        fld = [
+            jnp.broadcast_to(scratch_ref[f : f + 1, :], (sub, LANE)) for f in range(FIELDS)
+        ]
+        for _ in range(inner_steps):
+            cur, t_best, tri_best, u_best, v_best = step(
+                cur, page, fld, t_best, tri_best, u_best, v_best
+            )
+        page = jnp.min(cur) >> 7
+        return page, cur, t_best, tri_best, u_best, v_best
+
+    state = (
+        jnp.min(cur0) >> 7,
+        cur0,
+        tmax,
+        jnp.full((sub, LANE), -1.0),
+        jnp.zeros((sub, LANE)),
+        jnp.zeros((sub, LANE)),
+    )
+    state = jax.lax.while_loop(lambda s: s[0] < n_pages, outer, state)
+    _, _, t_best, tri_best, u_best, v_best = state
+    out_ref[0, 0] = t_best
+    out_ref[0, 1] = tri_best
+    out_ref[0, 2] = u_best
+    out_ref[0, 3] = v_best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_pages", "interpret", "tiles", "anyhit", "inner_steps")
+)
+def traverse_lanes_stream(pages, rays_ro, rays_rd, n_pages, interpret=False, tiles=1, anyhit=False, inner_steps=8):
+    """HBM-resident page table (unbounded scene size; 6 KB VMEM scratch)."""
+    g = rays_ro.shape[0]
+    sub = tiles * SUB
+    kernel = functools.partial(
+        _lane_kernel_stream, n_pages=n_pages, inner_steps=inner_steps, anyhit=anyhit
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # pages stay in HBM
+            pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 4, sub, LANE), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((FIELDS, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(pages, rays_ro, rays_rd)
 
 
 @functools.partial(
@@ -300,11 +403,12 @@ def traverse_lanes(pages, rays_ro, rays_rd, n_pages, interpret=False, tiles=1, a
     )(pages, rays_ro, rays_rd)
 
 
-def intersect_rays_lane(wb, ro, rd, tmin=0.0, tmax=None, interpret=False, coherent=False, anyhit=False, max_tiles=None, inner_steps=4):
+def intersect_rays_lane(wb, ro, rd, tmin=0.0, tmax=None, interpret=False, coherent=False, anyhit=False, max_tiles=None, inner_steps=4, stream=False):
     """intersect_rays-compatible API over the lane-traversal page table.
 
     Same contract as pallas_traverse.intersect_rays_packet: returns
-    dict(t, rnode, tri, u, v) with misses marked t=INFINITE / ids -1."""
+    dict(t, rnode, tri, u, v) with misses marked t=INFINITE / ids -1.
+    stream=True keeps the page table in HBM (unbounded scene size)."""
     from .pallas_traverse import _pack
 
     n = ro.shape[0]
@@ -316,7 +420,8 @@ def intersect_rays_lane(wb, ro, rd, tmin=0.0, tmax=None, interpret=False, cohere
     tiles = max_tiles if max_tiles is not None else 1
     tiles = max(1, min(tiles, max(n // PACKET, 1)))
     ro_p, rd_p, n0 = _pack(ro, rd, tmin, tmax, PACKET * tiles)
-    out = traverse_lanes(
+    fn = traverse_lanes_stream if stream else traverse_lanes
+    out = fn(
         wb.lane_pages, ro_p, rd_p, wb.lane_pages.shape[0] // FIELDS,
         interpret=interpret, tiles=tiles, anyhit=anyhit, inner_steps=inner_steps,
     )

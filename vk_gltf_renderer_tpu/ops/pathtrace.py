@@ -189,7 +189,7 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
                 "tri": jnp.full(n, -1, jnp.int32), "u": jnp.zeros(n), "v": jnp.zeros(n)}
 
     if do_sort:
-        from .pallas_traverse import intersect_rays_packet_soa
+        from .pallas_traverse import PACKET, intersect_rays_packet_soa
 
         keys = _sort_keys(bvh, ro, rd, alive if alive is not None else jnp.ones(n, bool))
         lane = jnp.arange(n, dtype=jnp.int32)
@@ -197,12 +197,57 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
             (keys, lane, ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2], tmax, tmin_b),
             num_keys=1,
         )
-        h = intersect_rays_packet_soa(
-            bvh, rox, roy, roz, rdx, rdy, rdz, tmn, tmx,
-            anyhit=anyhit, tiles=cfg.packet_tiles,
-        )
+
+        def full_trace(ops):
+            rox, roy, roz, rdx, rdy, rdz, tmn, tmx = ops
+            h = intersect_rays_packet_soa(
+                bvh, rox, roy, roz, rdx, rdy, rdz, tmn, tmx,
+                anyhit=anyhit, tiles=cfg.packet_tiles,
+            )
+            return h["t"], h["rnode"], h["tri"], h["u"], h["v"]
+
+        ops = (rox, roy, roz, rdx, rdy, rdz, tmn, tmx)
+        if alive is None:
+            t_s, rn_s, tri_s, u_s, v_s = full_trace(ops)
+        else:
+            # Occupancy-bucketed compact trace: the sort clusters dead lanes
+            # last, so live lanes occupy a prefix. Pick the smallest static
+            # bucket that covers the live count and trace only that prefix —
+            # late bounces (few survivors) skip most of the per-trace fixed
+            # cost (pack/launch/kernel on dead packets). The reference's GPU
+            # simply masks dead threads for free (gltf_pathtrace.slang:441);
+            # on TPU the static-shape analog is this bucket ladder.
+            floor = max(PACKET * cfg.packet_tiles, 8192)
+            buckets = [n]
+            while buckets[-1] // 2 >= max(floor, n // 16):
+                b = -(-(buckets[-1] // 2) // floor) * floor  # ceil to packet multiple
+                if b >= buckets[-1]:
+                    break
+                buckets.append(b)
+            live = jnp.sum(alive.astype(jnp.int32))
+            idx = jnp.zeros((), jnp.int32)
+            for b in buckets[1:]:
+                idx = idx + (live <= b).astype(jnp.int32)
+
+            def make_branch(p):
+                def br(ops):
+                    pre = [o[:p] for o in ops]
+                    t, rn, tri, u, v = full_trace(tuple(pre))
+                    pad = n - p
+                    if pad:
+                        t = jnp.concatenate([t, jnp.full((pad,), INFINITE)])
+                        rn = jnp.concatenate([rn, jnp.full((pad,), -1, rn.dtype)])
+                        tri = jnp.concatenate([tri, jnp.full((pad,), -1, tri.dtype)])
+                        u = jnp.concatenate([u, jnp.zeros((pad,))])
+                        v = jnp.concatenate([v, jnp.zeros((pad,))])
+                    return t, rn, tri, u, v
+                return br
+
+            t_s, rn_s, tri_s, u_s, v_s = jax.lax.switch(
+                idx, [make_branch(b) for b in buckets], ops
+            )
         _, t, rn, tri, u, v = jax.lax.sort(
-            (lane_s, h["t"], h["rnode"], h["tri"], h["u"], h["v"]), num_keys=1
+            (lane_s, t_s, rn_s, tri_s, u_s, v_s), num_keys=1
         )
         return {"t": t, "rnode": rn, "tri": tri, "u": u, "v": v}
 
@@ -685,7 +730,25 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         state.update(ro=ro, rd=rd, radiance=radiance, throughput=throughput, alive=alive, seed=seed)
         return state, None
 
-    state, _ = jax.lax.scan(bounce, state, jnp.arange(cfg.max_depth, dtype=jnp.int32))
+    # Bounce loop: while_loop instead of a fixed-length scan so the frame
+    # STOPS once every lane is dead — most scenes kill the vast majority of
+    # paths by depth 2-3 (env escape + Russian roulette), and each residual
+    # bounce costs two full trace launches. Live-lane RNG streams are
+    # identical to the scan version; only all-dead trailing bounces are
+    # elided (the reference's GPU gets this for free from thread masking,
+    # gltf_pathtrace.slang:441-494).
+    def _bounce_cond(carry):
+        st, depth = carry
+        return (depth < cfg.max_depth) & jnp.any(st["alive"])
+
+    def _bounce_body(carry):
+        st, depth = carry
+        st, _ = bounce(st, depth)
+        return st, depth + 1
+
+    state, _ = jax.lax.while_loop(
+        _bounce_cond, _bounce_body, (state, jnp.zeros((), jnp.int32))
+    )
 
     if cfg.env_kind == "hdr" and cfg.background is None:
         # directly-visible background fix-up: indirect bounces used the
