@@ -226,6 +226,39 @@ def test_lane_traversal_matches_brute_oracle():
     assert ((np.asarray(ha["tri"]) >= 0) == m).all()
 
 
+def test_packet_v2_anyhit_matches_occlusion_oracle():
+    """v2 packet kernel any-hit mode (t_best poisoning early-accept,
+    ops/pallas_traverse.py _traverse2_body) reports exactly the same
+    OCCLUSION answer as closest-hit — reference anchor: the RTX any-hit
+    early-accept path, raytracer_interface.h.slang:149-187."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.pallas_traverse import intersect_rays_packet
+    from vk_gltf_renderer_tpu.ops.traverse import as_device, intersect_brute
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    flat = build_scene_flat(sc)
+    wb = build_world_bvh(flat)
+    rng = np.random.RandomState(11)
+    n = 2048
+    ro = rng.randn(n, 3).astype(np.float32) * 2
+    rd = rng.randn(n, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    hb = intersect_brute(as_device(flat), jnp.asarray(ro), jnp.asarray(rd))
+    occluded = np.asarray(hb["t"]) < 1e30
+    ha = intersect_rays_packet(
+        as_device(wb), jnp.asarray(ro), jnp.asarray(rd), interpret=True, anyhit=True
+    )
+    assert ((np.asarray(ha["tri"]) >= 0) == occluded).all()
+    # any-hit t is the 0/INFINITE sentinel, not a distance
+    assert (np.asarray(ha["t"])[occluded] == 0.0).all()
+
+
 def test_lane_refit_pages_matches_rebuild():
     """refit_lane_pages (device path) == a fresh host build on moved geometry."""
     import numpy as np
@@ -251,3 +284,72 @@ def test_lane_refit_pages_matches_rebuild():
         jnp.asarray(ns2), jnp.asarray(tris2),
     )
     assert np.allclose(np.asarray(refit), fresh, atol=1e-6)
+
+
+def test_vmem_budget_traversal_selection(monkeypatch):
+    """Scene-size ladder: packet (VMEM-resident tables) while the BVH fits
+    the budget, wavefront (HBM) beyond — renderer._config flips the
+    traversal automatically (the budgeted-BLAS analog,
+    renderer.cpp:1699-1721)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.ops import bvh_flatten
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh, fits_vmem, vmem_bytes
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    wb = build_world_bvh(build_scene_flat(sc))
+    assert vmem_bytes(wb) == wb.nodes_fi.nbytes + wb.tris128.nbytes
+    assert fits_vmem(wb)
+    monkeypatch.setattr(bvh_flatten, "VMEM_TABLE_BUDGET", 16)
+    assert not fits_vmem(wb)
+
+    # renderer-level: over-budget on a TPU-like platform selects wavefront
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer
+
+    r = GltfRenderer(width=16, height=16, spp=1, max_depth=2)
+    r.create_scene("/root/reference/resources/Box.glb")
+    import jax
+
+    class FakeDev:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax, "devices", lambda: [FakeDev()])
+    monkeypatch.delenv("VKGR_TRAVERSAL", raising=False)
+    assert r._config().traversal == "wavefront"  # over the (tiny) budget
+    monkeypatch.setattr(bvh_flatten, "VMEM_TABLE_BUDGET", 1 << 30)
+    assert r._config().traversal == "packet"
+
+
+def test_lane_stream_kernel_matches_brute_oracle():
+    """HBM-streaming lane kernel (interpret mode) — same results as the
+    VMEM-resident variant. (Experimental: not wired into the renderer; the
+    production large-scene path is the automatic wavefront fallback.)"""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.lane_traverse import intersect_rays_lane
+    from vk_gltf_renderer_tpu.ops.traverse import as_device, intersect_brute
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    flat = build_scene_flat(sc)
+    wb = build_world_bvh(flat)
+    rng = np.random.RandomState(3)
+    n = 1024
+    ro = rng.randn(n, 3).astype(np.float32) * 2
+    rd = rng.randn(n, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    hs = intersect_rays_lane(as_device(wb), jnp.asarray(ro), jnp.asarray(rd), interpret=True, stream=True)
+    hb = intersect_brute(as_device(flat), jnp.asarray(ro), jnp.asarray(rd))
+    ts, tb = np.asarray(hs["t"]), np.asarray(hb["t"])
+    assert ((ts < 1e30) == (tb < 1e30)).all()
+    m = tb < 1e30
+    assert np.allclose(ts[m], tb[m], atol=1e-4)
+    assert (np.asarray(hs["tri"])[m] == np.asarray(hb["tri"])[m]).all()

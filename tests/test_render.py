@@ -122,3 +122,58 @@ def test_adaptive_sampler_bucketed_no_recompile_storm():
     assert len(seen) <= 4, f"bucketed retarget compiled {len(seen)} variants: {sorted(seen)}"
     # steady state should sit near budget/per_sample = ~16
     assert s.spp in (8, 16)
+
+
+def test_denoiser_guide_buffers():
+    """denoise_guides=True produces the full guide set of the reference's
+    denoiser contract (shaderio.h:54-65): specular albedo via
+    EnvBRDFApprox2 at the first hit and specular hit distance for
+    glossy-reflection chains (65504 sentinel on env escape)."""
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer
+
+    r = GltfRenderer(width=40, height=40, spp=1, max_depth=3)
+    r.denoise_guides = True
+    r.create_scene("/root/reference/resources/Box.glb")
+    aux = r.on_render()
+    assert "spec_albedo" in aux and "spec_hitdist" in aux
+    sa = np.asarray(aux["spec_albedo"]).reshape(40, 40, 3)
+    hd = np.asarray(aux["spec_hitdist"]).reshape(40, 40)
+    solid = np.asarray(aux["solid"]).reshape(40, 40)
+    assert np.isfinite(sa).all() and np.isfinite(hd).all()
+    # first-hit lanes get a nonzero integrated specular reflectance
+    assert sa[solid].max() > 1e-3
+    # miss lanes keep zeros
+    assert np.allclose(sa[~solid], 0.0)
+    # any captured specular chains are either a real distance or the
+    # fp16-max env sentinel
+    cap = hd > 0
+    if cap.any():
+        assert ((hd[cap] == 65504.0) | (hd[cap] < 1e4)).all()
+
+
+def test_compact_frame_matches_wavefront(monkeypatch):
+    """The compact-frame pipeline (peeled bounce 0, per-bounce liveness
+    co-sort + prefix buckets, fixed-width dead-padded traces, final pixel
+    restore) must produce the same image as the plain wavefront path —
+    exercised on CPU via interpret-mode Pallas."""
+    from vk_gltf_renderer_tpu.ops import pathtrace as pt
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer
+
+    def render(traversal):
+        r = GltfRenderer(width=48, height=48, spp=1, max_depth=4)
+        r.create_scene("/root/reference/resources/Box.glb")
+        monkeypatch.setenv("VKGR_TRAVERSAL", traversal)
+        aux = r.on_render()
+        return np.asarray(r.accum).reshape(48, 48, 3), aux
+
+    ref_img, ref_aux = render("wavefront")
+
+    monkeypatch.setattr(pt, "COMPACT_MIN_LANES", 1024)
+    monkeypatch.setenv("VKGR_PALLAS_INTERPRET", "1")
+    img, aux = render("packet")
+
+    # same RNG streams, same math -> images agree to float tolerance
+    assert np.abs(img - ref_img).max() < 1e-4
+    for k in ("solid", "first_rnode"):
+        assert (np.asarray(aux[k]) == np.asarray(ref_aux[k])).all()
+    assert np.abs(np.asarray(aux["first_pos"]) - np.asarray(ref_aux["first_pos"])).max() < 1e-4

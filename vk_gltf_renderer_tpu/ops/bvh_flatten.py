@@ -662,8 +662,24 @@ def build_world_bvh(flat) -> WorldBvh:
     )
 
 
+# VMEM budget for resident traversal tables: v5e has 128 MB of VMEM; the
+# packet kernel caps itself at 100 MB (pallas_traverse.py vmem_limit_bytes)
+# and needs headroom for ray blocks, stack and double-buffering.
+VMEM_TABLE_BUDGET = 88 * 1024 * 1024
+
+
 def vmem_bytes(wb: WorldBvh) -> int:
-    return wb.nodes_f.nbytes + wb.nodes_i.nbytes + wb.tris.nbytes
+    """Bytes of BVH tables the v2 packet kernel keeps resident in VMEM
+    (nodes_fi + tris128 — the only tables the hot kernel binds)."""
+    return wb.nodes_fi.nbytes + wb.tris128.nbytes
+
+
+def fits_vmem(wb: WorldBvh) -> bool:
+    """Whether the packet kernel's resident tables fit the VMEM budget.
+    Over-budget scenes must take the HBM wavefront path — the reference's
+    analog is the budgeted multi-pass BLAS build (renderer.cpp:1699-1721):
+    bounded device memory, graceful degradation, never an abort."""
+    return vmem_bytes(wb) <= VMEM_TABLE_BUDGET
 
 
 # ---------------------------------------------------------------- BVH4

@@ -286,9 +286,13 @@ def _lane_kernel_stream(pages_ref, ro_ref, rd_ref, out_ref, scratch_ref, sem, *,
     activation DMAs its [12,128] block into a VMEM scratch. Because lane
     entry indices are strictly increasing, pages arrive as a monotone
     stream — VMEM footprint is ONE page (6 KB) regardless of scene size.
-    This is the large-scene path (the reference's analog is the budgeted
-    multi-pass BLAS build, renderer.cpp:1699-1721: bounded device memory
-    at some build/trace-time cost)."""
+    EXPERIMENTAL: interpret-mode validated, but the dynamic-offset DMA
+    inside a while_loop hangs the v5e worker through the axon tunnel
+    (reproduced with a minimal kernel) — do NOT wire into the renderer
+    until that is resolved. The production large-scene path is the
+    automatic packet->wavefront fallback (bvh_flatten.fits_vmem).
+    Reference analog: the budgeted multi-pass BLAS build,
+    renderer.cpp:1699-1721 (bounded device memory at some trace cost)."""
     rox = ro_ref[0, 0]
     roy = ro_ref[0, 1]
     roz = ro_ref[0, 2]

@@ -33,7 +33,9 @@ Faithfully reproduced semantics (with reference anchors):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import os
+
+from dataclasses import dataclass, field, replace
 from functools import partial
 
 import jax
@@ -43,6 +45,7 @@ from . import rng
 from .bsdf import (
     DIRAC,
     EVENT_ABSORB,
+    EVENT_GLOSSY_REFLECTION,
     EVENT_IMPULSE_REFLECTION,
     EVENT_IMPULSE_TRANSMISSION,
     bsdf_evaluate,
@@ -58,6 +61,9 @@ from .traverse_wavefront import intersect_rays_wavefront
 from .textures import sample_texture
 
 ANTIALIASING_STD = 0.4246609
+# compact-frame mode activates at this lane count (tests lower it to
+# exercise the compact machinery on tiny CPU frames)
+COMPACT_MIN_LANES = 65536
 RR_MIN_DEPTH = 3
 MIN_TRANSMISSION = 0.01
 VOLUME_MIN_SCATTER = 0.001
@@ -110,6 +116,13 @@ class RenderConfig:
     traversal: str = "packet"  # "packet" (Pallas, TPU) | "wavefront" (XLA)
     sort_rays: bool = True  # reorder rays (octant+Morton) before each trace
     packet_tiles: int = 8  # max 1024-lane tiles sharing one traversal stack (measured optimum in-frame)
+    # produce the full denoiser guide set (adds specular albedo + specular
+    # hit distance, shaderio.h:54-65; costs a few extra sorted columns)
+    denoise_guides: bool = False
+    # compact-frame mode: pad every trace to this fixed lane count so the
+    # Pallas kernel compiles ONE grid shared by all prefix buckets (dead
+    # padding clusters into packets that exit at the root test)
+    trace_width: int = 0
     # solid background (eSceneUseSolidBackground): None or (r, g, b)
     background: tuple | None = None
     # infinite plane + shadow catcher (frameInfo.infinitePlane*,
@@ -121,6 +134,38 @@ class RenderConfig:
     plane_metallic: float = 0.0
     plane_roughness: float = 0.5
     shadow_catcher_darken: float = 0.0
+
+
+def _env_brdf_approx2(spec_color, alpha, nov):
+    """Integrated specular reflectance approximation [Ray Tracing Gems,
+    ch. 32] — the specular-albedo guide the reference feeds DLSS-RR
+    (dlss_util.h:38-60, gltf_pathtrace.slang:249-259)."""
+    nov = jnp.abs(nov)
+    x = jnp.stack([jnp.ones_like(nov), nov, nov * nov, nov ** 3], axis=-1)
+    y = jnp.stack([jnp.ones_like(alpha), alpha, alpha * alpha, alpha ** 3], axis=-1)
+
+    def dot2(m, a, b):
+        return (m[0][0] * a[..., 0] + m[0][1] * a[..., 1]) * b[..., 0] + (
+            m[1][0] * a[..., 0] + m[1][1] * a[..., 1]) * b[..., 1]
+
+    def dot3m(m, a, b):
+        r = []
+        for i in range(3):
+            r.append(m[i][0] * a[..., 0] + m[i][1] * a[..., 1] + m[i][2] * a[..., 2])
+        return r[0] * b[..., 0] + r[1] * b[..., 1] + r[2] * b[..., 2]
+
+    m1 = ((0.99044, -1.28514), (1.29678, -0.755907))
+    m2 = ((1.0, 2.92338, 59.4188), (20.3225, -27.0302, 222.592), (121.563, 626.13, 316.627))
+    m3 = ((0.0365463, 3.32707), (9.0632, -9.04756))
+    m4 = ((1.0, 3.59685, -1.36772), (9.04401, -16.3174, 9.22949), (5.56589, 19.7886, -20.2123))
+    x2, y2 = x[..., 0:2], y[..., 0:2]
+    xw = jnp.stack([x[..., 0], x[..., 1], x[..., 3]], axis=-1)
+    yw = jnp.stack([y[..., 0], y[..., 1], y[..., 3]], axis=-1)
+    xzw = jnp.stack([x[..., 0], x[..., 2], x[..., 3]], axis=-1)
+    bias = dot2(m1, x2, y2) / jnp.maximum(dot3m(m2, xw, yw), 1e-6)
+    scale = dot2(m3, x2, y2) / jnp.maximum(dot3m(m4, xzw, yw), 1e-6)
+    bias = bias * jnp.clip(spec_color[..., 1] * 50.0, 0.0, 1.0)
+    return spec_color * jnp.maximum(scale, 0.0)[..., None] + jnp.maximum(bias, 0.0)[..., None]
 
 
 def _sort_keys(bvh, ro, rd, alive):
@@ -198,11 +243,13 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
             num_keys=1,
         )
 
+        interp = os.environ.get("VKGR_PALLAS_INTERPRET") == "1"
+
         def full_trace(ops):
             rox, roy, roz, rdx, rdy, rdz, tmn, tmx = ops
             h = intersect_rays_packet_soa(
                 bvh, rox, roy, roz, rdx, rdy, rdz, tmn, tmx,
-                anyhit=anyhit, tiles=cfg.packet_tiles,
+                anyhit=anyhit, tiles=cfg.packet_tiles, interpret=interp,
             )
             return h["t"], h["rnode"], h["tri"], h["u"], h["v"]
 
@@ -251,12 +298,34 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
         )
         return {"t": t, "rnode": rn, "tri": tri, "u": u, "v": v}
 
-    if cfg.traversal in ("packet", "packet4"):
+    if cfg.traversal == "packet":
+        # order-preserving SoA trace (no transpose): used by the compact
+        # frame path, whose lanes are already liveness+Morton sorted
+        from .pallas_traverse import intersect_rays_packet_soa
+
+        interp = os.environ.get("VKGR_PALLAS_INTERPRET") == "1"
+        tiles = cfg.packet_tiles if coherent else 1
+        comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2], tmin_b]
+        w = cfg.trace_width
+        if w and w > n:
+            # fixed-width launch: dead-pad so every bucket reuses ONE
+            # compiled kernel grid (padding packets exit at the root)
+            zpad = jnp.zeros((w - n,))
+            comps = [jnp.concatenate([c, zpad]) for c in comps]
+            tmax = jnp.concatenate([tmax, jnp.full((w - n,), -1.0)])
+        h = intersect_rays_packet_soa(
+            bvh, comps[0], comps[1], comps[2], comps[3], comps[4], comps[5],
+            comps[6], tmax, anyhit=anyhit, tiles=tiles, interpret=interp,
+        )
+        if w and w > n:
+            h = {k: v[:n] for k, v in h.items()}
+        return h
+    if cfg.traversal == "packet4":
         from .pallas_traverse import intersect_rays_packet
 
         return intersect_rays_packet(
             bvh, ro, rd, tmin=tmin_b, tmax=tmax, coherent=coherent,
-            anyhit=anyhit, max_tiles=cfg.packet_tiles, wide=cfg.traversal == "packet4",
+            anyhit=anyhit, max_tiles=cfg.packet_tiles, wide=True,
         )
     return intersect_rays_wavefront(bvh, ro, rd, tmin=tmin_b, tmax=tmax)
 
@@ -432,6 +501,66 @@ def _trace_with_alpha(flat, bvh, ro, rd, seed, cfg: RenderConfig, alive=None):
     return hits, seed
 
 
+def _state_columns_spec(cfg: RenderConfig):
+    """Loop-carried per-lane fields that must ride the compact-frame
+    co-sort at bounces >= 1. First-hit captures (guides, first_pos, solid,
+    first_rnode) are written during the PEELED bounce 0 in LANE order and
+    never touched later, so they stay in pixel space and skip every sort.
+    Feature-gated fields that are never written (feature off) stay at
+    their init constant — permutation-invariant — and are skipped too."""
+    spec = [
+        ("ro", 3), ("rd", 3), ("radiance", 3), ("throughput", 3),
+        ("alive", None), ("last_pdf", None), ("max_rough", 2),
+        ("cone_width", None), ("seed", None), ("pixel", None),
+    ]
+    if "transmission" in cfg.features:
+        spec.append(("is_inside", None))
+    if "volume" in cfg.features:
+        spec.append(("att_sigma", 3))
+    if "volume_scatter" in cfg.features:
+        spec += [("scatter_sigma", 3), ("scatter_g", None)]
+    if "dispersion" in cfg.features:
+        spec.append(("chroma", None))
+    if cfg.denoise_guides:
+        # specular hit distance is captured at depth 1 (the trace after the
+        # armed bounce), so these two DO ride the loop sorts
+        spec += [("guide_spec_hitdist", None), ("capture_spec", None)]
+    return spec
+
+
+def _state_to_columns(state, spec):
+    cols = []
+    for k, c in spec:
+        if c is None:
+            cols.append(state[k])
+        else:
+            cols.extend(state[k][:, i] for i in range(c))
+    return cols
+
+
+def _columns_to_state(cols, spec, template):
+    out = dict(template)
+    i = 0
+    for k, c in spec:
+        if c is None:
+            out[k] = cols[i]
+            i += 1
+        else:
+            out[k] = jnp.stack(cols[i : i + c], axis=-1)
+            i += c
+    return out
+
+
+def _bucket_ladder(n, levels=(1, 4, 16), align=8192):
+    """Distinct static prefix sizes n, ~n/4, ~n/16 (packet-aligned)."""
+    out = []
+    for d in levels:
+        b = n if d == 1 else min(n, -(-(n // d) // align) * align)
+        if not out or b < out[-1]:
+            out.append(b)
+    return out
+
+
 def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angle=0.0):
     """Trace one sample per lane. Returns (radiance [N,3], aux dict, seed).
 
@@ -441,7 +570,17 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
     compile-time analog of the reference's single megakernel loop.
     """
     n = ro.shape[0]
+    # Compact-frame mode (TPU): per-lane state is liveness+Morton co-sorted
+    # once per bounce and the whole bounce body (traces AND shading glue)
+    # runs on a static prefix bucket covering the live count. Profiled on
+    # v5e: shading glue is ~40 ms per 2M lanes per bounce (get_hit_state's
+    # row gathers alone are 31 ms) and was paid at FULL width every bounce
+    # even when <15% of lanes survive. Lane order is restored once per
+    # sample by a final co-sort on the carried pixel id.
+    compact = cfg.sort_rays and cfg.traversal == "packet" and n >= COMPACT_MIN_LANES
+    cfg_t = replace(cfg, sort_rays=False, trace_width=n) if compact else cfg
     state = dict(
+        pixel=jnp.arange(n, dtype=jnp.int32),
         ro=ro,
         rd=rd,
         radiance=jnp.zeros((n, 3)),
@@ -456,6 +595,9 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         guide_albedo=jnp.zeros((n, 3)),
         guide_normal=jnp.zeros((n, 3)),
         guide_rough=jnp.zeros(n),
+        guide_spec_albedo=jnp.zeros((n, 3)),
+        guide_spec_hitdist=jnp.zeros(n),
+        capture_spec=jnp.zeros(n, bool),
         att_sigma=jnp.zeros((n, 3)),
         scatter_sigma=jnp.zeros((n, 3)),
         scatter_g=jnp.zeros(n),
@@ -476,8 +618,17 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         state["rays"] = state["rays"] + jnp.sum(alive.astype(jnp.float32))
         # each trace co-sorts its own rays: the shadow trace gets ITS
         # direction octants grouped (measured 2x on mixed-direction packets)
-        hits, seed = _trace_with_alpha(flat, bvh, ro, rd, seed, cfg, alive=alive)
+        hits, seed = _trace_with_alpha(flat, bvh, ro, rd, seed, cfg_t, alive=alive)
         miss = hits["tri"] < 0
+
+        if cfg.denoise_guides:
+            # specular hit distance: the depth-1 trace result of a glossy/
+            # impulse reflection chain; env miss = fp16 max
+            # (gltf_pathtrace.slang:138-141, :218-221)
+            cap = state["capture_spec"] & alive
+            hd = jnp.where(miss, 65504.0, hits["t"])
+            state["guide_spec_hitdist"] = jnp.where(cap, hd, state["guide_spec_hitdist"])
+            state["capture_spec"] = jnp.zeros_like(state["capture_spec"])
 
         # ---------------- infinite plane (pathtrace_functions.h.slang:556-585)
         if cfg.use_infinite_plane:
@@ -554,6 +705,13 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         state["guide_albedo"] = jnp.where(first_hit[..., None], pbr["base_color"], state["guide_albedo"])
         state["guide_normal"] = jnp.where(first_hit[..., None], pbr["N"], state["guide_normal"])
         state["guide_rough"] = jnp.where(first_hit, jnp.sqrt(pbr["roughness"][..., 0]), state["guide_rough"])
+        if cfg.denoise_guides:
+            # KHR_materials_specular energy-conservation clamp + EnvBRDFApprox2
+            # (gltf_pathtrace.slang:249-259)
+            f0i = ((pbr["ior2"] - pbr["ior1"]) / jnp.maximum(pbr["ior2"] + pbr["ior1"], 1e-6)) ** 2
+            scc = jnp.minimum(f0i[..., None] * pbr["specular_color"], 1.0)
+            spec_alb = _env_brdf_approx2(scc, pbr["roughness"][..., 0], dot3(pbr["N"], rd))
+            state["guide_spec_albedo"] = jnp.where(first_hit[..., None], spec_alb, state["guide_spec_albedo"])
 
         # ---------------- in-volume segment (processVolumeSegment,
         # functions:904-939): Beer-Lambert absorption always; HG scatter
@@ -586,7 +744,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
                     dlv["pdf"] == DIRAC, 1.0, dlv["pdf"] / jnp.maximum(dlv["pdf"] + phase_pdf, 1e-20)
                 )
                 v_shadow, seed = _trace_shadow(
-                    flat, bvh, sc_org, dlv["direction"], dlv["distance"], seed, cfg,
+                    flat, bvh, sc_org, dlv["direction"], dlv["distance"], seed, cfg_t,
                     alive=scattered & (dlv["pdf"] != 0.0),
                 )
                 v_contrib = throughput * dlv["radiance_over_pdf"] * (v_mis * phase_pdf)[..., None] * v_shadow
@@ -668,6 +826,11 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         state["last_pdf"] = jnp.where(lane_hit, samp["pdf"], state["last_pdf"])
         new_dir = samp["k2"]
         absorbed = lane_hit & (samp["event"] == EVENT_ABSORB)
+        if cfg.denoise_guides:
+            # arm specular-hit-distance capture for the next trace
+            # (gltf_pathtrace.slang:370-377)
+            spec_ev = (samp["event"] == EVENT_GLOSSY_REFLECTION) | (samp["event"] == EVENT_IMPULSE_REFLECTION)
+            state["capture_spec"] = first & lane_hit & spec_ev & ~absorbed
 
         is_trans = (samp["event"] == EVENT_IMPULSE_TRANSMISSION) | (samp["event"] == 4)
         if "transmission" in cfg.features:
@@ -696,7 +859,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         sh_base = jnp.where(sh_fwd[..., None], hs["shadow_pos"], hs["pos"])
         sh_off = jnp.where(sh_fwd[..., None], hs["geonrm"], -hs["geonrm"])
         sh_org = safe_offset_ray(sh_base, sh_off)
-        shadow, seed = _trace_shadow(flat, bvh, sh_org, dl["direction"], dl["distance"], seed, cfg, alive=next_event)
+        shadow, seed = _trace_shadow(flat, bvh, sh_org, dl["direction"], dl["distance"], seed, cfg_t, alive=next_event)
         if cfg.use_infinite_plane and cfg.plane_shadow_catcher:
             # shadow catcher (handleShadowCatcher, functions:499-554): the
             # plane is invisible — show env where lit, darken where occluded
@@ -741,14 +904,64 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         st, depth = carry
         return (depth < cfg.max_depth) & jnp.any(st["alive"])
 
-    def _bounce_body(carry):
-        st, depth = carry
-        st, _ = bounce(st, depth)
-        return st, depth + 1
+    if not compact:
+        def _bounce_body(carry):
+            st, depth = carry
+            st, _ = bounce(st, depth)
+            return st, depth + 1
 
-    state, _ = jax.lax.while_loop(
-        _bounce_cond, _bounce_body, (state, jnp.zeros((), jnp.int32))
-    )
+        state, _ = jax.lax.while_loop(
+            _bounce_cond, _bounce_body, (state, jnp.zeros((), jnp.int32))
+        )
+    else:
+        # Bounce 0 PEELED: full width, NO sort. Primary rays arrive in
+        # pixel (scanline) order — already coherent — and every lane is
+        # live, so there is nothing to compact; and peeling means the
+        # first-hit captures happen in LANE order and never have to ride
+        # (or be restored from) the loop's co-sorts.
+        state, _ = bounce(state, jnp.zeros((), jnp.int32))
+
+        spec = _state_columns_spec(cfg)
+        buckets = _bucket_ladder(n)
+
+        def _make_branch(p):
+            def br(args):
+                st, depth = args
+                pre = {k: (v if k == "rays" else v[:p]) for k, v in st.items()}
+                keys = _sort_keys(bvh, pre["ro"], pre["rd"], pre["alive"])
+                cols = _state_to_columns(pre, spec)
+                sorted_cols = jax.lax.sort((keys, *cols), num_keys=1)[1:]
+                pre = _columns_to_state(list(sorted_cols), spec, pre)
+                pre, _ = bounce(pre, depth)
+                if p == n:
+                    return pre
+                return {
+                    k: (v if k == "rays" else jnp.concatenate([v, st[k][p:]]))
+                    for k, v in pre.items()
+                }
+            return br
+
+        def _bounce_body(carry):
+            st, depth = carry
+            live = jnp.sum(st["alive"].astype(jnp.int32))
+            idx = jnp.zeros((), jnp.int32)
+            for b in buckets[1:]:
+                idx = idx + (live <= b).astype(jnp.int32)
+            st = jax.lax.switch(idx, [_make_branch(p) for p in buckets], (st, depth))
+            return st, depth + 1
+
+        state, _ = jax.lax.while_loop(
+            _bounce_cond, _bounce_body, (state, jnp.ones((), jnp.int32))
+        )
+
+        # restore pixel order for the loop-carried outputs (first-hit
+        # captures never left pixel space — see the peel above)
+        outs = [("radiance", 3), ("seed", None)]
+        if cfg.denoise_guides:
+            outs += [("guide_spec_hitdist", None)]
+        cols = _state_to_columns(state, outs)
+        unsorted = jax.lax.sort((state["pixel"], *cols), num_keys=1)[1:]
+        state = _columns_to_state(list(unsorted), outs, state)
 
     if cfg.env_kind == "hdr" and cfg.background is None:
         # directly-visible background fix-up: indirect bounces used the
@@ -774,6 +987,9 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         "roughness": state["guide_rough"],
         "rays": state["rays"],
     }
+    if cfg.denoise_guides:
+        aux["spec_albedo"] = state["guide_spec_albedo"]
+        aux["spec_hitdist"] = state["guide_spec_hitdist"]
     return state["radiance"], aux, state["seed"]
 
 
@@ -831,6 +1047,9 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
         "roughness": jnp.zeros(n),
         "rays": jnp.zeros((), jnp.float32),
     }
+    if cfg.denoise_guides:
+        aux0["spec_albedo"] = jnp.zeros((n, 3))
+        aux0["spec_hitdist"] = jnp.zeros(n)
     (seed, total, rays_total, aux_out), _ = jax.lax.scan(
         one_sample,
         (seed0, jnp.zeros((n, 3)), jnp.zeros((), jnp.float32), aux0),

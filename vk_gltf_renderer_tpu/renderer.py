@@ -125,6 +125,10 @@ class GltfRenderer:
         self._render_fn = None
         self._cfg = None
         self.packet_tiles = 8  # traversal stack width (1024-lane tiles)
+        # full denoiser guide set (specular albedo + hit distance); off by
+        # default — enable before rendering when a denoiser will consume
+        # the aux buffers (shaderio.h:54-65 contract)
+        self.denoise_guides = False
         self.animate = False
         self.firefly_clamp = 10.0
         self.env_intensity = 1.0
@@ -330,7 +334,16 @@ class GltfRenderer:
         feats = frozenset(feats)
         alpha_any = any(m.get("alphaMode", "OPAQUE") != "OPAQUE" for m in self.scene.model.materials)
         on_tpu = jax.devices()[0].platform != "cpu"
-        traversal = os.environ.get("VKGR_TRAVERSAL", "packet" if on_tpu else "wavefront")
+        default = "packet" if on_tpu else "wavefront"
+        if on_tpu and self.bvh is not None:
+            from .ops.bvh_flatten import fits_vmem
+
+            # scene-size ladder: VMEM-resident packet kernel while the BVH
+            # tables fit, HBM wavefront beyond (the budgeted-BLAS analog,
+            # renderer.cpp:1699-1721) — automatic, no user knob needed
+            if not fits_vmem(self.bvh):
+                default = "wavefront"
+        traversal = os.environ.get("VKGR_TRAVERSAL", default)
         return RenderConfig(
             traversal=traversal,
             width=self.width,
@@ -352,6 +365,7 @@ class GltfRenderer:
             plane_shadow_catcher=self.plane_shadow_catcher,
             shadow_catcher_darken=self.shadow_catcher_darken,
             packet_tiles=self.packet_tiles,
+            denoise_guides=self.denoise_guides,
         )
 
     def _ensure_render_fn(self):
