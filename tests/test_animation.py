@@ -160,3 +160,72 @@ def test_animated_scene_update(triangle_model):
     sc.update_world_matrices_serial()
     sc.refresh_render_node_matrices()
     np.testing.assert_allclose(sc.render_nodes[0].world_matrix[:3, 3], [2, 0, 0], atol=1e-6)
+
+
+def test_refit_frames_do_no_host_primitive_decode(triangle_model, monkeypatch):
+    """Animated frames must NOT re-extract primitives from the Model: the
+    skin/morph inputs are device-resident tables built once
+    (gltf_scene_animation_vk.cpp:180 createGpuBuffers analog). Round-1
+    regression: _refit_device called extract_primitive per node per frame."""
+    import struct
+
+    import numpy as np
+
+    from vk_gltf_renderer_tpu.models import geometry
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer
+
+    # tiny rotation animation on the triangle scene
+    g = triangle_model.gltf
+    buf = triangle_model.buffers[0]
+    times = np.array([0.0, 1.0], np.float32)
+    rots = np.array([[0, 0, 0, 1], [0, 0, 1, 0]], np.float32)
+    off_t = len(buf); buf.extend(times.tobytes())
+    off_r = len(buf); buf.extend(rots.tobytes())
+    g["buffers"][0]["byteLength"] = len(buf)
+    g["bufferViews"] += [
+        {"buffer": 0, "byteOffset": off_t, "byteLength": times.nbytes},
+        {"buffer": 0, "byteOffset": off_r, "byteLength": rots.nbytes},
+    ]
+    g["accessors"] += [
+        {"bufferView": len(g["bufferViews"]) - 2, "componentType": 5126, "count": 2,
+         "type": "SCALAR", "min": [0.0], "max": [1.0]},
+        {"bufferView": len(g["bufferViews"]) - 1, "componentType": 5126, "count": 2, "type": "VEC4"},
+    ]
+    g["animations"] = [{
+        "channels": [{"sampler": 0, "target": {"node": 0, "path": "rotation"}}],
+        "samplers": [{"input": len(g["accessors"]) - 2, "output": len(g["accessors"]) - 1,
+                      "interpolation": "LINEAR"}],
+    }]
+
+    # morph target so the refit actually exercises the deform path (the
+    # round-1 regression: per-frame extract_primitive for morphed nodes)
+    deltas = np.array([[0, 0, 0.2], [0, 0, 0.2], [0, 0, 0.2]], np.float32)
+    off_d = len(buf); buf.extend(deltas.tobytes())
+    g["buffers"][0]["byteLength"] = len(buf)
+    g["bufferViews"].append({"buffer": 0, "byteOffset": off_d, "byteLength": deltas.nbytes})
+    g["accessors"].append({"bufferView": len(g["bufferViews"]) - 1, "componentType": 5126,
+                           "count": 3, "type": "VEC3",
+                           "min": deltas.min(0).tolist(), "max": deltas.max(0).tolist()})
+    g["meshes"][0]["primitives"][0]["targets"] = [{"POSITION": len(g["accessors"]) - 1}]
+    g["nodes"][0]["weights"] = [0.5]
+
+    r = GltfRenderer(width=16, height=16, spp=1, max_depth=2)
+    r.scene.load_from_model(triangle_model)
+    from vk_gltf_renderer_tpu.renderer import fit_camera
+
+    r.camera = fit_camera(r.scene)
+    r.rebuild_device_scene()
+    r.animate = True
+    r.on_render()  # first frame may build caches
+
+    calls = {"n": 0}
+    orig = geometry.extract_primitive
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(geometry, "extract_primitive", counting)
+    for _ in range(3):
+        r.on_render()
+    assert calls["n"] == 0, f"{calls['n']} host primitive decodes during animated frames"

@@ -159,6 +159,7 @@ class Scene:
         self.node_visible: np.ndarray = np.zeros(0, bool)
         self._dirty = DirtyFlags.NONE
         self._dirty_nodes: set[int] = set()
+        self._locals_cache = None  # per-node local matrices (levels path)
         self._dirty_materials: set[int] = set()
         self._prim_key_map: dict[tuple, int] = {}
         self.animations = []  # populated by models.animation.parse_animations
@@ -196,6 +197,7 @@ class Scene:
         dirty flags (reference updateRenderNodesFull :1950). Never mutates
         the Model.
         """
+        self._locals_cache = None  # node list/topology may change
         model = self.model
         prev_count = len(self.render_nodes)
 
@@ -406,10 +408,25 @@ class Scene:
         Batched per BFS level: world[level] = world[parent[level]] @ local[level].
         Same numerical result as the serial path; this is the algorithm the
         jitted device propagation (ops/transforms.py) mirrors.
+
+        Local matrices are CACHED and only the dirty nodes' entries are
+        re-decoded per call (the reference's TransformComputeVk patches only
+        dirty locals, gltf_scene_transform_vk.hpp:15-64) — per-frame host
+        cost is O(dirty) decode + O(n) vectorized matmuls, never an O(n)
+        Python loop.
         """
         model = self.model
         n = len(model.nodes)
-        locals_ = np.stack([mu.node_local_matrix(model.nodes[i]) for i in range(n)]) if n else np.zeros((0, 4, 4), np.float32)
+        if self._locals_cache is None or self._locals_cache.shape[0] != n:
+            self._locals_cache = (
+                np.stack([mu.node_local_matrix(model.nodes[i]) for i in range(n)])
+                if n else np.zeros((0, 4, 4), np.float32)
+            )
+        else:
+            for i in self._dirty_nodes:
+                if 0 <= i < n:
+                    self._locals_cache[i] = mu.node_local_matrix(model.nodes[i])
+        locals_ = self._locals_cache
         world = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
         for level in self.topo_levels:
             par = self.parents[level]

@@ -129,6 +129,7 @@ class GltfRenderer:
         # default — enable before rendering when a denoiser will consume
         # the aux buffers (shaderio.h:54-65 contract)
         self.denoise_guides = False
+        self._anim_tables_cache = None  # device-resident skin/morph inputs
         self.animate = False
         self.firefly_clamp = 10.0
         self.env_intensity = 1.0
@@ -191,6 +192,7 @@ class GltfRenderer:
         self.scene.parse_scene()
         self.flat = build_scene_flat(self.scene)
         self.bvh = build_world_bvh(self.flat)
+        self._anim_tables_cache = None
         self.scene.clear_dirty_flags()
         self._render_fn = None
         self.reset_frame()
@@ -213,7 +215,15 @@ class GltfRenderer:
             self.rebuild_device_scene()
             return True
         if df & (DirtyFlags.NODE_TRANSFORMS | DirtyFlags.RENDER_NODES | DirtyFlags.VERTICES):
-            self.scene.update_world_matrices_serial()
+            # level-order propagation above the threshold where the Python
+            # DFS recursion dominates (the reference's GPU-transform-path
+            # switchover, gltf_scene_transform_vk.hpp:15-64 /
+            # canUseGpuTransformPath): O(dirty) local decode + vectorized
+            # per-level matmuls vs O(n) Python recursion
+            if len(self.scene.model.nodes) >= 512:
+                self.scene.update_world_matrices_levels()
+            else:
+                self.scene.update_world_matrices_serial()
             self.scene.refresh_render_node_matrices()
             if self._refit_device():
                 pass  # device refit done
@@ -227,6 +237,45 @@ class GltfRenderer:
         self.scene.clear_dirty_flags()
         self.reset_frame()
         return True
+
+    def _anim_tables(self) -> dict:
+        """Device-resident animation inputs, built once per device scene:
+        {render_node_index: {v0, nv, pos0, deltas, joints0, weights0}} for
+        every skinned/morphed render node. The reference uploads these as
+        static SSBOs at scene build (gltf_scene_animation_vk.cpp:180);
+        rebuilding them per frame (round-1 behavior) made animated frames
+        host-decode-bound."""
+        if self._anim_tables_cache is not None:
+            return self._anim_tables_cache
+        import jax.numpy as jnp
+
+        from .models.geometry import extract_primitive
+
+        scene = self.scene
+        tables = {}
+        for i, rn in enumerate(scene.render_nodes):
+            node = scene.model.nodes[rn.ref_node_id] if rn.ref_node_id >= 0 else {}
+            has_weights = node.get("weights") is not None
+            has_skin = rn.skin_id >= 0
+            if not has_skin and not has_weights:
+                continue
+            rp = scene.render_primitives[rn.render_prim_id]
+            pd = extract_primitive(scene.model, rp.primitive(scene.model))
+            deltas = None
+            if pd.morph_targets:
+                deltas = jnp.asarray(
+                    np.stack([t.get("POSITION", np.zeros_like(pd.positions)) for t in pd.morph_targets])
+                )
+            tables[i] = {
+                "v0": int(self.flat.prim_first_vtx[rn.render_prim_id]),
+                "nv": int(self.flat.prim_vtx_count[rn.render_prim_id]),
+                "pos0": jnp.asarray(pd.positions),
+                "deltas": deltas,
+                "joints0": jnp.asarray(pd.joints0) if pd.joints0 is not None else None,
+                "weights0": jnp.asarray(pd.weights0) if pd.weights0 is not None else None,
+            }
+        self._anim_tables_cache = tables
+        return tables
 
     def _refit_device(self) -> bool:
         """Transform/skin/morph-only update without host rebuild: deform
@@ -254,32 +303,30 @@ class GltfRenderer:
         o2w = np.stack([rn.world_matrix for rn in scene.render_nodes]).astype(np.float32)
         w2o = np.linalg.inv(o2w.astype(np.float64)).astype(np.float32)
 
-        # vertex deformation (skin/morph) on device
+        # vertex deformation (skin/morph) on device. Static inputs (base
+        # positions, packed morph deltas, joints/weights) are extracted from
+        # the Model ONCE and kept device-resident — per frame only the small
+        # joint matrices / morph weights are recomputed and uploaded, like
+        # the reference's one-time animation SSBOs
+        # (gltf_scene_animation_vk.cpp:180 createGpuBuffers vs :414
+        # dispatchAnimation).
         vtx_pos = jnp.asarray(self.flat.vtx_pos)
         vtx_nrm = jnp.asarray(self.flat.vtx_nrm)
-        from .models.geometry import extract_primitive
+        tables = self._anim_tables()
 
         deformed_any = False
-        for rn in scene.render_nodes:
+        for rn_idx, tab in tables.items():
+            rn = scene.render_nodes[rn_idx]
             node = scene.model.nodes[rn.ref_node_id] if rn.ref_node_id >= 0 else {}
             weights = node.get("weights")
-            has_skin = rn.skin_id >= 0
-            if not has_skin and not weights:
-                continue
-            rp = scene.render_primitives[rn.render_prim_id]
-            pd = extract_primitive(scene.model, rp.primitive(scene.model))
-            v0 = int(self.flat.prim_first_vtx[rn.render_prim_id])
-            nv = int(self.flat.prim_vtx_count[rn.render_prim_id])
-            pos = jnp.asarray(pd.positions)
+            v0, nv = tab["v0"], tab["nv"]
+            pos = tab["pos0"]
             nrm = vtx_nrm[v0 : v0 + nv]
-            if weights and pd.morph_targets:
-                deltas = jnp.asarray(
-                    np.stack([t.get("POSITION", np.zeros_like(pd.positions)) for t in pd.morph_targets])
-                )
-                pos = morph_vertices(pos, deltas, jnp.asarray(np.asarray(weights, np.float32)))
-            if has_skin and pd.joints0 is not None:
+            if weights is not None and tab["deltas"] is not None:
+                pos = morph_vertices(pos, tab["deltas"], jnp.asarray(np.asarray(weights, np.float32)))
+            if rn.skin_id >= 0 and tab["joints0"] is not None:
                 jm = compute_joint_matrices(scene, rn.skin_id, scene.world_matrices[rn.ref_node_id])
-                pos, nrm = skin_vertices(pos, nrm, jnp.asarray(pd.joints0), jnp.asarray(pd.weights0), jnp.asarray(jm))
+                pos, nrm = skin_vertices(pos, nrm, tab["joints0"], tab["weights0"], jnp.asarray(jm))
             vtx_pos = vtx_pos.at[v0 : v0 + nv].set(pos)
             vtx_nrm = vtx_nrm.at[v0 : v0 + nv].set(nrm)
             deformed_any = True
