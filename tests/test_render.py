@@ -177,3 +177,35 @@ def test_compact_frame_matches_wavefront(monkeypatch):
     for k in ("solid", "first_rnode"):
         assert (np.asarray(aux[k]) == np.asarray(ref_aux[k])).all()
     assert np.abs(np.asarray(aux["first_pos"]) - np.asarray(ref_aux["first_pos"])).max() < 1e-4
+
+
+def test_instance_motion_vectors():
+    """Moving a node between frames produces first_pos_prev = the surface
+    point's previous world position (per-node transform snapshot,
+    snapshot_prev_transforms.comp.slang:22-31) — with a static camera,
+    camera-only reprojection would report zero motion."""
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer
+
+    r = GltfRenderer(width=32, height=32, spp=1, max_depth=2)
+    r.denoise_guides = True
+    r.create_scene("/root/reference/resources/Box.glb")
+    r.on_render()
+
+    # translate the box +0.3 in x through the editor (marks dirty)
+    from vk_gltf_renderer_tpu.models.editor import SceneEditor
+
+    ed = SceneEditor(r.scene)
+    node = r.scene.model.nodes[r.scene.render_nodes[0].ref_node_id]
+    t = list(node.get("translation", [0.0, 0.0, 0.0]))
+    ed.set_translation(r.scene.render_nodes[0].ref_node_id, [t[0] + 0.3, t[1], t[2]])
+    aux = r.on_render()
+
+    solid = np.asarray(aux["solid"])
+    pos = np.asarray(aux["first_pos"])
+    prev = np.asarray(aux["first_pos_prev"])
+    hit = solid
+    assert hit.any()
+    d = pos[hit] - prev[hit]
+    # every hit surface point moved by exactly the node translation
+    np.testing.assert_allclose(d[:, 0], 0.3, atol=1e-3)
+    np.testing.assert_allclose(d[:, 1:], 0.0, atol=1e-3)

@@ -561,7 +561,7 @@ def _bucket_ladder(n, levels=(1, 4, 16), align=8192):
     return out
 
 
-def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angle=0.0):
+def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angle=0.0, prev_rn_o2w=None):
     """Trace one sample per lane. Returns (radiance [N,3], aux dict, seed).
 
     The bounce loop is a lax.scan with a depth-uniform body (first-hit
@@ -598,6 +598,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         guide_spec_albedo=jnp.zeros((n, 3)),
         guide_spec_hitdist=jnp.zeros(n),
         capture_spec=jnp.zeros(n, bool),
+        guide_pos_prev=jnp.zeros((n, 3)),
         att_sigma=jnp.zeros((n, 3)),
         scatter_sigma=jnp.zeros((n, 3)),
         scatter_g=jnp.zeros(n),
@@ -705,6 +706,23 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         state["guide_albedo"] = jnp.where(first_hit[..., None], pbr["base_color"], state["guide_albedo"])
         state["guide_normal"] = jnp.where(first_hit[..., None], pbr["N"], state["guide_normal"])
         state["guide_rough"] = jnp.where(first_hit, jnp.sqrt(pbr["roughness"][..., 0]), state["guide_rough"])
+        if cfg.denoise_guides and prev_rn_o2w is not None:
+            # instance motion: previous-frame world position of this surface
+            # point via the prev per-node object->world snapshot
+            # (snapshot_prev_transforms.comp.slang:22-31,
+            # gltf_pathtrace.slang:236-241)
+            from .hitstate import _xform_point_b
+
+            rn_safe = jnp.maximum(hits["rnode"], 0)
+            rn_row = flat.rn_packed[rn_safe]
+            w2o = rn_row[..., 16:32].reshape(rn_row.shape[:-1] + (4, 4))
+            prev_row = prev_rn_o2w[rn_safe]
+            prev_o2w = prev_row.reshape(prev_row.shape[:-1] + (4, 4))
+            obj_pos = _xform_point_b(w2o, hs["pos"])
+            pos_prev = _xform_point_b(prev_o2w, obj_pos)
+            state["guide_pos_prev"] = jnp.where(
+                first_hit[..., None], pos_prev, state["guide_pos_prev"]
+            )
         if cfg.denoise_guides:
             # KHR_materials_specular energy-conservation clamp + EnvBRDFApprox2
             # (gltf_pathtrace.slang:249-259)
@@ -990,6 +1008,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
     if cfg.denoise_guides:
         aux["spec_albedo"] = state["guide_spec_albedo"]
         aux["spec_hitdist"] = state["guide_spec_hitdist"]
+        aux["first_pos_prev"] = state["guide_pos_prev"]
     return state["radiance"], aux, state["seed"]
 
 
@@ -1027,7 +1046,7 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
             u1, seed = rng.rand(seed)
             u2, seed = rng.rand(seed)
             ro, rd = apply_depth_of_field(ro, rd, frame["view_inv"], cfg.focal_distance, cfg.aperture, u1, u2)
-        rad, aux, seed = path_trace_batch(flat, bvh, env, ro, rd, seed, cfg, pixel_angle=frame.get("pixel_angle", 0.0))
+        rad, aux, seed = path_trace_batch(flat, bvh, env, ro, rd, seed, cfg, pixel_angle=frame.get("pixel_angle", 0.0), prev_rn_o2w=frame.get("prev_rn_o2w"))
         # sanitize: a rare degenerate sample (0*inf through a near-zero pdf)
         # must not poison the accumulation buffer
         rad = jnp.nan_to_num(rad, nan=0.0, posinf=0.0, neginf=0.0)
@@ -1050,6 +1069,7 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
     if cfg.denoise_guides:
         aux0["spec_albedo"] = jnp.zeros((n, 3))
         aux0["spec_hitdist"] = jnp.zeros(n)
+        aux0["first_pos_prev"] = jnp.zeros((n, 3))
     (seed, total, rays_total, aux_out), _ = jax.lax.scan(
         one_sample,
         (seed0, jnp.zeros((n, 3)), jnp.zeros((), jnp.float32), aux0),

@@ -9,9 +9,11 @@ gltf_pathtrace.slang:632-650). This module provides the same contract:
   motion_vectors(first_pos, solid, prev_vp, cur_vp, size) -> [H,W,2] px
   temporal_accumulate(cur, prev, motion, ...) -> blended history
 
-Instance motion (prev per-node transforms) is a follow-up; like the
-reference, skin/morph vertex motion is not tracked (known ghosting
-limitation, docs/denoising.md:56-64).
+Instance motion: when the integrator's guide buffers supply
+first_pos_prev (previous per-node transform snapshot), motion is full
+per-instance motion; otherwise camera-only. Like the reference, skin/morph
+vertex motion is not tracked (known ghosting limitation,
+docs/denoising.md:56-64).
 """
 
 from __future__ import annotations
@@ -30,12 +32,22 @@ def _project(vp, p, w_comp):
     return x / w, y / w
 
 
-def motion_vectors(first_pos, solid, prev_vp, cur_vp, width, height):
+def motion_vectors(first_pos, solid, prev_vp, cur_vp, width, height, first_pos_prev=None):
     """Per-pixel screen motion (pixels): where this surface point was last
-    frame minus where it is now. Sky uses w=0 (camera rotation only)."""
+    frame minus where it is now. Sky uses w=0 (camera rotation only).
+
+    first_pos_prev (optional): the surface point's PREVIOUS-frame world
+    position from the per-node transform snapshot — full instance motion
+    (snapshot_prev_transforms.comp.slang:22-31). Without it, motion is
+    camera-only (prevMVP reprojection), the reference's no-guide fallback.
+    Like the reference, skin/morph vertex motion is not tracked
+    (docs/denoising.md:56-64)."""
     w_comp = solid.astype(jnp.float32)
     px_c, py_c = _project(cur_vp, first_pos, w_comp)
-    px_p, py_p = _project(prev_vp, first_pos, w_comp)
+    prev_world = first_pos if first_pos_prev is None else jnp.where(
+        solid[..., None], first_pos_prev, first_pos
+    )
+    px_p, py_p = _project(prev_vp, prev_world, w_comp)
 
     def to_px(x, y):
         return (x * 0.5 + 0.5) * width, (y * 0.5 + 0.5) * height

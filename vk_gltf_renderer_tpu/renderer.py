@@ -130,6 +130,7 @@ class GltfRenderer:
         # the aux buffers (shaderio.h:54-65 contract)
         self.denoise_guides = False
         self._anim_tables_cache = None  # device-resident skin/morph inputs
+        self._prev_rn_o2w = None  # prev-frame o2w snapshot (instance motion)
         self.animate = False
         self.firefly_clamp = 10.0
         self.env_intensity = 1.0
@@ -446,7 +447,7 @@ class GltfRenderer:
             self.reset_frame()
         from .ops.camera import pixel_angle as _pa
 
-        return {
+        out = {
             "proj_inv": jnp.asarray(np.linalg.inv(proj.astype(np.float64)).astype(np.float32)),
             "view_inv": jnp.asarray(np.linalg.inv(view.astype(np.float64)).astype(np.float32)),
             "frame_idx": jnp.uint32(self.frame_idx),
@@ -454,6 +455,16 @@ class GltfRenderer:
             "total_samples": jnp.int32(self.total_samples),
             "pixel_angle": jnp.float32(_pa(cam.yfov, self.height)),
         }
+        if self.denoise_guides and self.flat is not None:
+            # previous-frame per-node object->world snapshot for instance
+            # motion vectors (snapshot_prev_transforms.comp.slang:22-31);
+            # first frame falls back to the current transforms (zero motion)
+            cur = jnp.asarray(self.flat.rn_o2w).reshape(-1, 16)
+            prev = self._prev_rn_o2w if self._prev_rn_o2w is not None else cur
+            if prev.shape != cur.shape:
+                prev = cur  # node count changed: rebuild baseline
+            out["prev_rn_o2w"] = prev
+        return out
 
     def _env_arrays(self):
         if self.env_kind == "hdr" and self.hdr is not None:
@@ -494,6 +505,13 @@ class GltfRenderer:
         self.total_samples += self.spp
         self.frame_idx += 1
         self._last_aux = aux
+        if self.denoise_guides and self.flat is not None:
+            # snapshot this frame's transforms for next frame's instance
+            # motion (the cmdSnapshotPrevObjectToWorld analog,
+            # renderer.cpp:630-654)
+            import jax.numpy as jnp
+
+            self._prev_rn_o2w = jnp.asarray(self.flat.rn_o2w).reshape(-1, 16)
         if self.adaptive is not None:
             # adaptive spp needs a real frame time -> forces a device sync
             float(aux["rays"])
@@ -532,7 +550,11 @@ class GltfRenderer:
         if temporal and self._history is not None and self._prev_vp is not None and self._last_aux is not None:
             pos = jnp.asarray(self._last_aux["first_pos"]).reshape(self.height, self.width, 3)
             solid = jnp.asarray(self._last_aux["solid"]).reshape(self.height, self.width)
-            mv = motion_vectors(pos, solid, self._prev_vp, vp, self.width, self.height)
+            prev_pos = None
+            if "first_pos_prev" in self._last_aux:
+                prev_pos = jnp.asarray(self._last_aux["first_pos_prev"]).reshape(self.height, self.width, 3)
+            mv = motion_vectors(pos, solid, self._prev_vp, vp, self.width, self.height,
+                                first_pos_prev=prev_pos)
             cur = temporal_accumulate(cur, self._history, mv, jnp.ones((self.height, self.width), bool))
         self._history = cur
         self._prev_vp = vp
