@@ -1,0 +1,173 @@
+"""EXT_meshopt_compression codec tests.
+
+No reference encoder exists in this environment, so conformance is
+asserted by (a) encoder/decoder round-trips over randomized inputs,
+(b) structural checks against the published size formulas, and (c) an
+end-to-end compressed-scene load + render (reference behavior:
+gltf_scene.cpp:337/:372 decompressMeshoptExtension)."""
+
+import numpy as np
+import pytest
+
+from vk_gltf_renderer_tpu.models.meshopt import (
+    MeshoptError,
+    decode_filter_exponential,
+    decode_filter_octahedral,
+    decode_index_buffer,
+    decode_index_sequence,
+    decode_vertex_buffer,
+    encode_index_buffer,
+    encode_index_sequence,
+    encode_vertex_buffer,
+)
+
+
+@pytest.mark.parametrize("count,size", [(16, 12), (300, 16), (1000, 4), (77, 32), (513, 20)])
+def test_vertex_codec_roundtrip(count, size):
+    rng = np.random.RandomState(count + size)
+    # realistic vertex data: quantized positions with small deltas + noise
+    base = np.cumsum(rng.randint(-4, 5, (count, size)), axis=0).astype(np.uint8)
+    noisy = rng.randint(0, 256, (count, size)).astype(np.uint8)
+    for data in (base, noisy, np.zeros((count, size), np.uint8)):
+        raw = data.tobytes()
+        enc = encode_vertex_buffer(raw, count, size)
+        dec = decode_vertex_buffer(enc, count, size)
+        assert dec == raw
+
+
+def test_vertex_codec_structure():
+    """Header byte, tail layout, and zero-delta compression ratio match the
+    published format: constant data encodes to ~header+tail only."""
+    count, size = 256, 16
+    data = np.full((count, size), 7, np.uint8).tobytes()
+    enc = encode_vertex_buffer(data, count, size)
+    assert enc[0] == 0xA0
+    # first vertex is stored in the last `size` bytes of the tail
+    assert enc[-size:] == data[:size]
+    # all-constant vertices: only group headers remain (well under raw size)
+    assert len(enc) < count * size // 8
+
+
+def test_index_codec_roundtrip():
+    rng = np.random.RandomState(3)
+    # triangle-strip-like connectivity (edge reuse) + random soup
+    strips = []
+    for t in range(200):
+        strips += [t, t + 1, t + 2]
+    soup = rng.randint(0, 500, 600).tolist()
+    def canon(t):
+        t = np.asarray(t).reshape(-1, 3)
+        return [min(((a, b, c), (b, c, a), (c, a, b))) for a, b, c in t]
+
+    for tris in (strips, soup, [0, 1, 2]):
+        arr = np.asarray(tris, np.uint32)
+        enc = encode_index_buffer(arr, len(arr))
+        dec = decode_index_buffer(enc, len(arr))
+        # triangles preserved up to rotation (winding kept) — the
+        # meshoptimizer guarantee
+        assert canon(dec) == canon(arr)
+
+
+def test_index_sequence_roundtrip():
+    rng = np.random.RandomState(4)
+    for seq in (np.arange(100, dtype=np.uint32), rng.randint(0, 10000, 257).astype(np.uint32)):
+        enc = encode_index_sequence(seq, len(seq))
+        dec = decode_index_sequence(enc, len(seq))
+        np.testing.assert_array_equal(dec, seq)
+
+
+def test_bad_headers_raise():
+    with pytest.raises(MeshoptError):
+        decode_vertex_buffer(b"\xb0" + b"\0" * 64, 4, 4)
+    with pytest.raises(MeshoptError):
+        decode_index_buffer(b"\xd0" + b"\0" * 64, 3)
+
+
+def test_filter_octahedral_unit_vectors():
+    """Oct filter output is unit-length snorm vectors."""
+    rng = np.random.RandomState(5)
+    n = 64
+    raw = rng.randint(-127, 128, (n, 4)).astype(np.int8)
+    raw[:, 3] = 127
+    out = decode_filter_octahedral(raw.view(np.uint8).reshape(-1), 4)
+    v = out.view(np.int8).reshape(n, 4).astype(np.float32) / 127.0
+    lens = np.linalg.norm(v[:, :3], axis=1)
+    assert (np.abs(lens - 1.0) < 0.02).all()
+
+
+def test_filter_exponential():
+    man = 0x400000  # 2^22
+    exp = np.uint32((-22) & 0xFF)
+    v = np.array([(int(exp) << 24) | man], np.uint32)
+    out = decode_filter_exponential(v.view(np.uint8)).view(np.float32)
+    assert out[0] == pytest.approx(1.0)
+
+
+def test_meshopt_scene_end_to_end(tmp_path):
+    """A meshopt-compressed glTF loads, decompresses and renders."""
+    import json
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer, fit_camera
+
+    pos = np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0], [2, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2, 1, 3, 2], np.uint16)
+    vblob = encode_vertex_buffer(pos.tobytes(), 4, 12)
+    iblob = encode_index_buffer(idx.astype(np.uint32), 6)
+    pad = (-len(vblob)) % 4
+    buf = vblob + b"\0" * pad + iblob
+    ioff = len(vblob) + pad
+    gltf = {
+        "asset": {"version": "2.0"},
+        "extensionsUsed": ["EXT_meshopt_compression"],
+        "extensionsRequired": ["EXT_meshopt_compression"],
+        "scene": 0, "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}, "indices": 1, "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {"baseColorFactor": [0.2, 0.8, 0.2, 1]}}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3",
+             "min": pos.min(0).tolist(), "max": pos.max(0).tolist()},
+            {"bufferView": 1, "componentType": 5123, "count": 6, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes, "byteStride": 12,
+             "extensions": {"EXT_meshopt_compression": {
+                 "buffer": 0, "byteOffset": 0, "byteLength": len(vblob),
+                 "byteStride": 12, "count": 4, "mode": "ATTRIBUTES"}}},
+            {"buffer": 0, "byteOffset": 0, "byteLength": idx.nbytes,
+             "extensions": {"EXT_meshopt_compression": {
+                 "buffer": 0, "byteOffset": ioff, "byteLength": len(iblob),
+                 "byteStride": 2, "count": 6, "mode": "TRIANGLES"}}},
+        ],
+        "buffers": [{"uri": "geo.bin", "byteLength": len(buf)}],
+    }
+    (tmp_path / "geo.bin").write_bytes(buf)
+    (tmp_path / "mo.gltf").write_text(json.dumps(gltf))
+
+    sc = Scene()
+    sc.load(tmp_path / "mo.gltf")
+    assert len(sc.render_nodes) == 1
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+
+    flat = build_scene_flat(sc)
+    np.testing.assert_allclose(np.asarray(flat.vtx_pos), pos, atol=1e-6)
+
+    def canon(tris):
+        """Rotation-invariant triangle key (the codec may rotate each
+        triangle; winding is preserved — same guarantee as meshoptimizer)."""
+        t = np.asarray(tris).reshape(-1, 3)
+        out = []
+        for a, b, c in t:
+            r = min(((a, b, c), (b, c, a), (c, a, b)))
+            out.append(r)
+        return out
+
+    assert canon(np.asarray(flat.tri_idx)) == canon(idx)
+
+    r = GltfRenderer(width=24, height=24, spp=1, max_depth=2)
+    r.scene = sc
+    r.camera = fit_camera(sc)
+    r.rebuild_device_scene()
+    r.on_render()
+    img = r.image_linear()
+    assert np.isfinite(img).all() and img.mean() > 0.0

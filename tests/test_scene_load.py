@@ -251,3 +251,36 @@ def test_recompute_tangents_mikk_roundtrip():
         assert pd2.tangents is not None
         assert pd2.positions.shape[0] == pd.positions.shape[0]
         assert np.allclose(pd2.tangents, pd.tangents, atol=1e-6)
+
+
+def test_extension_utility_accessors(triangle_model):
+    """Typed get/set for the utility-surface extensions
+    (KHR_materials_displacement, KHR_node_* interaction flags,
+    KHR_interactivity detection — tinygltf_utils.hpp:160-216)."""
+    from vk_gltf_renderer_tpu.models.materials import (
+        get_displacement,
+        get_node_interaction,
+        has_interactivity,
+        set_displacement,
+        set_node_interaction,
+    )
+
+    mat = triangle_model.gltf["materials"][0]
+    assert get_displacement(mat)["factor"] == 1.0
+    set_displacement(mat, factor=0.25, offset=0.1, texture=0)
+    d = get_displacement(mat)
+    assert d["factor"] == 0.25 and d["offset"] == 0.1 and d["texture"] == 0
+
+    node = triangle_model.gltf["nodes"][0]
+    assert get_node_interaction(node) == {"visible": True, "selectable": True, "hoverable": True}
+    set_node_interaction(node, selectable=False, hoverable=False)
+    i = get_node_interaction(node)
+    assert i["selectable"] is False and i["hoverable"] is False and i["visible"] is True
+    set_node_interaction(node, selectable=True)
+    assert get_node_interaction(node)["selectable"] is True
+
+    from vk_gltf_renderer_tpu.models.gltf import load_model_from_json
+
+    m = load_model_from_json({"asset": {"version": "2.0"},
+                              "extensions": {"KHR_interactivity": {"graphs": []}}}, buffers=[])
+    assert has_interactivity(m)

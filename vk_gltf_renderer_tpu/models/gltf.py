@@ -127,7 +127,7 @@ def _load_buffer(buf: dict, base_dir: Path | None, bin_chunk: bytes | None) -> b
     return bytearray((base_dir / unquote(uri)).read_bytes())
 
 
-_UNSUPPORTED_COMPRESSION = ("KHR_draco_mesh_compression", "EXT_meshopt_compression")
+_UNSUPPORTED_COMPRESSION = ("KHR_draco_mesh_compression",)
 
 
 def _check_compression(gltf: dict, path) -> None:
@@ -140,6 +140,17 @@ def _check_compression(gltf: dict, path) -> None:
             )
 
 
+def _decompress_meshopt(model: "GltfModel") -> None:
+    """EXT_meshopt_compression buffer views -> raw bytes in place
+    (reference decompressMeshoptExtension, gltf_scene.cpp:337/:372)."""
+    used = set(model.gltf.get("extensionsUsed", [])) | set(model.gltf.get("extensionsRequired", []))
+    if "EXT_meshopt_compression" not in used:
+        return
+    from .meshopt import decompress_model
+
+    decompress_model(model)
+
+
 def load_model(path) -> GltfModel:
     """Load a .gltf or .glb file (reference Scene::load, gltf_scene.cpp:298)."""
     path = Path(path)
@@ -147,11 +158,13 @@ def load_model(path) -> GltfModel:
     if len(data) >= 4 and struct.unpack("<I", data[:4])[0] == GLB_MAGIC:
         model = _load_glb(data, path)
         _check_compression(model.gltf, path)
+        _decompress_meshopt(model)
         return model
     gltf = json.loads(data.decode("utf-8"))
     _check_compression(gltf, path)
     model = GltfModel(gltf=gltf, base_dir=path.parent, filename=path)
     model.buffers = [_load_buffer(b, path.parent, None) for b in gltf.get("buffers", [])]
+    _decompress_meshopt(model)
     return model
 
 

@@ -348,3 +348,61 @@ def _iter_texture_refs(mat: dict):
             for k, v in e.items():
                 if k.endswith("Texture") and isinstance(v, dict):
                     yield v
+
+
+# ---------------------------------------------------------------- utilities
+# Typed get/set accessors for extensions the renderer stores but does not
+# shade with — the tinygltf_utils surface (tinygltf_utils.hpp:160-165,
+# :202-216). Values round-trip through save untouched either way; these
+# give tools/editors a typed view.
+
+def get_displacement(mat: dict) -> dict:
+    """KHR_materials_displacement (tinygltf_utils.hpp:160-165)."""
+    e = mat.get("extensions", {}).get("KHR_materials_displacement", {})
+    return {
+        "factor": e.get("displacementGeometryFactor", 1.0),
+        "offset": e.get("displacementGeometryOffset", 0.0),
+        "texture": e.get("displacementGeometryTexture", {}).get("index", -1),
+    }
+
+
+def set_displacement(mat: dict, factor=1.0, offset=0.0, texture=-1) -> None:
+    e = mat.setdefault("extensions", {}).setdefault("KHR_materials_displacement", {})
+    e["displacementGeometryFactor"] = float(factor)
+    e["displacementGeometryOffset"] = float(offset)
+    if texture >= 0:
+        e["displacementGeometryTexture"] = {"index": int(texture)}
+    else:
+        e.pop("displacementGeometryTexture", None)
+
+
+def get_node_interaction(node: dict) -> dict:
+    """KHR_node_visibility / selectability / hoverability flags
+    (tinygltf_utils.hpp:202-216); missing extension means True."""
+    ext = node.get("extensions", {})
+    return {
+        "visible": ext.get("KHR_node_visibility", {}).get("visible", True),
+        "selectable": ext.get("KHR_node_selectability", {}).get("selectable", True),
+        "hoverable": ext.get("KHR_node_hoverability", {}).get("hoverable", True),
+    }
+
+
+def set_node_interaction(node: dict, visible=None, selectable=None, hoverable=None) -> None:
+    ext = node.setdefault("extensions", {})
+    for key, name, val in (
+        ("KHR_node_visibility", "visible", visible),
+        ("KHR_node_selectability", "selectable", selectable),
+        ("KHR_node_hoverability", "hoverable", hoverable),
+    ):
+        if val is None:
+            continue
+        if val:  # default-true: drop the extension entirely
+            ext.pop(key, None)
+        else:
+            ext[key] = {name: False}
+
+
+def has_interactivity(model) -> bool:
+    """KHR_interactivity presence (behavior graphs are tool-side data; the
+    reference also only detects/preserves them, tinygltf_utils.hpp:216)."""
+    return "KHR_interactivity" in model.gltf.get("extensions", {})
