@@ -362,3 +362,52 @@ def test_headless_animate_flag(tmp_path):
     a = np.asarray(Image.open(tmp_path / "f0.png")).astype(np.float32)
     b = np.asarray(Image.open(tmp_path / "f25.png")).astype(np.float32)
     assert np.abs(a - b).mean() > 1.0  # the triangle rotated
+
+
+def test_edit_cli_shell(tmp_path):
+    """Scene-editing shell: TRS edit + structural ops + undo/redo + save —
+    the headless scene-browser/inspector editing surface
+    (ui_scene_browser.cpp / ui_inspector.cpp role)."""
+    import subprocess
+    import sys
+    import os
+
+    out = tmp_path / "edited.glb"
+    script = "\n".join([
+        "tree",
+        "add cube",                 # -> node 2 (Box.glb has nodes 0..1)
+        "translate 2 1 0.5 0",
+        "matset 0 baseColorFactor 0.1 0.9 0.1 1",
+        "duplicate 2",              # -> node 3
+        "delete 3",
+        "undo",   # restore the deleted duplicate
+        "redo",   # delete it again
+        "undo",
+        "undo",   # undo duplicate entirely
+        f"save {out}",
+        "quit",
+    ]) + "\n"
+    r = subprocess.run(
+        [sys.executable, "-m", "vk_gltf_renderer_tpu.edit_cli",
+         "/root/reference/resources/Box.glb"],
+        input=script, capture_output=True, text=True, timeout=300,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"}, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "error:" not in r.stdout, r.stdout
+    assert out.exists()
+
+    from vk_gltf_renderer_tpu.models import Scene
+
+    sc = Scene()
+    sc.load(out)
+    # cube added and translated; the duplicate was undone
+    names = [n.get("name", "") for n in sc.model.nodes]
+    assert any("cube" in n.lower() for n in names), names
+    cube_id = next(i for i, n in enumerate(sc.model.nodes) if "cube" in n.get("name", "").lower())
+    assert sc.model.nodes[cube_id].get("translation") == [1.0, 0.5, 0.0]
+    # the duplicate was undone: exactly one cube
+    assert sum("cube" in n.get("name", "").lower() for n in sc.model.nodes) == 1
+    # material edit persisted
+    bc = sc.model.materials[0]["pbrMetallicRoughness"]["baseColorFactor"]
+    assert bc == [0.1, 0.9, 0.1, 1.0]

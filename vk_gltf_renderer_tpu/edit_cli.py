@@ -1,0 +1,225 @@
+"""Scene-editing shell — the headless stand-in for the reference's
+scene-browser/inspector EDITING surface (ui_scene_browser.cpp drag-reparent
+/ context menus, ui_inspector.cpp property editing), on top of SceneEditor
++ UndoStack so every edit is undoable exactly like the reference's
+command-pattern undo (undo_redo.hpp:22-90).
+
+    python -m vk_gltf_renderer_tpu.edit_cli scene.glb            # REPL
+    python -m vk_gltf_renderer_tpu.edit_cli scene.glb -c "translate 0 1 0 0" -c "save out.glb"
+    echo "tree" | python -m vk_gltf_renderer_tpu.edit_cli scene.glb
+
+Commands (tab-free, scriptable; `help` lists them):
+    tree | materials | lights | stats        inspection (inspect_cli views)
+    translate|scale NODE X Y Z               TRS edit (undoable, merging)
+    rotate NODE X Y Z W                      quaternion rotation
+    rename NODE NAME         visible NODE 0|1
+    material NODE PRIM MAT                   assign material
+    matset MAT KEY V...                      e.g. matset 0 baseColorFactor 1 0 0 1
+    add plane|cube|sphere [PARENT]           procedural primitives
+    light point|directional|spot [PARENT]
+    duplicate NODE | delete NODE | reparent NODE PARENT(-1=root)
+    undo | redo
+    save PATH                                write .gltf/.glb
+    render PATH [W H]                        path-traced snapshot
+    quit
+"""
+
+from __future__ import annotations
+
+import argparse
+import shlex
+import sys
+
+from .models import Scene
+from .models.editor import SceneEditor
+from .models.undo import MaterialCommand, SnapshotCommand, TransformCommand, UndoStack
+
+
+class EditShell:
+    def __init__(self, scene: Scene):
+        self.scene = scene
+        self.editor = SceneEditor(scene)
+        self.undo = UndoStack(scene)
+
+    # ------------------------------------------------------------- commands
+    def cmd_tree(self, *a):
+        from .inspect_cli import print_tree
+
+        print_tree(self.scene)
+
+    def cmd_materials(self, *a):
+        from .inspect_cli import print_materials
+
+        print_materials(self.scene)
+
+    def cmd_stats(self, *a):
+        from .inspect_cli import print_stats
+
+        print_stats(self.scene)
+
+    def cmd_lights(self, *a):
+        for i, rl in enumerate(self.scene.render_lights):
+            print(f"[{i}] light={rl.light} node={rl.node_id}")
+
+    def _trs(self, key, node, vals):
+        self.undo.execute(TransformCommand(node_id=int(node), key=key, new_value=[float(v) for v in vals]))
+
+    def cmd_translate(self, node, x, y, z):
+        self._trs("translation", node, (x, y, z))
+
+    def cmd_scale(self, node, x, y, z):
+        self._trs("scale", node, (x, y, z))
+
+    def cmd_rotate(self, node, x, y, z, w):
+        self._trs("rotation", node, (x, y, z, w))
+
+    def cmd_rename(self, node, *name):
+        nid = int(node)
+        new = " ".join(name)
+
+        def act(scene):
+            scene.model.nodes[nid]["name"] = new
+
+        self.undo.execute(SnapshotCommand(action=act, label=f"rename {nid}"))
+
+    def cmd_visible(self, node, flag):
+        nid, vis = int(node), bool(int(flag))
+
+        def act(scene):
+            SceneEditor(scene).set_visibility(nid, vis)
+
+        self.undo.execute(SnapshotCommand(action=act, label=f"visible {nid}={vis}"))
+
+    def cmd_material(self, node, prim, mat):
+        nid, pi, mi = int(node), int(prim), int(mat)
+
+        def act(scene):
+            SceneEditor(scene).set_material(nid, pi, mi)
+
+        self.undo.execute(SnapshotCommand(action=act, label=f"material {nid}"))
+
+    def cmd_matset(self, mat, key, *vals):
+        v = [float(x) for x in vals]
+        self.undo.execute(MaterialCommand(
+            material_id=int(mat),
+            updates={("pbrMetallicRoughness." + key if "Factor" in key and key != "emissiveFactor" else key):
+                     (v if len(v) > 1 else v[0])},
+        ))
+
+    def cmd_add(self, kind, parent=None):
+        p = int(parent) if parent is not None else None
+
+        def act(scene):
+            SceneEditor(scene).add_primitive(kind, parent=p)
+
+        self.undo.execute(SnapshotCommand(action=act, label=f"add {kind}"))
+        print(f"added {kind} -> node {len(self.scene.model.nodes) - 1}")
+
+    def cmd_light(self, light_type="point", parent=None):
+        p = int(parent) if parent is not None else None
+
+        def act(scene):
+            SceneEditor(scene).add_light(light_type, parent=p)
+
+        self.undo.execute(SnapshotCommand(action=act, label=f"light {light_type}"))
+        print(f"added {light_type} light -> node {len(self.scene.model.nodes) - 1}")
+
+    def cmd_duplicate(self, node):
+        nid = int(node)
+
+        def act(scene):
+            SceneEditor(scene).duplicate_node(nid)
+
+        self.undo.execute(SnapshotCommand(action=act, label=f"duplicate {nid}"))
+
+    def cmd_delete(self, node):
+        nid = int(node)
+
+        def act(scene):
+            SceneEditor(scene).delete_node(nid)
+
+        self.undo.execute(SnapshotCommand(action=act, label=f"delete {nid}"))
+
+    def cmd_reparent(self, node, parent):
+        nid, p = int(node), int(parent)
+
+        def act(scene):
+            SceneEditor(scene).reparent_node(nid, None if p < 0 else p)
+
+        self.undo.execute(SnapshotCommand(action=act, label=f"reparent {nid}->{p}"))
+
+    def cmd_undo(self, *a):
+        print("undone" if self.undo.undo() else "nothing to undo")
+
+    def cmd_redo(self, *a):
+        print("redone" if self.undo.redo() else "nothing to redo")
+
+    def cmd_save(self, path):
+        self.scene.save(path)
+        print(f"saved {path}")
+
+    def cmd_render(self, path, w="256", h="256"):
+        from .renderer import GltfRenderer, fit_camera
+
+        r = GltfRenderer(width=int(w), height=int(h), spp=1, max_depth=3)
+        r.scene = self.scene
+        r.camera = fit_camera(self.scene)
+        r.rebuild_device_scene()
+        r.on_render()
+        r.save_image(path)
+        print(f"rendered {path}")
+
+    def cmd_help(self, *a):
+        print(__doc__.split("Commands")[1])
+
+    # ---------------------------------------------------------------- driver
+    def run_line(self, line: str) -> bool:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            return True
+        if line in ("quit", "exit", "q"):
+            return False
+        parts = shlex.split(line)
+        fn = getattr(self, "cmd_" + parts[0], None)
+        if fn is None:
+            print(f"unknown command {parts[0]!r} (try `help`)")
+            return True
+        try:
+            fn(*parts[1:])
+        except Exception as e:  # keep the shell alive on bad input
+            print(f"error: {type(e).__name__}: {e}")
+        return True
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="glTF scene editing shell")
+    ap.add_argument("scenefile")
+    ap.add_argument("-c", "--cmd", action="append", default=[],
+                    help="run this command and exit (repeatable)")
+    args = ap.parse_args(argv)
+
+    scene = Scene()
+    scene.load(args.scenefile)
+    sh = EditShell(scene)
+
+    if args.cmd:
+        for c in args.cmd:
+            if not sh.run_line(c):
+                break
+        return 0
+
+    interactive = sys.stdin.isatty()
+    while True:
+        if interactive:
+            sys.stdout.write("edit> ")
+            sys.stdout.flush()
+        line = sys.stdin.readline()
+        if not line:
+            break
+        if not sh.run_line(line):
+            break
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
