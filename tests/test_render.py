@@ -169,6 +169,11 @@ def test_compact_frame_matches_wavefront(monkeypatch):
     ref_img, ref_aux = render("wavefront")
 
     monkeypatch.setattr(pt, "COMPACT_MIN_LANES", 1024)
+    # shrink the bucket alignment so the tiny frame exercises MULTIPLE
+    # prefix buckets (regression: live lanes scattered at the bounce-0->1
+    # transition were truncated by the first prefix slice)
+    orig_ladder = pt._bucket_ladder
+    monkeypatch.setattr(pt, "_bucket_ladder", lambda n, levels=(1, 4, 16), align=8192: orig_ladder(n, levels, 128))
     monkeypatch.setenv("VKGR_PALLAS_INTERPRET", "1")
     img, aux = render("packet")
 

@@ -932,8 +932,8 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
             _bounce_cond, _bounce_body, (state, jnp.zeros((), jnp.int32))
         )
     else:
-        # Bounce 0 PEELED: full width, NO sort. Primary rays arrive in
-        # pixel (scanline) order — already coherent — and every lane is
+        # Bounce 0 PEELED: full width, NO input sort. Primary rays arrive
+        # in pixel (scanline) order — already coherent — and every lane is
         # live, so there is nothing to compact; and peeling means the
         # first-hit captures happen in LANE order and never have to ride
         # (or be restored from) the loop's co-sorts.
@@ -942,21 +942,39 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         spec = _state_columns_spec(cfg)
         buckets = _bucket_ladder(n)
 
+        def _compact_sort(st, p):
+            """Co-sort the first p lanes dead-last + Morton-coherent.
+            INVARIANT this maintains: after the sort, every live lane sits
+            in [0, live) — which makes the NEXT bounce's prefix slice
+            lossless for any bucket >= live."""
+            pre = {k: (v if k == "rays" else v[:p]) for k, v in st.items()}
+            keys = _sort_keys(bvh, pre["ro"], pre["rd"], pre["alive"])
+            cols = _state_to_columns(pre, spec)
+            sorted_cols = jax.lax.sort((keys, *cols), num_keys=1)[1:]
+            pre = _columns_to_state(list(sorted_cols), spec, pre)
+            if p == n:
+                return pre
+            return {
+                k: (v if k == "rays" else jnp.concatenate([v, st[k][p:]]))
+                for k, v in pre.items()
+            }
+
+        # compact once at full width so the loop's first prefix slice is
+        # valid (bounce 0 left live lanes scattered in pixel order)
+        state = _compact_sort(state, n)
+
         def _make_branch(p):
             def br(args):
                 st, depth = args
                 pre = {k: (v if k == "rays" else v[:p]) for k, v in st.items()}
-                keys = _sort_keys(bvh, pre["ro"], pre["rd"], pre["alive"])
-                cols = _state_to_columns(pre, spec)
-                sorted_cols = jax.lax.sort((keys, *cols), num_keys=1)[1:]
-                pre = _columns_to_state(list(sorted_cols), spec, pre)
                 pre, _ = bounce(pre, depth)
-                if p == n:
-                    return pre
-                return {
-                    k: (v if k == "rays" else jnp.concatenate([v, st[k][p:]]))
-                    for k, v in pre.items()
-                }
+                if p < n:
+                    pre = {
+                        k: (v if k == "rays" else jnp.concatenate([v, st[k][p:]]))
+                        for k, v in pre.items()
+                    }
+                # re-compact for the next bounce (new rays, new liveness)
+                return _compact_sort(pre, p)
             return br
 
         def _bounce_body(carry):
