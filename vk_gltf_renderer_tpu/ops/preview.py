@@ -54,31 +54,41 @@ def render_preview(flat, bvh, env, frame, cfg: RenderConfig):
     pbr = evaluate_material(flat, mat_id, hs, features=cfg.features)
     N = pbr["N"]
 
-    # hemisphere irradiance approx: average env over a few fixed directions
-    t, b = _onb(N)
-    irr = jnp.zeros((n, 3))
-    dirs = [(0.0, 0.0, 1.0), (0.8, 0.0, 0.6), (-0.8, 0.0, 0.6), (0.0, 0.8, 0.6), (0.0, -0.8, 0.6)]
-    for dx, dy, dz in dirs:
-        d = t * dx + b * dy + N * dz
-        c, _ = sample_environment(env, d, cfg)
-        irr = irr + c * max(dz, 0.0)
-    irr = irr * (jnp.pi / len(dirs))
-
-    # specular: single env fetch along the mirror direction, Schlick weight
+    rough = jnp.sqrt(pbr["roughness"][..., 0])
+    f0 = 0.04 * (1.0 - pbr["metallic"][..., None]) + pbr["base_color"] * pbr["metallic"][..., None]
+    ndotv = jnp.abs(dot3(N, -rd))
     refl = rd - 2.0 * dot3(rd, N)[..., None] * N
-    spec_env, _ = sample_environment(env, refl, cfg)
+
+    ibl = frame.get("ibl")
+    if ibl is not None:
+        # prefiltered IBL: cosine-convolved irradiance + GGX glossy chain +
+        # split-sum BRDF LUT (the nvvk::HdrIbl products the reference
+        # raster consumes, shaderio.h:34-44 / gltf_raster.slang:527)
+        from .ibl import ibl_diffuse, ibl_specular
+
+        irr = ibl_diffuse(ibl, N) * jnp.pi  # store is /pi-convolved
+        spec = ibl_specular(ibl, refl, rough, f0, ndotv)
+    else:
+        # fallback: 5-direction hemisphere average + single mirror fetch
+        t, b = _onb(N)
+        irr = jnp.zeros((n, 3))
+        dirs = [(0.0, 0.0, 1.0), (0.8, 0.0, 0.6), (-0.8, 0.0, 0.6), (0.0, 0.8, 0.6), (0.0, -0.8, 0.6)]
+        for dx, dy, dz in dirs:
+            d = t * dx + b * dy + N * dz
+            c, _ = sample_environment(env, d, cfg)
+            irr = irr + c * max(dz, 0.0)
+        irr = irr * (jnp.pi / len(dirs))
+        spec_env, _ = sample_environment(env, refl, cfg)
+        fres = f0 + (1.0 - f0) * ((1.0 - ndotv) ** 5)[..., None]
+        spec = spec_env * fres * (1.0 - rough)[..., None]
+
     if "retroreflection" in cfg.features:
         # MRM (the reference's raster-only model, gltf_raster.slang:136-175):
         # the retro lobe evaluates the BRDF with the mirrored view, which for
         # this one-fetch IBL approx means looking BACK toward the viewer
         retro_env, _ = sample_environment(env, -rd, cfg)
         w_r = pbr["retroreflection"][..., None]
-        spec_env = spec_env * (1.0 - w_r) + retro_env * w_r
-    f0 = 0.04 * (1.0 - pbr["metallic"][..., None]) + pbr["base_color"] * pbr["metallic"][..., None]
-    ndotv = jnp.abs(dot3(N, -rd))
-    fres = f0 + (1.0 - f0) * ((1.0 - ndotv) ** 5)[..., None]
-    rough = jnp.sqrt(pbr["roughness"][..., 0])
-    spec = spec_env * fres * (1.0 - rough)[..., None]
+        spec = spec * (1.0 - w_r) + retro_env * w_r
 
     kd = (1.0 - pbr["metallic"])[..., None] * pbr["base_color"]
     color = pbr["emissive"] + kd * irr / jnp.pi + spec

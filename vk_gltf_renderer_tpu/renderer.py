@@ -131,6 +131,8 @@ class GltfRenderer:
         self.denoise_guides = False
         self._anim_tables_cache = None  # device-resident skin/morph inputs
         self._prev_rn_o2w = None  # prev-frame o2w snapshot (instance motion)
+        self._ibl = None  # prefiltered IBL products (preview renderer)
+        self._ibl_key = None
         self.animate = False
         self.firefly_clamp = 10.0
         self.env_intensity = 1.0
@@ -426,6 +428,8 @@ class GltfRenderer:
                 pf = make_preview_fn(cfg)
 
                 def fn(flat, bvh, env, frame):
+                    frame = dict(frame)
+                    frame["ibl"] = self._ensure_ibl()
                     rgb, aux = pf(flat, bvh, env, frame)
                     return rgb, aux  # preview replaces (no accumulation)
 
@@ -465,6 +469,18 @@ class GltfRenderer:
                 prev = cur  # node count changed: rebuild baseline
             out["prev_rn_o2w"] = prev
         return out
+
+    def _ensure_ibl(self):
+        """Prefiltered IBL products for the preview, rebuilt when the
+        environment changes (the HdrIbl prefilter role, shaderio.h:34-44)."""
+        key = (self.env_kind, id(self.hdr), self.env_intensity, self.env_rotation,
+               tuple(np.asarray(self.sky_params.sun_direction, np.float32).tolist()) if self.env_kind == "sky" else None)
+        if self._ibl is None or self._ibl_key != key:
+            from .ops.ibl import build_ibl
+
+            self._ibl = build_ibl(self._env_arrays(), self.env_kind)
+            self._ibl_key = key
+        return self._ibl
 
     def _env_arrays(self):
         if self.env_kind == "hdr" and self.hdr is not None:
