@@ -82,3 +82,25 @@ def test_hdr_rotation_consistency():
     ds, rad_s, pdf_s = sample_hdr(env, u)
     rad_e, pdf_e = eval_hdr(env, ds)
     np.testing.assert_allclose(np.asarray(rad_s), np.asarray(rad_e), rtol=1e-4)
+
+
+def test_ktx2_zstd_supercompression(tmp_path):
+    """KTX2 with scheme-2 (zstd) payload decodes (gltf_image_loader.cpp role)."""
+    import struct
+
+    import numpy as np
+    import zstandard
+
+    from vk_gltf_renderer_tpu.ops.dds import decode_ktx2
+
+    w = h = 8
+    rgba = (np.arange(w * h * 4) % 255).astype(np.uint8)
+    comp = zstandard.ZstdCompressor().compress(rgba.tobytes())
+    ident = b"\xabKTX 20\xbb\r\n\x1a\n"
+    header = struct.pack("<9I", 37, 1, w, h, 0, 0, 1, 1, 2)  # RGBA8, zstd
+    rest = struct.pack("<4I2Q", 0, 0, 0, 0, 0, 0)  # dfd/kvd offsets+lengths (4x u32) + sgd (2x u64)
+    off = 80 + 24
+    level = struct.pack("<3Q", off, len(comp), len(rgba))
+    blob = ident + header + rest + level + comp
+    img = decode_ktx2(blob)
+    np.testing.assert_allclose(img.reshape(-1), rgba.astype(np.float32) / 255.0, atol=1e-6)

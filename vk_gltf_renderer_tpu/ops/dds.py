@@ -7,7 +7,7 @@ formats for the TPU build in pure numpy:
   DDS:  uncompressed BGRA/RGBA8, BC1 (DXT1), BC2 (DXT3), BC3 (DXT5) —
         block decompression fully vectorized over blocks.
   KTX2: header + level index parse; uncompressed R8G8B8A8_{UNORM,SRGB}
-        and zlib supercompression. BasisU/zstd raise a typed error
+        and zlib/zstd supercompression. BasisU raises a typed error
         naming the missing codec (same policy as Draco/meshopt in the
         scene loader).
 
@@ -184,8 +184,10 @@ def decode_ktx2(data: bytes) -> np.ndarray:
         payload = zlib.decompress(payload)
     elif scheme == 1:
         raise UnsupportedCodec("KTX2 BasisLZ supercompression requires a BasisU transcoder")
-    elif scheme == 2:
-        raise UnsupportedCodec("KTX2 zstd supercompression: no zstd codec in this environment")
+    elif scheme == 2:  # ZSTD supercompression
+        import zstandard
+
+        payload = zstandard.ZstdDecompressor().decompress(payload, max_output_size=int(uncomp) or 1 << 30)
     else:
         raise UnsupportedCodec(f"KTX2 supercompression scheme {scheme} not supported")
     VK_RGBA8_UNORM, VK_RGBA8_SRGB = 37, 43
