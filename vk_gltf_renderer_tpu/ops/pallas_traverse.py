@@ -172,7 +172,8 @@ def _traverse_body(nodes_f_ref, nodes_i_ref, tris_ref, ro_ref, rd_ref, out_ref, 
             l = meta[0, 0]
             r = meta[0, 1]
             # ONE reduction for both any() flags (reductions to scalar are
-            # expensive; lanes <= 8192 < 2^16 so the packing is exact)
+            # expensive; lanes <= 16*1024 so 65536-weighted packing stays
+            # inside int32 — MAX_TILES guards this)
             packed = jnp.sum(hit_l.astype(jnp.int32) * 65536 + hit_r.astype(jnp.int32))
             any_l = (packed >= 65536) & en
             any_r = ((packed & 65535) > 0) & en
@@ -459,6 +460,10 @@ def _traverse2_body(nodes_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_re
 
             hit_l = one(0)
             hit_r = one(6)
+            # Single packed reduction for both any() flags. Lane count caps
+            # tiles at MAX_TILES=16: 16*1024 lanes * 65536 = 2^30 stays
+            # inside int32; wider packets would overflow and corrupt the
+            # any() bits (observed as dropped hits at tiles=32).
             packed = jnp.sum(hit_l.astype(jnp.int32) * 65536 + hit_r.astype(jnp.int32))
             any_l = packed >= 65536
             any_r = (packed & 65535) > 0
@@ -540,6 +545,9 @@ def _pack_soa(comps, packet):
     return jnp.concatenate([c.reshape(g, 1, sub, LANE) for c in comps], axis=1), n
 
 
+MAX_TILES = 16  # packed-reduction int32 headroom (see _traverse2_body)
+
+
 def intersect_rays_packet_soa(
     wb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
     interpret=False, anyhit=False, tiles=8,
@@ -548,7 +556,7 @@ def intersect_rays_packet_soa(
     takes 8 [N] vectors, returns dict of [N] channels with ids resolved
     in-kernel. The caller is responsible for any coherence ordering."""
     n = rox.shape[0]
-    tiles = max(1, min(tiles, max(n // PACKET, 1)))
+    tiles = max(1, min(tiles, max(n // PACKET, 1), MAX_TILES))
     ro_p, _ = _pack_soa([rox, roy, roz, tmax], PACKET * tiles)
     rd_p, _ = _pack_soa([rdx, rdy, rdz, tmin], PACKET * tiles)
     out = traverse_packets2(
@@ -665,7 +673,7 @@ def intersect_rays_packet(wb, ro, rd, tmin=0.0, tmax=None, interpret=False, cohe
         tmax = jnp.full((n,), tmax)
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     cap = max_tiles if max_tiles is not None else PACKET_BIG_TILES
-    tiles = max(1, min(cap, n // PACKET)) if coherent else 1
+    tiles = max(1, min(cap, n // PACKET, MAX_TILES)) if coherent else 1
     ro_p, rd_p, n0 = _pack(ro, rd, tmin, tmax, PACKET * tiles)
     if wide:
         out = traverse_packets4(wb.nodes4_f, wb.nodes4_i, wb.tris, ro_p, rd_p, interpret=interpret, tiles=tiles)

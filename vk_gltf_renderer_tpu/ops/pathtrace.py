@@ -551,8 +551,8 @@ def _columns_to_state(cols, spec, template):
     return out
 
 
-def _bucket_ladder(n, levels=(1, 4, 16), align=8192):
-    """Distinct static prefix sizes n, ~n/4, ~n/16 (packet-aligned)."""
+def _bucket_ladder(n, levels=(1, 4, 16, 64), align=8192):
+    """Distinct static prefix sizes n, ~n/4, ~n/16, ~n/64 (packet-aligned)."""
     out = []
     for d in levels:
         b = n if d == 1 else min(n, -(-(n // d) // align) * align)
