@@ -214,3 +214,33 @@ def test_instance_motion_vectors():
     # every hit surface point moved by exactly the node translation
     np.testing.assert_allclose(d[:, 0], 0.3, atol=1e-3)
     np.testing.assert_allclose(d[:, 1:], 0.0, atol=1e-3)
+
+
+def test_compact_tile_order_matches_wavefront(monkeypatch):
+    """Tile-order primary-ray layout (static 8x128 tiles, packets covering
+    128x128 blocks) must be invisible in the output: image and aux match
+    the wavefront render at a tile-divisible resolution, including the
+    denoiser guide set."""
+    from vk_gltf_renderer_tpu.ops import pathtrace as pt
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer
+
+    W, H = 128, 16
+
+    def render(traversal):
+        r = GltfRenderer(width=W, height=H, spp=1, max_depth=3)
+        r.denoise_guides = True
+        r.create_scene("/root/reference/resources/Box.glb")
+        monkeypatch.setenv("VKGR_TRAVERSAL", traversal)
+        aux = r.on_render()
+        return np.asarray(r.accum).reshape(H, W, 3), aux
+
+    ref_img, ref_aux = render("wavefront")
+    monkeypatch.setattr(pt, "COMPACT_MIN_LANES", 1024)
+    monkeypatch.setenv("VKGR_PALLAS_INTERPRET", "1")
+    img, aux = render("packet")
+
+    assert np.abs(img - ref_img).max() < 1e-4
+    for k in ("solid", "first_rnode"):
+        assert (np.asarray(aux[k]) == np.asarray(ref_aux[k])).all(), k
+    for k in ("first_pos", "albedo", "normal", "spec_albedo", "spec_hitdist"):
+        assert np.abs(np.asarray(aux[k]) - np.asarray(ref_aux[k])).max() < 1e-4, k

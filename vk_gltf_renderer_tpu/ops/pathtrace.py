@@ -561,7 +561,7 @@ def _bucket_ladder(n, levels=(1, 4, 16, 64), align=8192):
     return out
 
 
-def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angle=0.0, prev_rn_o2w=None):
+def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angle=0.0, prev_rn_o2w=None, pixel=None):
     """Trace one sample per lane. Returns (radiance [N,3], aux dict, seed).
 
     The bounce loop is a lax.scan with a depth-uniform body (first-hit
@@ -580,7 +580,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
     compact = cfg.sort_rays and cfg.traversal == "packet" and n >= COMPACT_MIN_LANES
     cfg_t = replace(cfg, sort_rays=False, trace_width=n) if compact else cfg
     state = dict(
-        pixel=jnp.arange(n, dtype=jnp.int32),
+        pixel=jnp.arange(n, dtype=jnp.int32) if pixel is None else pixel.astype(jnp.int32),
         ro=ro,
         rd=rd,
         radiance=jnp.zeros((n, 3)),
@@ -1039,14 +1039,35 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
     graph regardless of spp.
     """
     w, h = cfg.width, cfg.height
+    tile_order = False
     if "px" in frame:
         # sharded path: the caller supplies this shard's pixel coordinates
         px, py = frame["px"], frame["py"]
         n = px.shape[0]
     else:
         n = w * h
-        px = jnp.tile(jnp.arange(w, dtype=jnp.uint32), h)
-        py = jnp.repeat(jnp.arange(h, dtype=jnp.uint32), w)
+        tile_order = (
+            cfg.sort_rays and cfg.traversal == "packet"
+            and n >= COMPACT_MIN_LANES and w % 128 == 0 and h % 8 == 0
+        )
+        if tile_order:
+            # Z-order-like TILE layout: lanes walk 8x128 pixel tiles in
+            # tile-COLUMN-major order, so each 16-tile packet covers a
+            # compact 128x128 screen block — primary-ray coherence without
+            # any sort (the ReorderThread role for bounce 0, free because
+            # the permutation is static). Lane ids are decoded back to
+            # row-major pixels below; loop outputs are restored by the
+            # carried pixel id.
+            lane = jnp.arange(n, dtype=jnp.uint32)
+            ty_n = h // 8
+            j = lane // 1024
+            r = (lane // 128) % 8
+            c = lane % 128
+            px = (j // ty_n) * 128 + c
+            py = (j % ty_n) * 8 + r
+        else:
+            px = jnp.tile(jnp.arange(w, dtype=jnp.uint32), h)
+            py = jnp.repeat(jnp.arange(h, dtype=jnp.uint32), w)
     seed0 = rng.xxhash32(px, py, frame["frame_idx"])
     sample_pos = jnp.stack([px, py], axis=-1).astype(jnp.float32)
     image_size = jnp.array([w, h], jnp.float32)
@@ -1064,7 +1085,12 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
             u1, seed = rng.rand(seed)
             u2, seed = rng.rand(seed)
             ro, rd = apply_depth_of_field(ro, rd, frame["view_inv"], cfg.focal_distance, cfg.aperture, u1, u2)
-        rad, aux, seed = path_trace_batch(flat, bvh, env, ro, rd, seed, cfg, pixel_angle=frame.get("pixel_angle", 0.0), prev_rn_o2w=frame.get("prev_rn_o2w"))
+        rad, aux, seed = path_trace_batch(
+            flat, bvh, env, ro, rd, seed, cfg,
+            pixel_angle=frame.get("pixel_angle", 0.0),
+            prev_rn_o2w=frame.get("prev_rn_o2w"),
+            pixel=(py * w + px).astype(jnp.int32),
+        )
         # sanitize: a rare degenerate sample (0*inf through a near-zero pdf)
         # must not poison the accumulation buffer
         rad = jnp.nan_to_num(rad, nan=0.0, posinf=0.0, neginf=0.0)
@@ -1093,6 +1119,25 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
         (seed0, jnp.zeros((n, 3)), jnp.zeros((), jnp.float32), aux0),
         jnp.arange(cfg.spp, dtype=jnp.int32),
     )
+    if tile_order:
+        # static inverse of the tile layout (pure reshape/transpose — no
+        # gather): [TX, TY, 8, 128, ...] -> row-major [h*w, ...]
+        tx_n, ty_n = w // 128, h // 8
+
+        def unmap(a):
+            rest = a.shape[1:]
+            t = a.reshape((tx_n, ty_n, 8, 128) + rest)
+            t = jnp.transpose(t, (1, 2, 0, 3) + tuple(range(4, 4 + len(rest))))
+            return t.reshape((n,) + rest)
+
+        # spec_hitdist rides the loop sorts and is already restored to
+        # pixel order by the in-batch pixel-keyed sort — do not remap it
+        aux_out = {
+            k: (v if k in ("rays", "spec_hitdist") else unmap(v))
+            for k, v in aux_out.items()
+        }
+        # radiance/seed were already restored to pixel order by the
+        # in-batch pixel-keyed sort; `total` accumulates in pixel order
     mean = total / cfg.spp
 
     # progressive accumulation (gltf_pathtrace.slang:626-630)

@@ -124,7 +124,7 @@ class GltfRenderer:
         self.accum = None
         self._render_fn = None
         self._cfg = None
-        self.packet_tiles = 16  # traversal stack width (1024-lane tiles; 16 = kernel cap, measured best on coherent rays)
+        self.packet_tiles = 8  # traversal stack width (1024-lane tiles; in-frame optimum — 16 wins on pure primaries but loses on bounce unions)
         # full denoiser guide set (specular albedo + hit distance); off by
         # default — enable before rendering when a denoiser will consume
         # the aux buffers (shaderio.h:54-65 contract)
