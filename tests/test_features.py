@@ -491,12 +491,17 @@ def test_ktx2_rgba8_and_zlib_decode():
     img = decode_ktx2(make(3, zlib.compress(rgba.tobytes())))
     assert ((img * 255).round().astype(np.uint8) == rgba).all()
 
+    import zstandard
+
+    img = decode_ktx2(make(2, zstandard.ZstdCompressor().compress(rgba.tobytes())))
+    assert ((img * 255).round().astype(np.uint8) == rgba).all()
+
     import pytest
 
     from vk_gltf_renderer_tpu.ops.dds import UnsupportedCodec
 
     with pytest.raises(UnsupportedCodec):
-        decode_ktx2(make(2, b"zstd-data"))
+        decode_ktx2(make(1, b"basislz-data"))  # BasisLZ still needs a transcoder
 
 
 def test_retroreflection_mrm_preview():
