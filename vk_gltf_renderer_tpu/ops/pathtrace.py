@@ -116,6 +116,13 @@ class RenderConfig:
     traversal: str = "packet"  # "packet" (Pallas, TPU) | "wavefront" (XLA)
     sort_rays: bool = True  # reorder rays (octant+Morton) before each trace
     packet_tiles: int = 8  # max 1024-lane tiles sharing one traversal stack (measured optimum in-frame)
+    # stack width for the PEELED bounce 0 closest trace only (shadow + loop
+    # traces keep packet_tiles). Measured on 1080p shader_ball: 16 wins on
+    # the isolated kernel (60.7 Mrays/s on tile-ordered primaries) but
+    # LOSES end-to-end (284 ms with 16 everywhere in bounce 0, 277 ms with
+    # 16 closest-only, vs 271.5 ms uniform 8) — the extra packing/launch
+    # variants cost more than the primaries save. Keep 8.
+    primary_tiles: int = 8
     # produce the full denoiser guide set (adds specular albedo + specular
     # hit distance, shaderio.h:54-65; costs a few extra sorted columns)
     denoise_guides: bool = False
@@ -608,7 +615,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         rays=jnp.zeros((), jnp.float32),
     )
 
-    def bounce(state, depth):
+    def bounce(state, depth, cfg_t=cfg_t):
         ro, rd = state["ro"], state["rd"]
         alive = state["alive"]
         seed = state["seed"]
@@ -619,6 +626,10 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         state["rays"] = state["rays"] + jnp.sum(alive.astype(jnp.float32))
         # each trace co-sorts its own rays: the shadow trace gets ITS
         # direction octants grouped (measured 2x on mixed-direction packets)
+        # shadow traces in this bounce keep the loop stack width: their
+        # directions (toward env/light samples) are divergent even when the
+        # closest-trace origins are tile-coherent, so wider packets lose
+        cfg_s = replace(cfg_t, packet_tiles=cfg.packet_tiles)
         hits, seed = _trace_with_alpha(flat, bvh, ro, rd, seed, cfg_t, alive=alive)
         miss = hits["tri"] < 0
 
@@ -762,7 +773,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
                     dlv["pdf"] == DIRAC, 1.0, dlv["pdf"] / jnp.maximum(dlv["pdf"] + phase_pdf, 1e-20)
                 )
                 v_shadow, seed = _trace_shadow(
-                    flat, bvh, sc_org, dlv["direction"], dlv["distance"], seed, cfg_t,
+                    flat, bvh, sc_org, dlv["direction"], dlv["distance"], seed, cfg_s,
                     alive=scattered & (dlv["pdf"] != 0.0),
                 )
                 v_contrib = throughput * dlv["radiance_over_pdf"] * (v_mis * phase_pdf)[..., None] * v_shadow
@@ -877,7 +888,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         sh_base = jnp.where(sh_fwd[..., None], hs["shadow_pos"], hs["pos"])
         sh_off = jnp.where(sh_fwd[..., None], hs["geonrm"], -hs["geonrm"])
         sh_org = safe_offset_ray(sh_base, sh_off)
-        shadow, seed = _trace_shadow(flat, bvh, sh_org, dl["direction"], dl["distance"], seed, cfg_t, alive=next_event)
+        shadow, seed = _trace_shadow(flat, bvh, sh_org, dl["direction"], dl["distance"], seed, cfg_s, alive=next_event)
         if cfg.use_infinite_plane and cfg.plane_shadow_catcher:
             # shadow catcher (handleShadowCatcher, functions:499-554): the
             # plane is invisible — show env where lit, darken where occluded
@@ -936,8 +947,12 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         # in pixel (scanline) order — already coherent — and every lane is
         # live, so there is nothing to compact; and peeling means the
         # first-hit captures happen in LANE order and never have to ride
-        # (or be restored from) the loop's co-sorts.
-        state, _ = bounce(state, jnp.zeros((), jnp.int32))
+        # (or be restored from) the loop's co-sorts. Primary packets are
+        # tile-order coherent, so they take the wider primary_tiles stack.
+        state, _ = bounce(
+            state, jnp.zeros((), jnp.int32),
+            cfg_t=replace(cfg_t, packet_tiles=cfg.primary_tiles),
+        )
 
         spec = _state_columns_spec(cfg)
         buckets = _bucket_ladder(n)
