@@ -171,3 +171,40 @@ def test_meshopt_scene_end_to_end(tmp_path):
     r.on_render()
     img = r.image_linear()
     assert np.isfinite(img).all() and img.mean() > 0.0
+
+
+def test_meshopt_khr_alias(tmp_path):
+    """KHR_meshopt_compression (alternate spelling accepted by the
+    reference's tinygltf_utils) decodes identically to EXT_."""
+    import json
+
+    from vk_gltf_renderer_tpu.models import Scene
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    vblob = encode_vertex_buffer(pos.tobytes(), 3, 12)
+    gltf = {
+        "asset": {"version": "2.0"},
+        "extensionsUsed": ["KHR_meshopt_compression"],
+        "scene": 0, "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3",
+             "min": pos.min(0).tolist(), "max": pos.max(0).tolist()},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes, "byteStride": 12,
+             "extensions": {"KHR_meshopt_compression": {
+                 "buffer": 0, "byteOffset": 0, "byteLength": len(vblob),
+                 "byteStride": 12, "count": 3, "mode": "ATTRIBUTES"}}},
+        ],
+        "buffers": [{"uri": "geo.bin", "byteLength": len(vblob)}],
+    }
+    (tmp_path / "geo.bin").write_bytes(vblob)
+    (tmp_path / "mo.gltf").write_text(json.dumps(gltf))
+    sc = Scene()
+    sc.load(tmp_path / "mo.gltf")
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+
+    flat = build_scene_flat(sc)
+    np.testing.assert_allclose(np.asarray(flat.vtx_pos), pos, atol=1e-6)
+    assert "KHR_meshopt_compression" not in sc.model.gltf.get("extensionsUsed", [])

@@ -144,7 +144,7 @@ def _decompress_meshopt(model: "GltfModel") -> None:
     """EXT_meshopt_compression buffer views -> raw bytes in place
     (reference decompressMeshoptExtension, gltf_scene.cpp:337/:372)."""
     used = set(model.gltf.get("extensionsUsed", [])) | set(model.gltf.get("extensionsRequired", []))
-    if "EXT_meshopt_compression" not in used:
+    if not used & {"EXT_meshopt_compression", "KHR_meshopt_compression"}:
         return
     from .meshopt import decompress_model
 

@@ -491,9 +491,20 @@ def decode_filter_exponential(data: np.ndarray) -> np.ndarray:
 
 
 # ------------------------------------------------------------ glTF plumbing
+MESHOPT_KEYS = ("EXT_meshopt_compression", "KHR_meshopt_compression")
+
+
+def _meshopt_key(view: dict):
+    for k in MESHOPT_KEYS:
+        if k in view.get("extensions", {}):
+            return k
+    return None
+
+
 def decompress_buffer_view(model, view: dict) -> bytes:
-    """Decode one EXT_meshopt_compression buffer view to raw bytes."""
-    ext = view["extensions"]["EXT_meshopt_compression"]
+    """Decode one EXT_/KHR_meshopt_compression buffer view to raw bytes
+    (the reference's utils accept both spellings, tinygltf_utils.hpp)."""
+    ext = view["extensions"][_meshopt_key(view)]
     src = bytes(model.buffers[ext["buffer"]])
     off = ext.get("byteOffset", 0)
     blob = src[off : off + ext["byteLength"]]
@@ -534,7 +545,8 @@ def decompress_model(model) -> int:
     views = model.gltf.get("bufferViews", [])
     n = 0
     for view in views:
-        if "EXT_meshopt_compression" not in view.get("extensions", {}):
+        key = _meshopt_key(view)
+        if key is None:
             continue
         raw = decompress_buffer_view(model, view)
         # move the decoded bytes to a fresh buffer region appended to
@@ -548,7 +560,7 @@ def decompress_model(model) -> int:
         view["byteOffset"] = len(buf0)
         view["byteLength"] = len(raw)
         buf0.extend(raw)
-        del view["extensions"]["EXT_meshopt_compression"]
+        del view["extensions"][key]
         if not view["extensions"]:
             del view["extensions"]
         n += 1
@@ -556,9 +568,10 @@ def decompress_model(model) -> int:
         g = model.gltf
         if len(g.get("buffers", [])) >= 1:
             g["buffers"][0]["byteLength"] = len(model.buffers[0])
-        for key in ("extensionsRequired", "extensionsUsed"):
-            if "EXT_meshopt_compression" in g.get(key, []):
-                g[key].remove("EXT_meshopt_compression")
-                if not g[key]:
-                    del g[key]
+        for lk in ("extensionsRequired", "extensionsUsed"):
+            for mk in MESHOPT_KEYS:
+                if mk in g.get(lk, []):
+                    g[lk].remove(mk)
+            if lk in g and not g[lk]:
+                del g[lk]
     return n
