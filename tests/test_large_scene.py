@@ -50,11 +50,12 @@ def test_vmem_ladder_selects_wavefront_over_budget(tmp_path, monkeypatch):
 
 
 def test_vmem_crossover_scale():
-    """Document the ladder's crossover: ~800k world triangles still fit the
-    packet kernel's VMEM tables; >=1M crosses the budget and must take the
-    HBM wavefront path.  Extrapolated from a small build (both tables scale
-    linearly in world triangles: tris128 is 8-tri groups of 16 f32/tri,
-    nodes_fi ~2 nodes per 8-tri leaf)."""
+    """Document the ladder's crossover: ~300k world triangles fit the packet
+    kernel's PADDED VMEM tables (Mosaic tiles nodes_fi's 16-wide rows to 128
+    lanes — 8x raw bytes; measured AOT failure at 819k tris proved the raw
+    count lied); beyond that the ladder must take the HBM wavefront path.
+    Extrapolated from a small build (both tables scale linearly in world
+    triangles)."""
     from tools.large_scene_demo import write_large_glb
     from vk_gltf_renderer_tpu.renderer import GltfRenderer
     from vk_gltf_renderer_tpu.ops.bvh_flatten import VMEM_TABLE_BUDGET, vmem_bytes
@@ -65,5 +66,5 @@ def test_vmem_crossover_scale():
     r = GltfRenderer(width=16, height=16, spp=1, max_depth=1)
     r.create_scene(p)
     per_tri = vmem_bytes(r.bvh) / r.bvh.num_world_tris
-    assert per_tri * 800_000 < VMEM_TABLE_BUDGET  # packet regime
-    assert per_tri * 1_100_000 > VMEM_TABLE_BUDGET  # wavefront regime
+    assert per_tri * 300_000 < VMEM_TABLE_BUDGET  # packet regime
+    assert per_tri * 500_000 > VMEM_TABLE_BUDGET  # wavefront regime

@@ -5,11 +5,14 @@ The reference handles multi-million-triangle scenes via budgeted multi-pass
 BLAS builds (renderer.cpp:1699-1721); our analog is the VMEM-budget ladder in
 renderer._config (fits_vmem -> packet, else HBM wavefront).  This demo
 exercises the ladder at scale with a grid of instanced displaced terrain
-patches.  Two regimes (measured ~99 B of resident tables per world triangle):
+patches.  Two regimes (~237 B of PADDED resident tables per world triangle —
+Mosaic tiles the 16-wide nodes_fi rows to 128 VMEM lanes; an 819k-tri run
+with 85.6 MB of raw tables failed AOT with a 137 MB nodes window, which is
+what taught vmem_bytes() to count padded sizes):
 
-  --tris 800000   packet regime: tables ~79 MB, inside the 88 MB VMEM budget
-  --tris 1050000  (default) wavefront regime: tables would be ~104 MB, the
-                  ladder auto-selects the HBM wavefront path
+  --tris 300000   packet regime: padded tables ~71 MB, inside the 88 MB budget
+  --tris 1050000  (default) wavefront regime: the ladder auto-selects the
+                  HBM wavefront path
 
 Usage:
     python tools/large_scene_demo.py [--tris 1050000] [--size 512] [--depth 2]

@@ -670,8 +670,16 @@ VMEM_TABLE_BUDGET = 88 * 1024 * 1024
 
 def vmem_bytes(wb: WorldBvh) -> int:
     """Bytes of BVH tables the v2 packet kernel keeps resident in VMEM
-    (nodes_fi + tris128 — the only tables the hot kernel binds)."""
-    return wb.nodes_fi.nbytes + wb.tris128.nbytes
+    (nodes_fi + tris128 — the only tables the hot kernel binds).
+
+    Counts PADDED sizes: Mosaic tiles f32 blocks to (8, 128) lanes, so the
+    16-wide nodes_fi rows occupy 128 lanes of VMEM each (8x the raw bytes —
+    measured: an 819k-tri scene with 85.6 MB of raw tables failed AOT with
+    a u8[136962048] window for nodes_fi [267497,16]). tris128 is already
+    128-wide. Round-3 fix: pack 8 nodes per 128-lane row like tris128,
+    which recovers the 8x and lifts the packet ceiling back to ~800k tris."""
+    node_rows = wb.nodes_fi.shape[0]
+    return node_rows * 128 * 4 + wb.tris128.nbytes
 
 
 def fits_vmem(wb: WorldBvh) -> bool:
