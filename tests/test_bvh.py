@@ -302,7 +302,10 @@ def test_vmem_budget_traversal_selection(monkeypatch):
     sc = Scene()
     sc.load("/root/reference/resources/Box.glb")
     wb = build_world_bvh(build_scene_flat(sc))
-    assert vmem_bytes(wb) == wb.nodes_fi.nbytes + wb.tris128.nbytes
+    # Mosaic pads the 16-wide nodes_fi rows to 128 VMEM lanes — the budget
+    # counts the padded footprint (b7dfa48), not raw nbytes.
+    assert vmem_bytes(wb) == wb.nodes_fi.shape[0] * 128 * 4 + wb.tris128.nbytes
+    assert vmem_bytes(wb) >= wb.nodes_fi.nbytes + wb.tris128.nbytes
     assert fits_vmem(wb)
     monkeypatch.setattr(bvh_flatten, "VMEM_TABLE_BUDGET", 16)
     assert not fits_vmem(wb)

@@ -244,3 +244,35 @@ def test_compact_tile_order_matches_wavefront(monkeypatch):
         assert (np.asarray(aux[k]) == np.asarray(ref_aux[k])).all(), k
     for k in ("first_pos", "albedo", "normal", "spec_albedo", "spec_hitdist"):
         assert np.abs(np.asarray(aux[k]) - np.asarray(ref_aux[k])).max() < 1e-4, k
+
+
+def test_compact_tile_order_hdr_background(monkeypatch):
+    """HDR env + compact + tile_order at a width where the tile permutation
+    is NOT the identity (256 = two tile columns; at 128 it degenerates to
+    row-major, which is how the lane-vs-pixel-order background fix-up bug
+    escaped). The full-resolution background fix-up must land on the same
+    pixels as the wavefront render."""
+    from vk_gltf_renderer_tpu.ops import pathtrace as pt
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer
+
+    W, H = 256, 16
+
+    def render(traversal):
+        r = GltfRenderer(width=W, height=H, spp=1, max_depth=2)
+        r.create_scene("/root/reference/resources/Box.glb")
+        r.create_hdr("/root/reference/resources/std_env.hdr")
+        monkeypatch.setenv("VKGR_TRAVERSAL", traversal)
+        aux = r.on_render()
+        return np.asarray(r.accum).reshape(H, W, 3), aux
+
+    ref_img, ref_aux = render("wavefront")
+    monkeypatch.setattr(pt, "COMPACT_MIN_LANES", 1024)
+    monkeypatch.setenv("VKGR_PALLAS_INTERPRET", "1")
+    img, aux = render("packet")
+
+    assert np.abs(img - ref_img).max() < 1e-4
+    assert (np.asarray(aux["solid"]) == np.asarray(ref_aux["solid"])).all()
+    # the background region itself (primary misses) must match exactly
+    miss = ~np.asarray(ref_aux["solid"]).reshape(H, W)
+    assert miss.any()
+    assert np.abs(img[miss] - ref_img[miss]).max() < 1e-4

@@ -220,9 +220,37 @@ def test_temporal_reprojection_shifts_history():
     assert out[:, 4].mean() < 0.2
 
 
+def test_terminal_viewer_scripted_fast():
+    """Viewer loop in scripted mode starting in PREVIEW (--renderer 1):
+    orbit + denoise toggle + image out, without ever compiling the path
+    tracer (the expensive CPU compile lives in the slow-marked variant)."""
+    import subprocess
+    import sys
+
+    out = "/tmp/viewer_test_fast.png"
+    r = subprocess.run(
+        [sys.executable, "-m", "vk_gltf_renderer_tpu.viewer",
+         "--scenefile", "/root/reference/resources/Box.glb",
+         "--size", "24", "--renderer", "1", "--keys", "an", "--output", out],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Saved" in r.stdout and "[preview +denoise]" in r.stdout
+    import numpy as np
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape[:2] == (24, 24) and img.max() > 0
+
+
+@pytest.mark.slow
 def test_terminal_viewer_scripted():
     """Viewer loop end-to-end in scripted mode: orbit, dolly, renderer
-    toggle, denoise toggle, image out."""
+    toggle, denoise toggle, image out. Slow: compiles path tracer +
+    preview + denoise variants back to back on CPU (opt in with
+    VKGR_RUN_SLOW=1)."""
     import subprocess
     import sys
 

@@ -25,3 +25,18 @@ updated functionally through dirty-flag diffs.
 """
 
 __version__ = "0.1.0"
+
+# Honor an explicit JAX_PLATFORMS request even on hosts whose sitecustomize
+# force-registers an accelerator plugin that ignores the env var (observed:
+# JAX_PLATFORMS=cpu in the env, yet jax.devices() returns the tunneled TPU;
+# subprocess tests then pay a ~26 ms network round-trip per dispatch). The
+# env var is user intent; make it authoritative.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # backend already initialized — too late to switch; leave as is

@@ -31,7 +31,8 @@ from __future__ import annotations
 import numpy as np
 
 VERTEX_HEADER = 0xA0  # vertex codec, version 0
-INDEX_HEADER = 0xE0  # index codec (version in low nibble)
+INDEX_HEADER = 0xE0  # triangle index codec (version in low nibble)
+SEQUENCE_HEADER = 0xD0  # index sequence codec (version in low nibble)
 BYTE_GROUP = 16
 BLOCK_MAX = 256
 BLOCK_BYTES = 8192
@@ -218,47 +219,175 @@ def _decode_index(buf, pos, last):
     return last + _unzigzag32(v), pos
 
 
-def encode_index_buffer(indices, count: int) -> bytes:
-    """TRIANGLES codec encoder. Emits only code classes this module's
-    decoder handles; round-trip-exact with decode_index_buffer."""
+# Codeaux table used by this module's ENCODER (the decoder reads whatever
+# table the stream carries). Slot 0 = 0x00 so the (next,next,next) triangle
+# has a table code — the 0xfe aux==0 encoding would trigger the decoder's
+# "reset next" semantics instead.
+_ENC_CODEAUX = bytes([0x00] + [0x10 * i | i for i in range(1, 8)] + [0x01, 0x02, 0x12, 0x21, 0x13, 0x31, 0x23, 0x32])
+
+
+class _TriState:
+    """Shared decoder-semantics state machine for the TRIANGLES codec.
+
+    Both the decoder and the encoder drive this SAME state-update logic so
+    the two can never drift apart; the update rules mirror meshoptimizer's
+    decodeIndexBuffer exactly (write-always/advance-conditionally vertex
+    fifo pushes, edge-path reads at voff-1-fec, codeaux-path reads at
+    voff-feb with pre-push voff)."""
+
+    def __init__(self):
+        self.edgefifo = [(0, 0)] * 16
+        self.vertexfifo = [0] * 16
+        self.eoff = 0
+        self.voff = 0
+        self.next_v = 0
+        self.last = 0
+
+    def push_edge(self, a, b):
+        self.edgefifo[self.eoff & 15] = (a, b)
+        self.eoff = (self.eoff + 1) & 15
+
+    def push_vertex(self, v, cond=True):
+        # meshoptimizer pushVertexFifo: write ALWAYS, advance conditionally
+        self.vertexfifo[self.voff & 15] = v
+        self.voff = (self.voff + (1 if cond else 0)) & 15
+
+
+def decode_index_buffer(data: bytes, count: int) -> np.ndarray:
+    """TRIANGLES codec decoder — bitstream-exact mirror of meshoptimizer's
+    decodeIndexBuffer (indexcodec.cpp), versions 0 and 1:
+      * code < 0xf0: edge fifo ref (hi nibble) + third vertex from
+        fec=0 (next counter), 1..fecmax-1 (vertex fifo at voff-1-fec),
+        13/14 (v1: last-1 / last+1), 15 (explicit zigzag-vbyte delta).
+      * 0xf0..0xfd: codeaux TABLE byte; a=next++, b/c resolved from
+        feb/fec nibbles (fifo reads at pre-push voff-feb / voff-fec).
+      * 0xfe/0xff: explicit aux byte (aux==0 resets the next counter);
+        a = next (0xfe) or explicit (0xff); b/c may also be explicit."""
+    buf = memoryview(data)
+    if len(buf) < 1 + count // 3 + 16:
+        raise MeshoptError("meshopt index buffer too small")
+    version = buf[0] ^ INDEX_HEADER
+    if buf[0] & 0xF0 != INDEX_HEADER or version > 1:
+        raise MeshoptError(f"unsupported meshopt index codec header 0x{buf[0]:02x}")
+    fecmax = 13 if version >= 1 else 15
+    ntri = count // 3
+    codeaux = buf[len(buf) - 16 :]
+    pos_code = 1
+    pos_data = 1 + ntri
+    out = np.empty(count, np.uint32)
+    st = _TriState()
+
+    for t in range(ntri):
+        code = buf[pos_code]
+        pos_code += 1
+        if code < 0xF0:
+            a, b = st.edgefifo[(st.eoff - 1 - (code >> 4)) & 15]
+            fec = code & 15
+            if fec < fecmax:
+                cf = st.vertexfifo[(st.voff - 1 - fec) & 15]
+                c = st.next_v if fec == 0 else cf
+                if fec == 0:
+                    st.next_v += 1
+                st.push_vertex(c, fec == 0)
+            else:
+                if fec != 15:
+                    # v1 strip codes: 13 -> last-1, 14 -> last+1
+                    c = (st.last + (fec - (fec ^ 3))) & 0xFFFFFFFF
+                else:
+                    c, pos_data = _decode_index(buf, pos_data, st.last)
+                st.last = c
+                st.push_vertex(c)
+            st.push_edge(c, b)
+            st.push_edge(a, c)
+        else:
+            if code < 0xFE:
+                aux = codeaux[code & 15]
+                feb, fec = aux >> 4, aux & 15
+                voff0 = st.voff
+                a = st.next_v
+                st.next_v += 1
+                bf = st.vertexfifo[(voff0 - feb) & 15]
+                b = st.next_v if feb == 0 else bf
+                if feb == 0:
+                    st.next_v += 1
+                cf = st.vertexfifo[(voff0 - fec) & 15]
+                c = st.next_v if fec == 0 else cf
+                if fec == 0:
+                    st.next_v += 1
+                st.push_vertex(a)
+                st.push_vertex(b, feb == 0)
+                st.push_vertex(c, fec == 0)
+            else:
+                aux = buf[pos_data]
+                pos_data += 1
+                fea = 0 if code == 0xFE else 15
+                feb, fec = aux >> 4, aux & 15
+                if aux == 0:
+                    st.next_v = 0  # reset marker
+                voff0 = st.voff
+                if fea == 0:
+                    a = st.next_v
+                    st.next_v += 1
+                else:
+                    a = 0
+                if feb == 0:
+                    b = st.next_v
+                    st.next_v += 1
+                else:
+                    b = st.vertexfifo[(voff0 - feb) & 15]
+                if fec == 0:
+                    c = st.next_v
+                    st.next_v += 1
+                else:
+                    c = st.vertexfifo[(voff0 - fec) & 15]
+                if fea == 15:
+                    a, pos_data = _decode_index(buf, pos_data, st.last)
+                    st.last = a
+                if feb == 15:
+                    b, pos_data = _decode_index(buf, pos_data, st.last)
+                    st.last = b
+                if fec == 15:
+                    c, pos_data = _decode_index(buf, pos_data, st.last)
+                    st.last = c
+                st.push_vertex(a)
+                st.push_vertex(b, feb == 0 or feb == 15)
+                st.push_vertex(c, fec == 0 or fec == 15)
+            st.push_edge(b, a)
+            st.push_edge(c, b)
+            st.push_edge(a, c)
+        out[3 * t : 3 * t + 3] = (a, b, c)
+    return out
+
+
+def encode_index_buffer(indices, count: int, version: int = 1) -> bytes:
+    """TRIANGLES codec encoder, lockstep with decode_index_buffer: every
+    state transition replays the decoder's own update rules, so round-trips
+    are exact by construction and the emitted streams follow the reference
+    bitstream (validated against hand-decoded ground-truth vectors in
+    tests/test_meshopt.py)."""
     idx = np.asarray(indices, np.uint32)
     assert count % 3 == 0
+    fecmax = 13 if version >= 1 else 15
     codes = bytearray()
     data = bytearray()
-    edgefifo = [(0, 0)] * 16
-    vertexfifo = [0] * 16
-    eoff = voff = 0
-    next_v = 0
-    last = 0
+    st = _TriState()
 
-    def push_edge(a, b):
-        nonlocal eoff
-        edgefifo[eoff & 15] = (a, b)
-        eoff += 1
-
-    def push_vertex(v):
-        nonlocal voff
-        vertexfifo[voff & 15] = v
-        voff += 1
-
-    def vertex_code(v):
-        """0 = next counter, 1..14 = fifo slot, 15 = explicit."""
-        nonlocal next_v
-        if v == next_v:
-            return 0
-        for s in range(1, 15):
-            if voff - s >= 0 and vertexfifo[(voff - s) & 15] == v:
+    def find_vertex(v, base_off, lo=1, hi=15):
+        """Fifo slot s in [lo, hi) with vertexfifo[(base_off - s) & 15] == v."""
+        for s in range(lo, hi):
+            if st.vertexfifo[(base_off - s) & 15] == v:
                 return s
-        return 15
+        return -1
 
     for t in range(count // 3):
         a, b, c = (int(idx[3 * t]), int(idx[3 * t + 1]), int(idx[3 * t + 2]))
-        # find a fifo edge matching one of the triangle's edges (opposite
-        # winding), rotating the triangle so (a, b) is the matched edge
+        # edge-fifo match: the decoder reads (a,b) from the fifo and emits
+        # (a,b,c), so find a fifo entry equal to a directed edge of this
+        # triangle and rotate the matched edge into (a,b) position
         fe = -1
         rot = (a, b, c)
-        for e in range(min(eoff, 16)):
-            ea, eb = edgefifo[(eoff - 1 - e) & 15]
+        for e in range(16):
+            ea, eb = st.edgefifo[(st.eoff - 1 - e) & 15]
             for (x, y, z) in ((a, b, c), (b, c, a), (c, a, b)):
                 if (ea, eb) == (x, y):
                     fe, rot = e, (x, y, z)
@@ -267,141 +396,86 @@ def encode_index_buffer(indices, count: int) -> bytes:
                 break
         a, b, c = rot
         if fe >= 0:
-            fec = vertex_code(c)
+            # pick fec exactly the way the decoder will resolve it
+            s = find_vertex(c, st.voff - 1, 1, fecmax)
+            if c == st.next_v:
+                fec = 0
+            elif s >= 0:
+                fec = s
+            elif version >= 1 and c == (st.last - 1) & 0xFFFFFFFF:
+                fec = 13
+            elif version >= 1 and c == (st.last + 1) & 0xFFFFFFFF:
+                fec = 14
+            else:
+                fec = 15
+                data += _encode_index(c, st.last)
             codes.append((fe << 4) | fec)
-            if fec == 0:
-                assert c == next_v
-                next_v += 1
-                push_vertex(c)
-            elif fec == 15:
-                data += _encode_index(c, last)
-                last = c
-                push_vertex(c)
-            push_edge(c, b)
-            push_edge(a, c)
+            # decoder-mirror state update
+            if fec < fecmax:
+                if fec == 0:
+                    st.next_v += 1
+                st.push_vertex(c, fec == 0)
+            else:
+                st.last = c
+                st.push_vertex(c)
+            st.push_edge(c, b)
+            st.push_edge(a, c)
         else:
-            # no edge reuse: 0xfe = a is the next vertex, 0xff = a explicit
-            # (the codeaux-table codes 0xf0..0xfd are an encoder-side size
-            # optimization this encoder does not emit). feb/fec are computed
-            # against the SAME evolving fifo state the decoder sees, and the
-            # data stream is aux byte first, then explicit deltas in a,b,c
-            # order.
-            exp = bytearray()
-
-            def resolve(v):
-                nonlocal next_v, last
-                if v == next_v:
-                    next_v += 1
-                    push_vertex(v)
-                    return 0
-                for s in range(1, 15):
-                    if voff - s >= 0 and vertexfifo[(voff - s) & 15] == v:
-                        return s
-                exp.extend(_encode_index(v, last))
-                last = v
-                push_vertex(v)
-                return 15
-
-            fea = 0 if a == next_v else 15
+            # rotate so a == next when possible (cheapest encodings)
+            for (x, y, z) in ((a, b, c), (b, c, a), (c, a, b)):
+                if x == st.next_v:
+                    a, b, c = x, y, z
+                    break
+            voff0 = st.voff
+            fea = 0 if a == st.next_v else 15
+            nv = st.next_v + (1 if fea == 0 else 0)
+            sb = find_vertex(b, voff0, 1, 15)
+            feb = 0 if b == nv else (sb if sb >= 0 else 15)
+            nv += 1 if feb == 0 else 0
+            sc = find_vertex(c, voff0, 1, 15)
+            fec = 0 if c == nv else (sc if sc >= 0 else 15)
+            aux = (feb << 4) | fec
+            if fea == 0 and aux in _ENC_CODEAUX:
+                codes.append(0xF0 | _ENC_CODEAUX.index(aux))
+            else:
+                if aux == 0:
+                    # aux==0 is the decoder's "reset next" marker — encode
+                    # b and c explicitly instead
+                    feb = fec = 15
+                    aux = 0xFF
+                codes.append(0xFE if fea == 0 else 0xFF)
+                data.append(aux)
+            # decoder-mirror state update (incl. explicit index emission
+            # in the decoder's a, b, c read order)
             if fea == 0:
-                next_v += 1
-                push_vertex(a)
-            else:
-                exp.extend(_encode_index(a, last))
-                last = a
-                push_vertex(a)
-            feb = resolve(b)
-            fec = resolve(c)
-            codes.append(0xFE if fea == 0 else 0xFF)
-            data.append((feb << 4) | fec)
-            data += exp
-            push_edge(b, a)
-            push_edge(c, b)
-            push_edge(a, c)
-    codeaux = bytes(16)  # encoder never uses table codes; table is all-zero
-    return bytes([INDEX_HEADER | 1]) + bytes(codes) + bytes(data) + codeaux
-
-
-def decode_index_buffer(data: bytes, count: int) -> np.ndarray:
-    """TRIANGLES codec decoder (meshoptimizer decodeIndexBuffer contract)."""
-    buf = memoryview(data)
-    if len(buf) < 1 + count // 3 + 16:
-        raise MeshoptError("meshopt index buffer too small")
-    version = buf[0] ^ INDEX_HEADER
-    if buf[0] & 0xF0 != INDEX_HEADER or version > 1:
-        raise MeshoptError(f"unsupported meshopt index codec header 0x{buf[0]:02x}")
-    ntri = count // 3
-    codeaux = buf[len(buf) - 16 :]
-    pos_code = 1
-    pos_data = 1 + ntri
-    out = np.empty(count, np.uint32)
-    edgefifo = [(0, 0)] * 16
-    vertexfifo = [0] * 16
-    eoff = voff = 0
-    next_v = 0
-    last = 0
-
-    def push_edge(a, b):
-        nonlocal eoff
-        edgefifo[eoff & 15] = (a, b)
-        eoff += 1
-
-    def push_vertex(v):
-        nonlocal voff
-        vertexfifo[voff & 15] = v
-        voff += 1
-
-    for t in range(ntri):
-        code = buf[pos_code]
-        pos_code += 1
-        if code < 0xF0:
-            a, b = edgefifo[(eoff - 1 - (code >> 4)) & 15]
-            fec = code & 15
+                st.next_v += 1
+            if feb == 0:
+                st.next_v += 1
             if fec == 0:
-                c = next_v
-                next_v += 1
-                push_vertex(c)
-            elif fec < 15:
-                c = vertexfifo[(voff - fec) & 15]
-            else:
-                c, pos_data = _decode_index(buf, pos_data, last)
-                last = c
-                push_vertex(c)
-            push_edge(c, b)
-            push_edge(a, c)
-        else:
-            if code < 0xFE:
-                aux = codeaux[code & 15]
-                fea = 0
-            else:
-                aux = buf[pos_data]
-                pos_data += 1
-                fea = 15 if code == 0xFF else 0
-            feb, fec = aux >> 4, aux & 15
-            abc = []
-            for f in (fea, feb, fec):
-                if f == 0:
-                    v = next_v
-                    next_v += 1
-                    push_vertex(v)
-                elif f < 15:
-                    v = vertexfifo[(voff - f) & 15]
-                else:
-                    v, pos_data = _decode_index(buf, pos_data, last)
-                    last = v
-                    push_vertex(v)
-                abc.append(v)
-            a, b, c = abc
-            push_edge(b, a)
-            push_edge(c, b)
-            push_edge(a, c)
-        out[3 * t : 3 * t + 3] = (a, b, c)
-    return out
+                st.next_v += 1
+            if fea == 15:
+                data += _encode_index(a, st.last)
+                st.last = a
+            if feb == 15:
+                data += _encode_index(b, st.last)
+                st.last = b
+            if fec == 15:
+                data += _encode_index(c, st.last)
+                st.last = c
+            st.push_vertex(a)
+            st.push_vertex(b, feb == 0 or feb == 15)
+            st.push_vertex(c, fec == 0 or fec == 15)
+            st.push_edge(b, a)
+            st.push_edge(c, b)
+            st.push_edge(a, c)
+    return bytes([INDEX_HEADER | version]) + bytes(codes) + bytes(data) + _ENC_CODEAUX
 
 
 def encode_index_sequence(indices, count: int) -> bytes:
     idx = np.asarray(indices, np.uint32)
-    out = bytearray([INDEX_HEADER | 1])
+    # meshoptimizer kSequenceHeader is 0xD0 (0xD1 for v1) — distinct from
+    # the 0xE0 triangle codec header
+    out = bytearray([SEQUENCE_HEADER | 1])
     last = [0, 0]
     for i in range(count):
         v = int(idx[i])
@@ -417,7 +491,7 @@ def encode_index_sequence(indices, count: int) -> bytes:
 
 def decode_index_sequence(data: bytes, count: int) -> np.ndarray:
     buf = memoryview(data)
-    if buf[0] & 0xF0 != INDEX_HEADER:
+    if buf[0] & 0xF0 != SEQUENCE_HEADER or (buf[0] & 0x0F) > 1:
         raise MeshoptError(f"unsupported meshopt index sequence header 0x{buf[0]:02x}")
     pos = 1
     out = np.empty(count, np.uint32)
@@ -457,25 +531,30 @@ def decode_filter_octahedral(data: np.ndarray, stride: int) -> np.ndarray:
 
 
 def decode_filter_quaternion(data: np.ndarray) -> np.ndarray:
-    """Smallest-three quaternion filter: 4x int16 input; low 2 bits of the
-    last component select the largest component; the other three are snorm
-    scaled by sqrt(2)/2."""
+    """Smallest-three quaternion filter — mirror of meshoptimizer's
+    decodeFilterQuat: the variable-precision range scale is recovered from
+    sf = q[3] | 3 (ss = (1/sqrt2)/sf), the max component w is reconstructed
+    from the unit norm, and components are written ROTATED by the max-
+    component index qc = q[3] & 3: x->qc+1, y->qc+2, z->qc+3, w->qc."""
     q = data.reshape(-1, 8).view(np.int16).astype(np.int32)
-    which = (q[:, 3] & 3).astype(np.int32)
-    scale = np.float32(np.sqrt(2.0) / 2.0) / 32767.0
-    a = q[:, 0].astype(np.float32) * scale
-    b = q[:, 1].astype(np.float32) * scale
-    c = (q[:, 3] >> 2).astype(np.float32) * (np.float32(np.sqrt(2.0) / 2.0) / 8191.0)
-    cc = q[:, 2].astype(np.float32) * scale
-    rest = np.stack([a, b, cc], axis=1)
-    big = np.sqrt(np.maximum(0.0, 1.0 - (rest * rest).sum(1)))
-    out = np.empty((q.shape[0], 4), np.float32)
-    for i in range(q.shape[0]):
-        w = int(which[i])
-        vals = [rest[i, 0], rest[i, 1], rest[i, 2]]
-        vals.insert(w, big[i])
-        out[i] = vals
-    return np.clip(np.rint(out * 32767.0), -32768, 32767).astype(np.int16).view(np.uint8).reshape(-1)
+    sf = (q[:, 3] | 3).astype(np.float32)
+    ss = np.float32(1.0 / np.sqrt(2.0)) / sf
+    x = q[:, 0].astype(np.float32) * ss
+    y = q[:, 1].astype(np.float32) * ss
+    z = q[:, 2].astype(np.float32) * ss
+    w = np.sqrt(np.maximum(0.0, 1.0 - x * x - y * y - z * z))
+    qc = (q[:, 3] & 3).astype(np.int64)
+    n = q.shape[0]
+    comp = np.stack([x, y, z, w], axis=1)  # snorm16 rounded like the reference
+    comp = np.clip(np.where(comp >= 0, np.floor(comp * 32767.0 + 0.5),
+                            np.ceil(comp * 32767.0 - 0.5)), -32768, 32767).astype(np.int16)
+    out = np.empty((n, 4), np.int16)
+    rows = np.arange(n)
+    out[rows, (qc + 1) & 3] = comp[:, 0]
+    out[rows, (qc + 2) & 3] = comp[:, 1]
+    out[rows, (qc + 3) & 3] = comp[:, 2]
+    out[rows, qc & 3] = comp[:, 3]
+    return out.view(np.uint8).reshape(-1)
 
 
 def decode_filter_exponential(data: np.ndarray) -> np.ndarray:

@@ -185,7 +185,11 @@ def decode_ktx2(data: bytes) -> np.ndarray:
     elif scheme == 1:
         raise UnsupportedCodec("KTX2 BasisLZ supercompression requires a BasisU transcoder")
     elif scheme == 2:  # ZSTD supercompression
-        import zstandard
+        try:
+            import zstandard
+        except ImportError as e:
+            raise UnsupportedCodec(
+                "KTX2 zstd supercompression requires the zstandard package") from e
 
         payload = zstandard.ZstdDecompressor().decompress(payload, max_output_size=int(uncomp) or 1 << 30)
     else:

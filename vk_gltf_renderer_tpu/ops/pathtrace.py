@@ -568,6 +568,28 @@ def _bucket_ladder(n, levels=(1, 4, 16, 64), align=8192):
     return out
 
 
+def _hdr_background_fixup(state, env, cfg):
+    """Directly-visible background fix-up: indirect bounces used the
+    reduced-resolution sampling map (consistent pdf+radiance, see
+    ops/hdr.py), but the primary miss is the on-screen background — swap
+    in the full-resolution radiance (one gather per sample instead of per
+    bounce). first_pos holds the primary direction for miss lanes.
+    PRECONDITION: radiance, solid and first_pos must share the same lane
+    order (call before any pixel-restore sort)."""
+    if not (cfg.env_kind == "hdr" and cfg.background is None):
+        return state
+    from .hdr import eval_hdr
+
+    miss1 = ~state["solid"]
+    l_full, _ = eval_hdr(env, state["first_pos"], full=True)
+    l_red, _ = eval_hdr(env, state["first_pos"])
+    state = dict(state)
+    state["radiance"] = state["radiance"] + jnp.where(
+        miss1[..., None], l_full - l_red, 0.0
+    )
+    return state
+
+
 def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angle=0.0, prev_rn_o2w=None, pixel=None):
     """Trace one sample per lane. Returns (radiance [N,3], aux dict, seed).
 
@@ -954,6 +976,15 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
             cfg_t=replace(cfg_t, packet_tiles=cfg.primary_tiles),
         )
 
+        # background fix-up MUST happen here, right after the peel: solid /
+        # first_pos / radiance all still share LANE order, and primary-miss
+        # lanes are dead — their radiance never changes again — so adding
+        # the delta now is identical to adding it post-loop. After the
+        # first _compact_sort, radiance rides the loop sorts while solid /
+        # first_pos do not, and the orders never re-align (tile_order lane
+        # order != the pixel order the restore sort produces).
+        state = _hdr_background_fixup(state, env, cfg)
+
         spec = _state_columns_spec(cfg)
         buckets = _bucket_ladder(n)
 
@@ -1014,20 +1045,9 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         unsorted = jax.lax.sort((state["pixel"], *cols), num_keys=1)[1:]
         state = _columns_to_state(list(unsorted), outs, state)
 
-    if cfg.env_kind == "hdr" and cfg.background is None:
-        # directly-visible background fix-up: indirect bounces used the
-        # reduced-resolution sampling map (consistent pdf+radiance, see
-        # ops/hdr.py), but the primary miss is the on-screen background —
-        # swap in the full-resolution radiance (one gather per sample,
-        # instead of per bounce). first_pos holds the primary direction.
-        from .hdr import eval_hdr
-
-        miss1 = ~state["solid"]
-        l_full, _ = eval_hdr(env, state["first_pos"], full=True)
-        l_red, _ = eval_hdr(env, state["first_pos"])
-        state["radiance"] = state["radiance"] + jnp.where(
-            miss1[..., None], l_full - l_red, 0.0
-        )
+    if not compact:
+        # non-compact path: lane order is pixel order throughout
+        state = _hdr_background_fixup(state, env, cfg)
 
     aux = {
         "first_pos": state["first_pos"],

@@ -54,10 +54,12 @@ def _halfblocks(img: np.ndarray) -> str:
 
 
 class TerminalViewer:
-    def __init__(self, scene_path, hdr_path=None, size=96, spp=1, max_depth=3):
+    def __init__(self, scene_path, hdr_path=None, size=96, spp=1, max_depth=3,
+                 render_system=0):
         from .renderer import GltfRenderer
 
         self.r = GltfRenderer(width=size, height=size, spp=spp, max_depth=max_depth)
+        self.r.render_system = render_system
         self.r.create_scene(scene_path)
         if hdr_path:
             self.r.create_hdr(hdr_path)
@@ -210,9 +212,12 @@ def main(argv=None) -> int:
     p.add_argument("--maxDepth", type=int, default=3)
     p.add_argument("--keys", default=None, help="scripted key sequence (no TTY needed)")
     p.add_argument("--output", default=None)
+    p.add_argument("--renderer", type=int, default=0, choices=(0, 1),
+                   help="initial renderer: 0=pathtrace 1=preview (reference --renderSystem)")
     args = p.parse_args(argv)
 
-    v = TerminalViewer(args.scenefile, args.hdr, size=args.size, spp=args.spp, max_depth=args.maxDepth)
+    v = TerminalViewer(args.scenefile, args.hdr, size=args.size, spp=args.spp,
+                       max_depth=args.maxDepth, render_system=args.renderer)
     if args.keys is not None or not sys.stdin.isatty():
         run_scripted(v, args.keys or "", args.output)
     else:
