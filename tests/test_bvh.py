@@ -356,3 +356,46 @@ def test_lane_stream_kernel_matches_brute_oracle():
     m = tb < 1e30
     assert np.allclose(ts[m], tb[m], atol=1e-4)
     assert (np.asarray(hs["tri"])[m] == np.asarray(hb["tri"])[m]).all()
+
+
+def test_packet_v3_bvh4_matches_v2():
+    """The fused-BVH4 v3 kernel (one [1,32] row per internal visit) must
+    return identical hits to the binary v2 kernel on a multi-level tree —
+    closest AND any-hit, including in-kernel id resolution."""
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.models.editor import SceneEditor
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.pallas_traverse import intersect_rays_packet_soa
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    ed = SceneEditor(sc)
+    ed.add_primitive("sphere", segments=12)
+    cube_nid = ed.add_primitive("cube")
+    ed.set_translation(cube_nid, [2.0, 0.5, -1.0])
+    sc.parse_scene()
+    wb = build_world_bvh(build_scene_flat(sc))
+    assert wb.nodes4_fi.shape[0] > 2  # real multi-level BVH4
+
+    rng = np.random.default_rng(11)
+    n = 1024
+    lo, hi = wb.nodes_self[0, 0:3], wb.nodes_self[0, 3:6]
+    c = (lo + hi) / 2
+    r = float(np.linalg.norm(hi - lo))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro = jnp.asarray(c + d * r)
+    rd = jnp.asarray(-d)
+    args = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+            jnp.zeros(n), jnp.full(n, 1e32)]
+    h2 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v2")
+    h3 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v3")
+    assert np.asarray(h2["tri"] >= 0).sum() > 200
+    for k in ("t", "rnode", "tri", "u", "v"):
+        np.testing.assert_allclose(np.asarray(h2[k]), np.asarray(h3[k]), atol=1e-5, err_msg=k)
+    a2 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v2", anyhit=True)
+    a3 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v3", anyhit=True)
+    assert (np.asarray(a2["tri"] >= 0) == np.asarray(a3["tri"] >= 0)).all()

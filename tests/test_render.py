@@ -276,3 +276,81 @@ def test_compact_tile_order_hdr_background(monkeypatch):
     miss = ~np.asarray(ref_aux["solid"]).reshape(H, W)
     assert miss.any()
     assert np.abs(img[miss] - ref_img[miss]).max() < 1e-4
+
+
+def test_fused_hitstate_matches_legacy():
+    """get_hit_state_fused (one wide per-world-tri gather, world-space math)
+    must reproduce the legacy 5-gather object-space reconstruction on real
+    hits — same shading frame, uvs, colors, texel density, shadow offset."""
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.hitstate import get_hit_state, get_hit_state_fused
+    from vk_gltf_renderer_tpu.ops.traverse_wavefront import intersect_rays_wavefront
+
+    sc = Scene()
+    sc.load("/root/reference/resources/shader_ball.gltf")
+    flat = build_scene_flat(sc)
+    wb = build_world_bvh(flat)
+
+    rng = np.random.default_rng(7)
+    n = 512
+    lo = wb.nodes_self[0, 0:3]
+    hi = wb.nodes_self[0, 3:6]
+    center = (lo + hi) / 2
+    radius = float(np.linalg.norm(hi - lo))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro = jnp.asarray(center + d * radius)
+    rd = jnp.asarray(-d)
+
+    hits = intersect_rays_wavefront(wb, ro, rd)
+    mask = np.asarray(hits["tri"]) >= 0
+    assert mask.sum() > 100
+
+    legacy = get_hit_state(flat, hits, rd)
+    fused = get_hit_state_fused(jnp.asarray(wb.hit_attr), jnp.asarray(wb.rn_attr_base), hits, rd)
+
+    for k in ("pos", "nrm", "geonrm", "shadow_pos", "tangent", "bitangent",
+              "uv0", "uv1", "color"):
+        a = np.asarray(legacy[k])[mask]
+        b = np.asarray(fused[k])[mask]
+        assert np.abs(a - b).max() < 2e-3, (k, np.abs(a - b).max())
+    assert (np.asarray(legacy["front_face"])[mask] == np.asarray(fused["front_face"])[mask]).all()
+    td_a = np.asarray(legacy["texel_density"])[mask]
+    td_b = np.asarray(fused["texel_density"])[mask]
+    assert np.abs(td_a - td_b).max() < 1e-3 * max(1.0, td_a.max())
+
+
+def test_fused_hitstate_refit_rebake():
+    """Device rebake of the hit-attr rows after a transform change matches
+    a fresh host build (the AnimationVk-parity contract for the fused
+    shading tables)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.models.editor import SceneEditor
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.hitstate import bake_hit_attrs
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    ed = SceneEditor(sc)
+    nid = sc.render_nodes[0].ref_node_id
+    ed.set_translation(nid, [0.25, -0.5, 1.0])
+    ed.set_scale(nid, [2.0, 1.0, 0.5])
+    flat = build_scene_flat(sc)
+    wb_fresh = build_world_bvh(flat)
+
+    rebaked = jax.jit(bake_hit_attrs)(
+        jnp.asarray(flat.vtx_packed), jnp.asarray(flat.tri_idx),
+        jnp.asarray(flat.rn_packed), jnp.asarray(wb_fresh.attr_rnode),
+        jnp.asarray(wb_fresh.attr_tri), jnp.asarray(wb_fresh.attr_has_uv),
+    )
+    assert np.abs(np.asarray(rebaked) - wb_fresh.hit_attr).max() < 1e-4

@@ -166,6 +166,15 @@ def refit_world_bvh(wb, new_tris):
     # v2 fused rows: boxes are columns 0:12; codes/axis (12:16) are topology
     old_fi = jnp.asarray(wb.nodes_fi)
     nodes_fi = jnp.concatenate([nodes_f[:, 0:12], old_fi[:, 12:16]], axis=1).astype(jnp.float32)
+    # v3 fused BVH4 rows: boxes 0:24, codes/axes (24:32) are topology.
+    # Missing-child slots (code 0 — the root is never a child) must keep
+    # the always-miss POINT box (+3e38), not whatever the refit produced:
+    # the v3 slab treats inverted boxes as guaranteed hits.
+    old_fi4 = jnp.asarray(wb.nodes4_fi)
+    boxes4 = nodes4_f[:, 0:24]
+    miss4 = jnp.repeat(old_fi4[:, 24:28] == 0, 6, axis=1)
+    boxes4 = jnp.where(miss4, jnp.float32(3e38), boxes4)
+    nodes4_fi = jnp.concatenate([boxes4, old_fi4[:, 24:32]], axis=1).astype(jnp.float32)
     # leaf tri blocks regathered from the refit triangles
     t8s = jnp.asarray(wb.tri8_src)
     Lrows = t8s.shape[0] // 8
@@ -181,7 +190,7 @@ def refit_world_bvh(wb, new_tris):
     lane_pages = refit_lane_pages(
         jnp.asarray(wb.lane_pages), jnp.asarray(wb.lane_geo_idx), nodes_self, new_tris
     )
-    return nodes_f, nodes_self, nodes4_f, new_tris, nodes_fi, tris128, lane_pages
+    return nodes_f, nodes_self, nodes4_f, new_tris, nodes_fi, tris128, lane_pages, nodes4_fi
 
 
 def bake_world_tris(vtx_pos, tri_idx, rn_o2w, wtri_rnode, wtri_tri):

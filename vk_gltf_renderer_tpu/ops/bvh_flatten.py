@@ -141,20 +141,34 @@ class WorldBvh:
     wtri8_rnode: np.ndarray  # [L*8] i32 render node per leaf slot (-1 pad)
     wtri8_tri: np.ndarray  # [L*8] i32 global tri per leaf slot (-1 pad)
     tri8_src: np.ndarray  # [L*8] i32 tris16 source row per slot (refit)
+    # fused hit-state rows (ops/hitstate.py HIT_ATTR layout): one wide row
+    # per world triangle in the ORIGINAL per-render-node emit order, so
+    # row = rn_attr_base[rnode] + tri for any traversal backend. Lives in
+    # HBM (XLA gathers) — NOT counted by vmem_bytes.
+    hit_attr: np.ndarray  # [Ta,64] f32
+    rn_attr_base: np.ndarray  # [N] i32 (attr offset - prim_first_tri; 0 if invisible)
+    attr_rnode: np.ndarray  # [Ta] i32 emit-order render node (refit rebake)
+    attr_tri: np.ndarray  # [Ta] i32 emit-order global tri id (refit rebake)
+    attr_has_uv: np.ndarray  # [Ta] i32 (static: texel-density gate)
+    # v3 fused BVH4 rows (_packet3_tables): 4 child boxes + codes + axes in
+    # one [M,32] row — half the scalar visits of the binary v2 layout
+    nodes4_fi: np.ndarray
     num_world_tris: int
     root_code: int = 0
+    root4_code: int = 0
 
-    _STATIC = ("num_world_tris", "root_code")
+    _STATIC = ("num_world_tris", "root_code", "root4_code")
 
     def tree_flatten(self):
         names = [f.name for f in dc_fields(self) if f.name not in self._STATIC]
-        return [getattr(self, n) for n in names], (self.num_world_tris, self.root_code)
+        return [getattr(self, n) for n in names], (
+            self.num_world_tris, self.root_code, self.root4_code)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         names = [f.name for f in dc_fields(cls) if f.name not in cls._STATIC]
         kw = dict(zip(names, children))
-        kw["num_world_tris"], kw["root_code"] = aux
+        kw["num_world_tris"], kw["root_code"], kw["root4_code"] = aux
         return cls(**kw)
 
 
@@ -362,6 +376,8 @@ def build_world_bvh(flat) -> WorldBvh:
     ptc = np.asarray(flat.prim_tri_count)
 
     v_chunks, rnode_chunks, tri_chunks = [], [], []
+    rn_attr_base = np.zeros(rn_o2w.shape[0], np.int32)
+    attr_off = 0
     for i in range(rn_o2w.shape[0]):
         if not rn_visible[i]:
             continue
@@ -376,6 +392,10 @@ def build_world_bvh(flat) -> WorldBvh:
         v_chunks.append(np.concatenate([w0, w1, w2], axis=1).astype(np.float32))
         rnode_chunks.append(np.full(c, i, np.int32))
         tri_chunks.append(ids.astype(np.int32))
+        # fused hit-state addressing: this node's world tris occupy emit
+        # rows [attr_off, attr_off + c) and carry global tri ids [f, f+c)
+        rn_attr_base[i] = attr_off - f
+        attr_off += c
 
     if not v_chunks:  # empty scene: one far-away degenerate triangle
         v_chunks = [np.full((1, 9), 3e37, np.float32)]
@@ -386,6 +406,14 @@ def build_world_bvh(flat) -> WorldBvh:
     wtri_rnode = np.concatenate(rnode_chunks)
     wtri_tri = np.concatenate(tri_chunks)
     nt = wv.shape[0]
+
+    # emit-order copies survive the BVH reorder below — they drive the
+    # fused hit-attr bake (build + device refit rebake)
+    attr_rnode = wtri_rnode.copy()
+    attr_tri = wtri_tri.copy()
+    from .hitstate import bake_hit_attrs_np
+
+    hit_attr, attr_has_uv = bake_hit_attrs_np(flat, attr_rnode, attr_tri)
 
     v0, v1, v2 = wv[:, 0:3], wv[:, 3:6], wv[:, 6:9]
     tlo = np.minimum(np.minimum(v0, v1), v2)
@@ -408,6 +436,7 @@ def build_world_bvh(flat) -> WorldBvh:
         n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
         lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16)
         nfi, t128, w8r, w8t, t8s, rcode = _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri)
+        nfi4, r4 = _packet3_tables(nodes_i, n4i, n4f)
         return WorldBvh(
             nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
             wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
@@ -415,6 +444,9 @@ def build_world_bvh(flat) -> WorldBvh:
             portal_roots=np.zeros(1, np.int32),
             nodes4_i=n4i, nodes4_f=n4f, map4=m4, lane_pages=lp, lane_geo_idx=lgi,
         nodes_fi=nfi, tris128=t128, wtri8_rnode=w8r, wtri8_tri=w8t, tri8_src=t8s,
+        hit_attr=hit_attr, rn_attr_base=rn_attr_base, attr_rnode=attr_rnode,
+        attr_tri=attr_tri, attr_has_uv=attr_has_uv,
+        nodes4_fi=nfi4, root4_code=r4,
         root_code=rcode, num_world_tris=1,
         )
 
@@ -444,12 +476,16 @@ def build_world_bvh(flat) -> WorldBvh:
         n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
         lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16)
         nfi, t128, w8r, w8t, t8s, rcode = _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri)
+        nfi4, r4 = _packet3_tables(nodes_i, n4i, n4f)
         return WorldBvh(
             nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
             wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
             refit_levels=refit_levels, portal_roots=portal_roots,
             nodes4_i=n4i, nodes4_f=n4f, map4=m4, lane_pages=lp, lane_geo_idx=lgi,
         nodes_fi=nfi, tris128=t128, wtri8_rnode=w8r, wtri8_tri=w8t, tri8_src=t8s,
+        hit_attr=hit_attr, rn_attr_base=rn_attr_base, attr_rnode=attr_rnode,
+        attr_tri=attr_tri, attr_has_uv=attr_has_uv,
+        nodes4_fi=nfi4, root4_code=r4,
         root_code=rcode, num_world_tris=nt,
         )
 
@@ -652,12 +688,16 @@ def build_world_bvh(flat) -> WorldBvh:
     n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
     lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16)
     nfi, t128, w8r, w8t, t8s, rcode = _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri)
+    nfi4, r4 = _packet3_tables(nodes_i, n4i, n4f)
     return WorldBvh(
         nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
         wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
         refit_levels=refit_levels, portal_roots=portal_roots,
         nodes4_i=n4i, nodes4_f=n4f, map4=m4, lane_pages=lp, lane_geo_idx=lgi,
         nodes_fi=nfi, tris128=t128, wtri8_rnode=w8r, wtri8_tri=w8t, tri8_src=t8s,
+        hit_attr=hit_attr, rn_attr_base=rn_attr_base, attr_rnode=attr_rnode,
+        attr_tri=attr_tri, attr_has_uv=attr_has_uv,
+        nodes4_fi=nfi4, root4_code=r4,
         root_code=rcode, num_world_tris=nt,
     )
 
@@ -708,6 +748,46 @@ def fits_vmem(wb: WorldBvh) -> bool:
 
 _B4_EMPTY_LO = 3e38
 _B4_EMPTY_HI = -3e38
+
+
+def _packet3_tables(nodes_i, nodes4_i, nodes4_f):
+    """Fused BVH4 rows for the v3 packet kernel (pallas_traverse
+    _traverse3_body): ONE [1,32] fetch per internal visit carries 4 child
+    AABBs (cols 0:24), 4 child codes (24:28, v2 sign convention: >= 0 is a
+    BVH4 node id, < 0 is a tris128 leaf code -(leafrow*16+count)-1; missing
+    children carry code 0 — unambiguous, the root is never a child — and
+    the always-miss POINT box lo=hi=+3e38: the kernel's straddling slab
+    (tnear=max of mins, tfar=min of maxes) treats an INVERTED box as a
+    guaranteed hit, so build_bvh4's EMPTY_LO/HI convention must be
+    rewritten here or traversal loops forever) and 3 near-order axes
+    (28:31).
+
+    Halves the scalar work per unit of tree progress vs the binary v2 rows
+    (pops, fetches, packed reductions are the measured kernel bottleneck at
+    ~0.35us/visit vs ~40 VPU cycles of vector work)."""
+    nodes_i = np.asarray(nodes_i)
+    count = nodes_i[:, 3].astype(np.int64)
+    leaf_ids = np.nonzero(count > 0)[0]
+    # binary leaf 'first' -> tris128 row (matches _packet2_tables leafrow order)
+    first2row = np.full(int(nodes_i[:, 2].max()) + 2, -1, np.int64)
+    first2row[nodes_i[leaf_ids, 2].astype(np.int64)] = np.arange(leaf_ids.size)
+
+    n4i = np.asarray(nodes4_i).astype(np.int64)
+    fi = np.asarray(nodes4_f, np.float32).copy()  # [M,32], cols 24:32 free
+    slots = n4i[:, 0:4]
+    c1 = -slots - 1  # valid where slots < -1... v1 leaf codes are < 0
+    is_leafslot = slots < 0
+    is_missing = slots == -1
+    v1c = np.where(is_leafslot & ~is_missing, c1, 0)
+    vfirst, vcnt = v1c // 16, v1c % 16
+    v2c = -(first2row[vfirst] * 16 + vcnt) - 1
+    code = np.where(is_missing, 0, np.where(is_leafslot, v2c, slots)).astype(np.float64)
+    fi[:, 24:28] = code
+    fi[:, 28:31] = n4i[:, 4:7]
+    fi[:, 31] = 0.0
+    for s in range(4):
+        fi[is_missing[:, s], 6 * s : 6 * s + 6] = 3e38
+    return fi, 0
 
 
 def _leaf_code(first, count):

@@ -153,6 +153,177 @@ def get_hit_state(flat, hit, ray_dir):
     }
 
 
+# ----------------------------------------------------------- fused hit state
+#
+# The per-bounce shading glue above costs 5 row-gathers per lane (tri_idx,
+# rn_packed, 3x vtx_packed) plus two 4x4 transforms — profiled at ~31 ms per
+# 2M lanes on v5e, comparable to the traversal itself. The fused path bakes
+# everything hit reconstruction needs into ONE per-WORLD-triangle row
+# (world-space corners, normal/tangent corners pre-transformed, uvs, colors,
+# per-tri texel density): shading then costs ONE wide gather + pure vector
+# math. Addressing needs no new kernel outputs: world tris are emitted
+# per-render-node contiguously (bvh_flatten.build_world_bvh), so
+# row = rn_attr_base[rnode] + tri for every traversal backend.
+# Reference anchor: get_hit.h.slang:59-173 (same outputs).
+
+HIT_ATTR_COLS = 64
+# column layout (see bake_hit_attrs):
+#  0:9   n0,n1,n2   world-space corner normals (inverse-transpose transformed,
+#                   UNnormalized — interpolation then one normalize matches
+#                   the legacy normalize(M @ normalize(interp)) direction)
+#  9:18  t0,t1,t2   world-space corner tangent dirs (UNnormalized)
+#  18    tan_w      handedness (corner a's tangent w)
+#  19:25 uv0 a,b,c
+#  25:31 uv1 a,b,c
+#  31:43 color a,b,c (rgba each)
+#  43    texel_density (per tri, precomputed; 0 when the prim has no UVs)
+#  44:53 p0,p1,p2   world-space corner positions
+#  53    geo_sign   sign(det(o2w)) — world-space edge cross flips on mirrored
+#                   instances; multiply restores the object-space orientation
+#  54:64 pad
+
+
+def _bake_hit_attrs(xp, vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, attr_has_uv):
+    """Shared np/jnp implementation (xp = numpy or jax.numpy)."""
+    idx = tri_idx[attr_tri]  # [Ta,3]
+    rn_row = rn_packed[attr_rnode]  # [Ta,32]
+    o2w = rn_row[:, :16].reshape(-1, 4, 4)
+    w2o = rn_row[:, 16:32].reshape(-1, 4, 4)
+    va = vtx_packed[idx[:, 0]]
+    vb = vtx_packed[idx[:, 1]]
+    vc = vtx_packed[idx[:, 2]]
+
+    def xf_point(p):
+        return (
+            o2w[:, :3, 0] * p[:, 0:1] + o2w[:, :3, 1] * p[:, 1:2] + o2w[:, :3, 2] * p[:, 2:3] + o2w[:, :3, 3]
+        )
+
+    def xf_dir(d):
+        return o2w[:, :3, 0] * d[:, 0:1] + o2w[:, :3, 1] * d[:, 1:2] + o2w[:, :3, 2] * d[:, 2:3]
+
+    def xf_nrm(n):
+        return w2o[:, 0, :3] * n[:, 0:1] + w2o[:, 1, :3] * n[:, 1:2] + w2o[:, 2, :3] * n[:, 2:3]
+
+    p0, p1, p2 = xf_point(va[:, 0:3]), xf_point(vb[:, 0:3]), xf_point(vc[:, 0:3])
+    n0, n1, n2 = xf_nrm(va[:, 3:6]), xf_nrm(vb[:, 3:6]), xf_nrm(vc[:, 3:6])
+    t0, t1, t2 = xf_dir(va[:, 6:9]), xf_dir(vb[:, 6:9]), xf_dir(vc[:, 6:9])
+
+    we1 = p1 - p0
+    we2 = p2 - p0
+    wc = xp.cross(we1, we2)
+    w_area = xp.sqrt(xp.maximum((wc * wc).sum(-1), 1e-20))
+    duv1 = vb[:, 10:12] - va[:, 10:12]
+    duv2 = vc[:, 10:12] - va[:, 10:12]
+    uv_area = xp.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+    texel_density = xp.where(
+        attr_has_uv > 0, xp.sqrt(xp.maximum(uv_area, 1e-20) / w_area), xp.zeros_like(w_area)
+    )
+    m = o2w[:, :3, :3]
+    det = (
+        m[:, 0, 0] * (m[:, 1, 1] * m[:, 2, 2] - m[:, 1, 2] * m[:, 2, 1])
+        - m[:, 0, 1] * (m[:, 1, 0] * m[:, 2, 2] - m[:, 1, 2] * m[:, 2, 0])
+        + m[:, 0, 2] * (m[:, 1, 0] * m[:, 2, 1] - m[:, 1, 1] * m[:, 2, 0])
+    )
+    geo_sign = xp.where(det < 0, -1.0, 1.0)
+
+    cols = [
+        n0, n1, n2,                      # 0:9
+        t0, t1, t2,                      # 9:18
+        va[:, 9:10],                     # 18 tangent w
+        va[:, 10:12], vb[:, 10:12], vc[:, 10:12],  # 19:25 uv0
+        va[:, 12:14], vb[:, 12:14], vc[:, 12:14],  # 25:31 uv1
+        va[:, 14:18], vb[:, 14:18], vc[:, 14:18],  # 31:43 color
+        texel_density[:, None],          # 43
+        p0, p1, p2,                      # 44:53
+        geo_sign[:, None],               # 53
+        xp.zeros((va.shape[0], HIT_ATTR_COLS - 54), va.dtype),
+    ]
+    return xp.concatenate(cols, axis=1).astype(xp.float32)
+
+
+def bake_hit_attrs_np(flat, attr_rnode, attr_tri):
+    """Build-time numpy bake (bvh_flatten.build_world_bvh)."""
+    import numpy as np
+
+    vtx_packed = np.asarray(flat.vtx_packed, np.float32)
+    tri_idx = np.asarray(flat.tri_idx)
+    rn_packed = np.asarray(flat.rn_packed, np.float32)
+    rn_prim = np.asarray(flat.rn_prim)
+    has_uv = np.asarray(flat.prim_has_uv0)[rn_prim[attr_rnode]]
+    out = _bake_hit_attrs(np, vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, has_uv)
+    return out.astype(np.float32), has_uv.astype(np.int32)
+
+
+def bake_hit_attrs(vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, attr_has_uv):
+    """Refit-time device bake (jit from renderer._refit_device)."""
+    return _bake_hit_attrs(jnp, vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, attr_has_uv)
+
+
+def get_hit_state_fused(hit_attr, rn_attr_base, hit, ray_dir):
+    """get_hit_state from the baked per-world-tri rows: ONE wide gather.
+
+    Same outputs/contract as get_hit_state (get_hit.h.slang:59-173); the
+    math runs directly in world space on pre-transformed corner data."""
+    tri = jnp.maximum(hit["tri"], 0)
+    rnode = jnp.maximum(hit["rnode"], 0)
+    row_id = jnp.clip(rn_attr_base[rnode] + tri, 0, hit_attr.shape[0] - 1)
+    row = hit_attr[row_id]  # [...,64] — the one gather
+
+    u = hit["u"][..., None]
+    v = hit["v"][..., None]
+    w = 1.0 - u - v
+
+    n0, n1, n2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+    t0, t1, t2 = row[..., 9:12], row[..., 12:15], row[..., 15:18]
+    p0, p1, p2 = row[..., 44:47], row[..., 47:50], row[..., 50:53]
+    geo_sign = row[..., 53:54]
+
+    pos = p0 * w + p1 * u + p2 * v
+    geonrm = _normalize(cross3(p1 - p0, p2 - p0)) * geo_sign
+    nrm = _normalize(n0 * w + n1 * u + n2 * v)
+
+    front_face = dot3(geonrm, ray_dir) < 0.0
+    side = jnp.where(front_face, 1.0, -1.0)[..., None]
+
+    # shadow-terminator offset in world space (unit corner normals)
+    n0h, n1h, n2h = _normalize(n0) * side, _normalize(n1) * side, _normalize(n2) * side
+    du = jnp.minimum(0.0, dot3(pos - p0, n0h))[..., None] * n0h
+    dv = jnp.minimum(0.0, dot3(pos - p1, n1h))[..., None] * n1h
+    dw = jnp.minimum(0.0, dot3(pos - p2, n2h))[..., None] * n2h
+    shadow_pos = pos - (w * du + u * dv + v * dw)
+
+    uv0 = row[..., 19:21] * w + row[..., 21:23] * u + row[..., 23:25] * v
+    uv1 = row[..., 25:27] * w + row[..., 27:29] * u + row[..., 29:31] * v
+    color = row[..., 31:35] * w + row[..., 35:39] * u + row[..., 39:43] * v
+
+    tangent = _normalize(t0 * w + t1 * u + t2 * v)
+    tangent = _normalize(tangent - nrm * dot3(nrm, tangent)[..., None])
+    bitangent = cross3(nrm, tangent) * row[..., 18:19]
+
+    geonrm = jnp.where(front_face[..., None], geonrm, -geonrm)
+    flip_sh = dot3(geonrm, nrm) < 0.0
+    nrm = jnp.where(flip_sh[..., None], -nrm, nrm)
+    tangent = jnp.where(flip_sh[..., None], -tangent, tangent)
+    bitangent = jnp.where(flip_sh[..., None], -bitangent, bitangent)
+
+    r = ray_dir - 2.0 * dot3(ray_dir, nrm)[..., None] * nrm
+    nrm = jnp.where((dot3(r, geonrm) < 0.0)[..., None], geonrm, nrm)
+
+    return {
+        "pos": pos,
+        "nrm": nrm,
+        "geonrm": geonrm,
+        "shadow_pos": shadow_pos,
+        "tangent": tangent,
+        "bitangent": bitangent,
+        "uv0": uv0,
+        "uv1": uv1,
+        "color": color,
+        "texel_density": row[..., 43],
+        "front_face": front_face,
+    }
+
+
 def safe_offset_ray(pos, offset_dir):
     """Self-intersection offset, Wächter & Binder 2019 (reference
     pathtrace_functions.h.slang:151-167): integer ULP nudge scaled by

@@ -502,6 +502,190 @@ def _traverse2_body(nodes_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_re
     out_ref[0, 4] = v_best
 
 
+def _traverse3_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_ref, root_code=0, anyhit=False):
+    """v3 packet traversal: fused BVH4 rows + v2 leaf blocks.
+
+    Per INTERNAL visit ONE [1,32] fetch carries 4 child AABBs, 4 child
+    codes and 3 near-order axes (bvh_flatten._packet3_tables) — per unit of
+    tree progress the vector work matches v2 (4 box tests either way) while
+    the scalar work (pops, fetches, conds, packed reductions — the measured
+    bottleneck at ~0.35us/visit) is roughly halved. Leaf visits and the
+    anyhit poisoning are identical to _traverse2_body (tris128 blocks,
+    sign-encoded stack entries)."""
+    rox = ro_ref[0, 0]
+    roy = ro_ref[0, 1]
+    roz = ro_ref[0, 2]
+    tmax = ro_ref[0, 3]
+    rdx = rd_ref[0, 0]
+    rdy = rd_ref[0, 1]
+    rdz = rd_ref[0, 2]
+    tmin = rd_ref[0, 3]
+    sub = rox.shape[0]
+
+    def inv(d):
+        return jnp.where(jnp.abs(d) < 1e-20, jnp.where(d >= 0, 1e30, -1e30), 1.0 / d)
+
+    ix, iy, iz = inv(rdx), inv(rdy), inv(rdz)
+
+    sx = jnp.sum(jnp.where(rdx >= 0, 1, -1)) >= 0
+    sy = jnp.sum(jnp.where(rdy >= 0, 1, -1)) >= 0
+    sz = jnp.sum(jnp.where(rdz >= 0, 1, -1)) >= 0
+
+    def sign_of(axis):
+        return jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+
+    stack_ref[0] = root_code
+
+    def tri_tests(row, t_best, rn_best, tri_best, u_best, v_best, count):
+        tv = tris128_ref[pl.ds(row, 1), :]  # [1,128] = 8 tris
+        for c in range(LEAF_SIZE):
+            o = c * 16
+            v0x, v0y, v0z = tv[0, o + 0], tv[0, o + 1], tv[0, o + 2]
+            e1x, e1y, e1z = tv[0, o + 3] - v0x, tv[0, o + 4] - v0y, tv[0, o + 5] - v0z
+            e2x, e2y, e2z = tv[0, o + 6] - v0x, tv[0, o + 7] - v0y, tv[0, o + 8] - v0z
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = (c < count) & (jnp.abs(det) >= 1e-12)
+            inv_det = 1.0 / jnp.where(jnp.abs(det) >= 1e-12, det, 1.0)
+            tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+            uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hit = ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) & (tt > tmin) & (tt < t_best)
+            t_best = jnp.where(hit, jnp.float32(-1.0) if anyhit else tt, t_best)
+            rn_best = jnp.where(hit, tv[0, o + 9], rn_best)
+            tri_best = jnp.where(hit, tv[0, o + 10], tri_best)
+            u_best = jnp.where(hit, uu, u_best)
+            v_best = jnp.where(hit, vv, v_best)
+        return t_best, rn_best, tri_best, u_best, v_best
+
+    def body(state):
+        sp, t_best, rn_best, tri_best, u_best, v_best = state
+        sp = sp - 1
+        e = stack_ref[sp]
+
+        def leaf(sp, t_best, rn_best, tri_best, u_best, v_best):
+            code = -e - 1
+            row = code // 16
+            cnt = code - row * 16
+            t_best, rn_best, tri_best, u_best, v_best = tri_tests(
+                row, t_best, rn_best, tri_best, u_best, v_best, cnt
+            )
+            return sp, t_best, rn_best, tri_best, u_best, v_best
+
+        def internal(sp, t_best, rn_best, tri_best, u_best, v_best):
+            f = nodes4_fi_ref[pl.ds(e, 1), :]  # [1,32]
+
+            def slab(o):
+                t0x = (f[0, o + 0] - rox) * ix
+                t1x = (f[0, o + 3] - rox) * ix
+                t0y = (f[0, o + 1] - roy) * iy
+                t1y = (f[0, o + 4] - roy) * iy
+                t0z = (f[0, o + 2] - roz) * iz
+                t1z = (f[0, o + 5] - roz) * iz
+                tnear = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+                )
+                tfar = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), t_best),
+                )
+                return tnear <= tfar
+
+            h0 = slab(0)
+            h1 = slab(6)
+            h2 = slab(12)
+            h3 = slab(18)
+            p01 = jnp.sum(h0.astype(jnp.int32) * 65536 + h1.astype(jnp.int32))
+            p23 = jnp.sum(h2.astype(jnp.int32) * 65536 + h3.astype(jnp.int32))
+            a0 = p01 >= 65536
+            a1 = (p01 & 65535) > 0
+            a2 = p23 >= 65536
+            a3 = (p23 & 65535) > 0
+            c0 = f[0, 24].astype(jnp.int32)
+            c1 = f[0, 25].astype(jnp.int32)
+            c2 = f[0, 26].astype(jnp.int32)
+            c3 = f[0, 27].astype(jnp.int32)
+            s0 = sign_of(f[0, 28].astype(jnp.int32))  # left pair nearer?
+            s1 = sign_of(f[0, 29].astype(jnp.int32))  # slot0 nearer in left pair
+            s2 = sign_of(f[0, 30].astype(jnp.int32))
+
+            ln_id = jnp.where(s1, c0, c1)
+            lf_id = jnp.where(s1, c1, c0)
+            ln_a = jnp.where(s1, a0, a1)
+            lf_a = jnp.where(s1, a1, a0)
+            rn_id = jnp.where(s2, c2, c3)
+            rf_id = jnp.where(s2, c3, c2)
+            rn_a = jnp.where(s2, a2, a3)
+            rf_a = jnp.where(s2, a3, a2)
+
+            p1_id = jnp.where(s0, rf_id, lf_id)
+            p1_a = jnp.where(s0, rf_a, lf_a)
+            p2_id = jnp.where(s0, rn_id, ln_id)
+            p2_a = jnp.where(s0, rn_a, ln_a)
+            p3_id = jnp.where(s0, lf_id, rf_id)
+            p3_a = jnp.where(s0, lf_a, rf_a)
+            p4_id = jnp.where(s0, ln_id, rn_id)
+            p4_a = jnp.where(s0, ln_a, rn_a)
+
+            for pid, pa in ((p1_id, p1_a), (p2_id, p2_a), (p3_id, p3_a), (p4_id, p4_a)):
+                stack_ref[sp] = pid
+                sp = sp + jnp.where(pa, 1, 0)
+            return sp, t_best, rn_best, tri_best, u_best, v_best
+
+        return jax.lax.cond(e < 0, leaf, internal, sp, t_best, rn_best, tri_best, u_best, v_best)
+
+    state = (
+        jnp.int32(1),
+        tmax,
+        jnp.full((sub, LANE), -1.0),
+        jnp.full((sub, LANE), -1.0),
+        jnp.zeros((sub, LANE)),
+        jnp.zeros((sub, LANE)),
+    )
+    _, t_best, rn_best, tri_best, u_best, v_best = jax.lax.while_loop(
+        lambda s: s[0] > 0, body, state
+    )
+
+    out_ref[0, 0] = t_best
+    out_ref[0, 1] = rn_best
+    out_ref[0, 2] = tri_best
+    out_ref[0, 3] = u_best
+    out_ref[0, 4] = v_best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tiles", "anyhit", "root_code"))
+def traverse_packets3(nodes4_fi, tris128, rays_ro, rays_rd, root_code, interpret=False, tiles=1, anyhit=False):
+    """v3 kernel dispatch (BVH4 fused rows); same I/O as traverse_packets2."""
+    g = rays_ro.shape[0]
+    sub = tiles * SUB
+    kernel = functools.partial(_traverse3_body, root_code=root_code, anyhit=anyhit)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(nodes4_fi.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris128.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 5, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 5, sub, LANE), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(nodes4_fi, tris128, rays_ro, rays_rd)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "tiles", "anyhit", "root_code"))
 def traverse_packets2(nodes_fi, tris128, rays_ro, rays_rd, root_code, interpret=False, tiles=1, anyhit=False):
     """v2 kernel dispatch; rays packed like traverse_packets. Returns
@@ -550,19 +734,25 @@ MAX_TILES = 16  # packed-reduction int32 headroom (see _traverse2_body)
 
 def intersect_rays_packet_soa(
     wb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
-    interpret=False, anyhit=False, tiles=8,
+    interpret=False, anyhit=False, tiles=8, kernel="v2",
 ):
-    """SoA-component variant of intersect_rays_packet (v2 kernel only):
+    """SoA-component variant of intersect_rays_packet (v2/v3 kernels):
     takes 8 [N] vectors, returns dict of [N] channels with ids resolved
     in-kernel. The caller is responsible for any coherence ordering."""
     n = rox.shape[0]
     tiles = max(1, min(tiles, max(n // PACKET, 1), MAX_TILES))
     ro_p, _ = _pack_soa([rox, roy, roz, tmax], PACKET * tiles)
     rd_p, _ = _pack_soa([rdx, rdy, rdz, tmin], PACKET * tiles)
-    out = traverse_packets2(
-        wb.nodes_fi, wb.tris128, ro_p, rd_p, wb.root_code,
-        interpret=interpret, tiles=tiles, anyhit=anyhit,
-    )
+    if kernel == "v3":
+        out = traverse_packets3(
+            wb.nodes4_fi, wb.tris128, ro_p, rd_p, wb.root4_code,
+            interpret=interpret, tiles=tiles, anyhit=anyhit,
+        )
+    else:
+        out = traverse_packets2(
+            wb.nodes_fi, wb.tris128, ro_p, rd_p, wb.root_code,
+            interpret=interpret, tiles=tiles, anyhit=anyhit,
+        )
     g = out.shape[0]
 
     def chan(k):

@@ -52,7 +52,7 @@ from .bsdf import (
     bsdf_sample,
 )
 from .camera import apply_depth_of_field, generate_rays
-from .hitstate import get_hit_state, safe_offset_ray
+from .hitstate import get_hit_state, get_hit_state_fused, safe_offset_ray
 from .lights import sample_one_light
 from .materials_eval import evaluate_material, get_opacity
 from .sky import eval_sky, pdf_sky, sample_sky
@@ -141,6 +141,23 @@ class RenderConfig:
     plane_metallic: float = 0.0
     plane_roughness: float = 0.5
     shadow_catcher_darken: float = 0.0
+    # fused hit-state: ONE wide per-world-tri row gather instead of 5 row
+    # gathers + matrix transforms (ops/hitstate.get_hit_state_fused);
+    # VKGR_FUSED_HITSTATE=0 selects the legacy path for A/B measurement
+    fused_hitstate: bool = True
+    # Pallas packet kernel flavor: "v2" (binary fused rows) | "v3" (BVH4
+    # fused rows — half the scalar pops/fetches per tree progress)
+    packet_kernel: str = "v2"
+
+
+def _hit_state(flat, bvh, hits, rd, cfg):
+    """Hit-state dispatch: fused single-gather path (default) vs the legacy
+    5-gather object-space path (kept as the oracle / A-B reference)."""
+    if cfg.fused_hitstate:
+        return get_hit_state_fused(
+            jnp.asarray(bvh.hit_attr), jnp.asarray(bvh.rn_attr_base), hits, rd
+        )
+    return get_hit_state(flat, hits, rd)
 
 
 def _env_brdf_approx2(spec_color, alpha, nov):
@@ -257,6 +274,7 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
             h = intersect_rays_packet_soa(
                 bvh, rox, roy, roz, rdx, rdy, rdz, tmn, tmx,
                 anyhit=anyhit, tiles=cfg.packet_tiles, interpret=interp,
+                kernel=cfg.packet_kernel,
             )
             return h["t"], h["rnode"], h["tri"], h["u"], h["v"]
 
@@ -323,6 +341,7 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
         h = intersect_rays_packet_soa(
             bvh, comps[0], comps[1], comps[2], comps[3], comps[4], comps[5],
             comps[6], tmax, anyhit=anyhit, tiles=tiles, interpret=interp,
+            kernel=cfg.packet_kernel,
         )
         if w and w > n:
             h = {k: v[:n] for k, v in h.items()}
@@ -438,7 +457,7 @@ def _trace_shadow(flat, bvh, ro, rd, dist, seed, cfg: RenderConfig, alive=None):
     for _ in range(cfg.transmission_rounds):
         hits = trace_closest(bvh, org, rd, cfg, tmin=1e-4, tmax=remaining)
         hit_mask = alive & (hits["tri"] >= 0)
-        hs = get_hit_state(flat, hits, rd)
+        hs = _hit_state(flat, bvh, hits, rd, cfg)
         mat_id = flat.rn_material[jnp.maximum(hits["rnode"], 0)]
 
         # alpha: probability (1 - opacity) of passing through untouched
@@ -485,7 +504,7 @@ def _trace_with_alpha(flat, bvh, ro, rd, seed, cfg: RenderConfig, alive=None):
     org = ro
     t_accum = jnp.zeros(ro.shape[0])
     for _ in range(cfg.alpha_rounds):
-        hs = get_hit_state(flat, hits, rd)
+        hs = _hit_state(flat, bvh, hits, rd, cfg)
         mat_id = flat.rn_material[jnp.maximum(hits["rnode"], 0)]
         opacity = get_opacity(flat, mat_id, hs, textured="textured" in cfg.features)
         u, seed = rng.rand(seed)
@@ -699,7 +718,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
 
         # ---------------- surface shading (+ ray-cone texture LOD,
         # rayConeWorldFootprint pathtrace_functions.h.slang:174-179)
-        hs = get_hit_state(flat, hits, rd)
+        hs = _hit_state(flat, bvh, hits, rd, cfg)
         mat_id = flat.rn_material[jnp.maximum(hits["rnode"], 0)]
         world_foot = (state["cone_width"] + pixel_angle * hits["t"]) / jnp.maximum(
             jnp.abs(dot3(hs["nrm"], -rd)), 1e-3
@@ -1133,7 +1152,18 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
         lum = jnp.mean(rad, axis=-1)
         scale = jnp.where(lum > cfg.firefly_clamp, cfg.firefly_clamp / jnp.maximum(lum, 1e-20), 1.0)
         rad = rad * scale[..., None]
+        aux_prev = dict(aux_prev)
+        mom_prev = aux_prev.pop("lum_moments", None)
         aux_keep = jax.tree.map(lambda new, old: jnp.where(s == 0, new, old), aux, aux_prev)
+        if cfg.denoise_guides:
+            # per-sample luminance moments (E[L], E[L^2] summed over spp) —
+            # drives the variance-guided SVGF luminance sigma
+            # (ops/denoise.py). rad is in the same order as `total` (pixel
+            # order — the in-batch pixel-keyed sort restored it), so the
+            # moments are excluded from the tile unmap below.
+            L = 0.2126 * rad[:, 0] + 0.7152 * rad[:, 1] + 0.0722 * rad[:, 2]
+            aux_keep = dict(aux_keep)
+            aux_keep["lum_moments"] = mom_prev + jnp.stack([L, L * L], axis=-1)
         return (seed, total + rad, rays_total + aux["rays"], aux_keep), None
 
     aux0 = {
@@ -1149,6 +1179,7 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
         aux0["spec_albedo"] = jnp.zeros((n, 3))
         aux0["spec_hitdist"] = jnp.zeros(n)
         aux0["first_pos_prev"] = jnp.zeros((n, 3))
+        aux0["lum_moments"] = jnp.zeros((n, 2))
     (seed, total, rays_total, aux_out), _ = jax.lax.scan(
         one_sample,
         (seed0, jnp.zeros((n, 3)), jnp.zeros((), jnp.float32), aux0),
@@ -1166,9 +1197,10 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
             return t.reshape((n,) + rest)
 
         # spec_hitdist rides the loop sorts and is already restored to
-        # pixel order by the in-batch pixel-keyed sort — do not remap it
+        # pixel order by the in-batch pixel-keyed sort — do not remap it;
+        # lum_moments derives from the restored radiance (pixel order)
         aux_out = {
-            k: (v if k in ("rays", "spec_hitdist") else unmap(v))
+            k: (v if k in ("rays", "spec_hitdist", "lum_moments") else unmap(v))
             for k, v in aux_out.items()
         }
         # radiance/seed were already restored to pixel order by the

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from . import rng
 from .camera import generate_rays
-from .hitstate import get_hit_state, safe_offset_ray
+from .hitstate import get_hit_state, get_hit_state_fused, safe_offset_ray
 from .materials_eval import evaluate_material
 from .pathtrace import RenderConfig, sample_environment, trace_closest
 from .sky import _onb
@@ -49,7 +49,10 @@ def render_preview(flat, bvh, env, frame, cfg: RenderConfig):
 
     env_color, _ = sample_environment(env, rd, cfg)
 
-    hs = get_hit_state(flat, hits, rd)
+    if cfg.fused_hitstate:
+        hs = get_hit_state_fused(jnp.asarray(bvh.hit_attr), jnp.asarray(bvh.rn_attr_base), hits, rd)
+    else:
+        hs = get_hit_state(flat, hits, rd)
     mat_id = flat.rn_material[jnp.maximum(hits["rnode"], 0)]
     pbr = evaluate_material(flat, mat_id, hs, features=cfg.features)
     N = pbr["N"]

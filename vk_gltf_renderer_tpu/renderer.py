@@ -99,6 +99,31 @@ class AdaptiveSampler:
         self.spp = target
         return self.spp
 
+    def update_global(self, rays: float, wall_ms: float) -> int:
+        """Multi-chip retarget from the mesh-global (psum'd) ray counter
+        (SURVEY §2.7: adaptive-sampling stats ride psum). Every process
+        sees the same psum'd `rays`, so — given an agreed wall_ms (single
+        controller, or broadcast from process 0 on multi-host) — every
+        process lands on the same spp bucket and the accumulation cadence
+        stays lock-step across the mesh."""
+        if rays <= 0 or wall_ms <= 0:
+            return self.spp
+        ms_per_ray = wall_ms / rays
+        # rays scale ~linearly with spp; per-ray cost is the stable signal
+        per_sample = ms_per_ray * (rays / max(self.spp, 1))
+        self._ema_ms = per_sample if self._ema_ms is None else 0.8 * self._ema_ms + 0.2 * per_sample
+        ideal = self.budget_ms / max(self._ema_ms, 1e-6)
+        target = 1
+        for b in self.BUCKETS:
+            if b <= ideal:
+                target = b
+        if target > self.spp and ideal < target * 1.25:
+            target = self.spp
+        if target < self.spp and ideal > self.spp * 0.8:
+            target = self.spp
+        self.spp = target
+        return self.spp
+
 
 class GltfRenderer:
     def __init__(self, width=512, height=512, spp=1, max_depth=5, env_kind="sky", tonemapper="filmic", render_system=0):
@@ -354,12 +379,23 @@ class GltfRenderer:
             vtx_pos, jnp.asarray(self.flat.tri_idx), jnp.asarray(o2w),
             jnp.asarray(self.bvh.wtri_rnode), jnp.asarray(self.bvh.wtri_tri),
         )
-        nodes_f, nodes_self, nodes4_f, tris, nodes_fi, tris128, lane_pages = refit_world_bvh(
+        nodes_f, nodes_self, nodes4_f, tris, nodes_fi, tris128, lane_pages, nodes4_fi = refit_world_bvh(
             self.bvh, tris
+        )
+        # fused hit-state rows track the deformed vertices + new matrices
+        import jax
+
+        from .ops.hitstate import bake_hit_attrs
+
+        hit_attr = jax.jit(bake_hit_attrs)(
+            vtx_packed, jnp.asarray(self.flat.tri_idx), jnp.asarray(rn_packed),
+            jnp.asarray(self.bvh.attr_rnode), jnp.asarray(self.bvh.attr_tri),
+            jnp.asarray(self.bvh.attr_has_uv),
         )
         self.bvh = dataclasses.replace(
             self.bvh, nodes_f=nodes_f, nodes_self=nodes_self, nodes4_f=nodes4_f, tris=tris,
-            nodes_fi=nodes_fi, tris128=tris128, lane_pages=lane_pages,
+            nodes_fi=nodes_fi, tris128=tris128, lane_pages=lane_pages, hit_attr=hit_attr,
+            nodes4_fi=nodes4_fi,
         )
         return True
 
@@ -396,6 +432,8 @@ class GltfRenderer:
         traversal = os.environ.get("VKGR_TRAVERSAL", default)
         return RenderConfig(
             traversal=traversal,
+            fused_hitstate=os.environ.get("VKGR_FUSED_HITSTATE", "1") != "0",
+            packet_kernel=os.environ.get("VKGR_PACKET_KERNEL", "v2"),
             width=self.width,
             height=self.height,
             spp=self.spp,
