@@ -6,10 +6,10 @@ formats for the TPU build in pure numpy:
 
   DDS:  uncompressed BGRA/RGBA8, BC1 (DXT1), BC2 (DXT3), BC3 (DXT5) —
         block decompression fully vectorized over blocks.
-  KTX2: header + level index parse; uncompressed R8G8B8A8_{UNORM,SRGB}
-        and zlib/zstd supercompression. BasisU raises a typed error
-        naming the missing codec (same policy as Draco/meshopt in the
-        scene loader).
+  KTX2: header + level index parse; uncompressed R8G8B8A8_{UNORM,SRGB},
+        zlib/zstd supercompression, and BasisLZ/ETC1S via the in-repo
+        transcoder (ops/basisu.py). UASTC raises a typed error naming the
+        missing codec (same policy as Draco in the scene loader).
 
 Returned images are float32 RGBA [H,W,4] in [0,1], matching decode_image.
 """
@@ -175,6 +175,8 @@ def decode_ktx2(data: bytes) -> np.ndarray:
     (vk_format, type_size, w, h, depth, layers, faces, levels, scheme) = struct.unpack_from(
         "<9I", data, 12
     )
+    dfd_off, dfd_len, kvd_off, kvd_len = struct.unpack_from("<4I", data, 48)
+    sgd_off, sgd_len = struct.unpack_from("<2Q", data, 64)
     # level index starts at byte 80; 24 bytes per level
     off, length, uncomp = struct.unpack_from("<3Q", data, 80)
     payload = data[off : off + length]
@@ -182,8 +184,21 @@ def decode_ktx2(data: bytes) -> np.ndarray:
         pass
     elif scheme == 3:  # ZLIB supercompression
         payload = zlib.decompress(payload)
-    elif scheme == 1:
-        raise UnsupportedCodec("KTX2 BasisLZ supercompression requires a BasisU transcoder")
+    elif scheme == 1:  # BasisLZ (ETC1S) — in-repo transcoder
+        from .basisu import parse_basis_lz_global, prepare_codebooks, transcode_etc1s_image
+
+        color_model = data[dfd_off + 12] if dfd_len >= 13 else 0
+        if color_model != 163:  # KHR_DF_MODEL_ETC1S
+            raise UnsupportedCodec(
+                f"KTX2 BasisLZ with DFD color model {color_model} (only ETC1S=163 supported)")
+        n_images_per_level = max(layers, 1) * max(faces, 1) * max(depth, 1)
+        glob = parse_basis_lz_global(
+            data[sgd_off : sgd_off + sgd_len], levels * n_images_per_level
+        )
+        glob = prepare_codebooks(glob)
+        # image descs are level-major ascending; level 0 image 0
+        img = transcode_etc1s_image(payload, glob["image_descs"][0], glob, w, h)
+        return img.astype(np.float32) / 255.0
     elif scheme == 2:  # ZSTD supercompression
         try:
             import zstandard
@@ -203,7 +218,8 @@ def decode_ktx2(data: bytes) -> np.ndarray:
     elif vk_format in (VK_BC3_UNORM, VK_BC3_SRGB):
         img = decode_bc(payload, w, h, "BC3")
     elif vk_format == 0:
-        raise UnsupportedCodec("KTX2 with vkFormat 0 (BasisU) requires a transcoder")
+        # vkFormat 0 + scheme!=1 means UASTC (possibly zstd-wrapped)
+        raise UnsupportedCodec("KTX2 UASTC payloads are not supported yet (ETC1S/BasisLZ is)")
     else:
         raise UnsupportedCodec(f"KTX2 vkFormat {vk_format} not supported")
     return img.astype(np.float32) / 255.0
