@@ -67,6 +67,13 @@ def make_sharded_render_fn(cfg: RenderConfig, mesh: Mesh, axis: str = "tiles"):
         "roughness": shd,
         "rays": rep,
     }
+    if cfg.denoise_guides:
+        aux_specs.update({
+            "spec_albedo": shd,
+            "spec_hitdist": shd,
+            "first_pos_prev": shd,
+            "lum_moments": shd,
+        })
     fn = shard_map(
         shard_body,
         mesh=mesh,
@@ -77,10 +84,16 @@ def make_sharded_render_fn(cfg: RenderConfig, mesh: Mesh, axis: str = "tiles"):
     return jax.jit(fn)
 
 
+_FN_CACHE: dict = {}
+
+
 def render_mesh(renderer, mesh: Mesh, axis: str = "tiles"):
     """One sharded frame through a GltfRenderer's state. Returns aux."""
     cfg = renderer._config()
-    fn = make_sharded_render_fn(cfg, mesh, axis)
+    key = (cfg, id(mesh), axis)
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = _FN_CACHE[key] = make_sharded_render_fn(cfg, mesh, axis)
     frame = renderer._frame_inputs()
     w, h = cfg.width, cfg.height
     n = w * h
@@ -91,8 +104,21 @@ def render_mesh(renderer, mesh: Mesh, axis: str = "tiles"):
     frame = dict(frame)
     frame["px"] = px
     frame["py"] = py
+    import time
+
+    t0 = time.perf_counter()
     accum, aux = fn(renderer.flat, renderer.bvh, renderer._env_arrays(), frame)
     renderer.accum = accum  # device-resident
     renderer.total_samples += cfg.spp
     renderer.frame_idx += 1
+    if renderer.adaptive is not None:
+        # adaptive sampling from the GLOBAL (psum'd) ray counter — per-chip
+        # local stats would let spp decisions diverge across the mesh and
+        # break the accumulation cadence (SURVEY §2.7 maps adaptive stats
+        # to psum). Reading aux["rays"] syncs the frame, so the wall time
+        # below covers device work, not just dispatch.
+        rays = float(aux["rays"])
+        wall_ms = (time.perf_counter() - t0) * 1000.0
+        renderer.adaptive.update_global(rays, wall_ms)
+        renderer.spp = renderer.adaptive.spp
     return aux
