@@ -354,3 +354,82 @@ def test_fused_hitstate_refit_rebake():
         jnp.asarray(wb_fresh.attr_tri), jnp.asarray(wb_fresh.attr_has_uv),
     )
     assert np.abs(np.asarray(rebaked) - wb_fresh.hit_attr).max() < 1e-4
+
+
+def test_variance_guided_svgf():
+    """Variance-guided SVGF (Schied 2017): per-pixel luminance variance
+    sharpens the luminance sigma (capped at the fixed sigma, with a
+    sample-count ramp), variance rides the a-trous ladder with squared
+    weights, and deterministic miss pixels pass through unfiltered.
+
+    Part 1 (mechanism, exact known variance): on a synthetic image whose
+    left half is CLEAN fine detail (variance 0) and right half is heavy
+    noise on a flat signal, the guided filter must preserve the clean
+    detail while denoising the noisy half — strictly lower RMSE than the
+    fixed-sigma filter, which blurs both halves."""
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.ops.denoise import denoise
+
+    H = W = 64
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:H, 0:W]
+    truth = np.where((xx < W // 2) & (((xx // 2) + (yy // 2)) % 2 == 0), 1.5, 0.5)
+    truth = np.repeat(truth[..., None], 3, axis=2).astype(np.float32)
+    sigma = np.where(xx >= W // 2, 0.6, 0.0).astype(np.float32)
+    noisy = truth + rng.normal(size=truth.shape).astype(np.float32) * sigma[..., None]
+    lum_w = np.array([0.2126, 0.7152, 0.0722], np.float32)
+    variance = jnp.asarray(sigma * sigma * float((lum_w**2).sum()))
+
+    albedo = jnp.ones((H, W, 3))
+    normal = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (H, W, 1))
+    depth = jnp.ones((H, W))
+    valid = jnp.ones((H, W), bool)
+
+    fixed = np.asarray(denoise(jnp.asarray(noisy), albedo, normal, depth, valid, iterations=3))
+    guided = np.asarray(denoise(jnp.asarray(noisy), albedo, normal, depth, valid,
+                                iterations=3, variance=variance))
+    rm = lambda img: float(np.sqrt(np.mean((img - truth) ** 2)))
+    assert rm(guided) < rm(fixed), f"guided {rm(guided):.5f} vs fixed {rm(fixed):.5f}"
+    assert rm(guided) < rm(noisy), "guidance must still denoise the noisy half"
+    # the clean half's interior must survive essentially untouched (the
+    # filter taps wrap via jnp.roll, so border columns see the noisy half)
+    clean = (slice(None), slice(12, W // 2 - 12))
+    assert np.abs(guided[clean] - truth[clean]).max() < 0.05
+
+
+def test_denoise_renderer_ramp_and_background():
+    """Integration: the renderer's moment-fed denoise path must (a) never
+    do worse than the fixed-sigma filter at low sample counts (the
+    reliability ramp keeps them equal there, measured crossover ~n=48+),
+    and (b) pass deterministic miss/background pixels through unfiltered —
+    filtering the backdrop blurred the sun disk and tripled RMSE."""
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.ops.denoise import denoise, denoise_renderer
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer
+
+    W = H = 64
+    r = GltfRenderer(width=W, height=H, spp=1, max_depth=3)
+    r.denoise_guides = True
+    r.create_scene("/root/reference/resources/Box.glb")
+    for _ in range(4):
+        aux = r.on_render()
+    assert "lum_moments" in aux and r._moments is not None
+
+    rad = jnp.asarray(r.accum).reshape(H, W, 3)
+    albedo = jnp.asarray(aux["albedo"]).reshape(H, W, 3)
+    normal = jnp.asarray(aux["normal"]).reshape(H, W, 3)
+    solid = np.asarray(aux["solid"]).reshape(H, W)
+    pos = jnp.asarray(aux["first_pos"]).reshape(H, W, 3)
+    eye = jnp.asarray(np.asarray(r.camera.eye, np.float32))
+    depth = jnp.where(jnp.asarray(solid), jnp.linalg.norm(pos - eye, axis=-1), 1e9)
+
+    fixed = np.asarray(denoise(rad, albedo, normal, depth, jnp.asarray(solid), iterations=4))
+    guided = np.asarray(denoise_renderer(r, iterations=4))
+    assert np.isfinite(guided).all()
+    # (a) ramp: at n=4 the guided filter must match the fixed filter
+    assert np.abs(guided[solid] - fixed[solid]).max() < 1e-2
+    # (b) miss pixels pass through exactly
+    assert solid.sum() > 0 and (~solid).sum() > 0
+    assert np.allclose(guided[~solid], np.asarray(rad)[~solid], atol=1e-6)

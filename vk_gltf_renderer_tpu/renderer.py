@@ -410,6 +410,7 @@ class GltfRenderer:
 
         self.total_samples = 0
         self.accum = jnp.zeros((self.width * self.height, 3), jnp.float32)
+        self._moments = None  # accumulated luminance sample moments (SVGF)
 
     def _config(self) -> RenderConfig:
         import jax
@@ -559,6 +560,12 @@ class GltfRenderer:
         self.total_samples += self.spp
         self.frame_idx += 1
         self._last_aux = aux
+        if "lum_moments" in aux:
+            # per-sample luminance moments accumulate across progressive
+            # frames (device-resident, like accum) — the variance source
+            # for the SVGF luminance sigma (ops/denoise.denoise_renderer)
+            prev = getattr(self, "_moments", None)
+            self._moments = aux["lum_moments"] if prev is None else prev + aux["lum_moments"]
         if self.denoise_guides and self.flat is not None:
             # snapshot this frame's transforms for next frame's instance
             # motion (the cmdSnapshotPrevObjectToWorld analog,
