@@ -322,9 +322,19 @@ def test_vmem_budget_traversal_selection(monkeypatch):
 
     monkeypatch.setattr(jax, "devices", lambda: [FakeDev()])
     monkeypatch.delenv("VKGR_TRAVERSAL", raising=False)
+    monkeypatch.delenv("VKGR_PRIMARY_KERNEL", raising=False)
     assert r._config().traversal == "wavefront"  # over the (tiny) budget
     monkeypatch.setattr(bvh_flatten, "VMEM_TABLE_BUDGET", 1 << 30)
-    assert r._config().traversal == "packet"
+    cfg = r._config()
+    assert cfg.traversal == "packet"
+    assert cfg.primary_kernel == "v2"  # both tables fit: hybrid
+    # middle rung: only the half-size v3 table fits -> packet stays, but
+    # primaries fall back to the v3 kernel too
+    assert vmem_bytes(r.bvh, "v3") < vmem_bytes(r.bvh, "v2")
+    monkeypatch.setattr(bvh_flatten, "VMEM_TABLE_BUDGET", vmem_bytes(r.bvh, "v2") - 1)
+    cfg = r._config()
+    assert cfg.traversal == "packet"
+    assert cfg.primary_kernel == "v3"
 
 
 def test_lane_stream_kernel_matches_brute_oracle():

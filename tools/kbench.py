@@ -103,6 +103,17 @@ def main():
                         wb, ro, rd, coherent=True, max_tiles=args.tiles, anyhit=args.anyhit,
                         inner_steps=args.inner,
                     )
+            elif variant in ("p2", "p3"):
+                from vk_gltf_renderer_tpu.ops.pallas_traverse import intersect_rays_packet_soa
+
+                kern = "v2" if variant == "p2" else "v3"
+
+                def run(ro, rd, kern=kern):
+                    return intersect_rays_packet_soa(
+                        wb, ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+                        jnp.zeros(ro.shape[0]), jnp.full(ro.shape[0], 1e32),
+                        tiles=args.tiles, anyhit=args.anyhit, kernel=kern,
+                    )
             elif variant == "wavefront":
                 from vk_gltf_renderer_tpu.ops.traverse_wavefront import intersect_rays_wavefront
 

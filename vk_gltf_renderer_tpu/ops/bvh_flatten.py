@@ -708,26 +708,30 @@ def build_world_bvh(flat) -> WorldBvh:
 VMEM_TABLE_BUDGET = 88 * 1024 * 1024
 
 
-def vmem_bytes(wb: WorldBvh) -> int:
-    """Bytes of BVH tables the v2 packet kernel keeps resident in VMEM
-    (nodes_fi + tris128 — the only tables the hot kernel binds).
+def vmem_bytes(wb: WorldBvh, kernel: str = "v2") -> int:
+    """Bytes of BVH tables ONE packet-kernel invocation keeps resident in
+    VMEM (its node table + tris128 — the only tables the hot kernel binds;
+    VMEM is per-pallas_call, so a frame mixing v2 and v3 calls pays the MAX
+    of the two footprints, not the sum).
 
     Counts PADDED sizes: Mosaic tiles f32 blocks to (8, 128) lanes, so the
-    16-wide nodes_fi rows occupy 128 lanes of VMEM each (8x the raw bytes —
-    measured: an 819k-tri scene with 85.6 MB of raw tables failed AOT with
-    a u8[136962048] window for nodes_fi [267497,16]). tris128 is already
-    128-wide. Round-3 fix: pack 8 nodes per 128-lane row like tris128,
-    which recovers the 8x and lifts the packet ceiling back to ~800k tris."""
-    node_rows = wb.nodes_fi.shape[0]
-    return node_rows * 128 * 4 + wb.tris128.nbytes
+    16-wide v2 nodes_fi rows occupy 128 lanes of VMEM each (8x the raw
+    bytes — measured: an 819k-tri scene with 85.6 MB of raw tables failed
+    AOT with a u8[136962048] window for nodes_fi [267497,16]); the 32-wide
+    v3 nodes4_fi rows occupy 128 lanes too (4x raw), but a BVH4 has ~half
+    the nodes, so the v3 footprint is ~half of v2's. tris128 is already
+    128-wide."""
+    rows = wb.nodes4_fi.shape[0] if kernel == "v3" else wb.nodes_fi.shape[0]
+    return rows * 128 * 4 + wb.tris128.nbytes
 
 
-def fits_vmem(wb: WorldBvh) -> bool:
-    """Whether the packet kernel's resident tables fit the VMEM budget.
-    Over-budget scenes must take the HBM wavefront path — the reference's
-    analog is the budgeted multi-pass BLAS build (renderer.cpp:1699-1721):
-    bounded device memory, graceful degradation, never an abort."""
-    return vmem_bytes(wb) <= VMEM_TABLE_BUDGET
+def fits_vmem(wb: WorldBvh, kernel: str = "v2") -> bool:
+    """Whether the given packet kernel's resident tables fit the VMEM
+    budget. Over-budget scenes must take the HBM wavefront path — the
+    reference's analog is the budgeted multi-pass BLAS build
+    (renderer.cpp:1699-1721): bounded device memory, graceful degradation,
+    never an abort."""
+    return vmem_bytes(wb, kernel) <= VMEM_TABLE_BUDGET
 
 
 # ---------------------------------------------------------------- BVH4

@@ -146,8 +146,12 @@ class RenderConfig:
     # VKGR_FUSED_HITSTATE=0 selects the legacy path for A/B measurement
     fused_hitstate: bool = True
     # Pallas packet kernel flavor: "v2" (binary fused rows) | "v3" (BVH4
-    # fused rows — half the scalar pops/fetches per tree progress)
-    packet_kernel: str = "v2"
+    # fused rows — half the scalar pops/fetches per tree progress).
+    # Measured (kbench, shader_ball): v3 wins on incoherent/bounce rays
+    # (~10-15%), v2 wins on tile-coherent primaries (~20%) — so the loop
+    # defaults to v3 and the peeled primary bounce to v2.
+    packet_kernel: str = "v3"
+    primary_kernel: str = "v2"
 
 
 def _hit_state(flat, bvh, hits, rd, cfg):
@@ -992,7 +996,8 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         # tile-order coherent, so they take the wider primary_tiles stack.
         state, _ = bounce(
             state, jnp.zeros((), jnp.int32),
-            cfg_t=replace(cfg_t, packet_tiles=cfg.primary_tiles),
+            cfg_t=replace(cfg_t, packet_tiles=cfg.primary_tiles,
+                          packet_kernel=cfg.primary_kernel),
         )
 
         # background fix-up MUST happen here, right after the peel: solid /

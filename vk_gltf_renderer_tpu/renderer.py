@@ -422,19 +422,24 @@ class GltfRenderer:
         alpha_any = any(m.get("alphaMode", "OPAQUE") != "OPAQUE" for m in self.scene.model.materials)
         on_tpu = jax.devices()[0].platform != "cpu"
         default = "packet" if on_tpu else "wavefront"
+        # kernel ladder: v2 primaries + v3 loop (fastest) while the larger
+        # v2 table fits VMEM; v3-everywhere (half the node footprint, ~1.5x
+        # the tri ceiling) while only v3 fits; HBM wavefront beyond (the
+        # budgeted-BLAS analog, renderer.cpp:1699-1721) — automatic
+        primary_default = "v2"
         if on_tpu and self.bvh is not None:
             from .ops.bvh_flatten import fits_vmem
 
-            # scene-size ladder: VMEM-resident packet kernel while the BVH
-            # tables fit, HBM wavefront beyond (the budgeted-BLAS analog,
-            # renderer.cpp:1699-1721) — automatic, no user knob needed
-            if not fits_vmem(self.bvh):
+            if not fits_vmem(self.bvh, "v2"):
+                primary_default = "v3"
+            if not fits_vmem(self.bvh, "v3"):
                 default = "wavefront"
         traversal = os.environ.get("VKGR_TRAVERSAL", default)
         return RenderConfig(
             traversal=traversal,
             fused_hitstate=os.environ.get("VKGR_FUSED_HITSTATE", "1") != "0",
-            packet_kernel=os.environ.get("VKGR_PACKET_KERNEL", "v2"),
+            packet_kernel=os.environ.get("VKGR_PACKET_KERNEL", "v3"),
+            primary_kernel=os.environ.get("VKGR_PRIMARY_KERNEL", primary_default),
             width=self.width,
             height=self.height,
             spp=self.spp,
