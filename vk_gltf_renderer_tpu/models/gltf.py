@@ -127,7 +127,7 @@ def _load_buffer(buf: dict, base_dir: Path | None, bin_chunk: bytes | None) -> b
     return bytearray((base_dir / unquote(uri)).read_bytes())
 
 
-_UNSUPPORTED_COMPRESSION = ("KHR_draco_mesh_compression",)
+_UNSUPPORTED_COMPRESSION = ()
 
 
 def _check_compression(gltf: dict, path) -> None:
@@ -138,6 +138,18 @@ def _check_compression(gltf: dict, path) -> None:
                 f"{path}: requires {ext}; compressed-geometry decoding is not "
                 "bundled yet (decompress the asset offline, e.g. gltf-transform)"
             )
+
+
+def _decompress_draco(model: "GltfModel") -> None:
+    """KHR_draco_mesh_compression primitives -> raw accessors in place
+    (reference routes these through the official decoder via tinygltf +
+    USE_DRACO, gltf_scene.cpp:248-249)."""
+    used = set(model.gltf.get("extensionsUsed", [])) | set(model.gltf.get("extensionsRequired", []))
+    if "KHR_draco_mesh_compression" not in used:
+        return
+    from .draco import decompress_model
+
+    decompress_model(model)
 
 
 def _decompress_meshopt(model: "GltfModel") -> None:
@@ -159,12 +171,14 @@ def load_model(path) -> GltfModel:
         model = _load_glb(data, path)
         _check_compression(model.gltf, path)
         _decompress_meshopt(model)
+        _decompress_draco(model)
         return model
     gltf = json.loads(data.decode("utf-8"))
     _check_compression(gltf, path)
     model = GltfModel(gltf=gltf, base_dir=path.parent, filename=path)
     model.buffers = [_load_buffer(b, path.parent, None) for b in gltf.get("buffers", [])]
     _decompress_meshopt(model)
+    _decompress_draco(model)
     return model
 
 
