@@ -222,8 +222,9 @@ def test_temporal_reprojection_shifts_history():
 
 def test_terminal_viewer_scripted_fast():
     """Viewer loop in scripted mode starting in PREVIEW (--renderer 1):
-    orbit + denoise toggle + image out, without ever compiling the path
-    tracer (the expensive CPU compile lives in the slow-marked variant)."""
+    orbit + image out, without compiling the path tracer OR the denoiser
+    (both expensive CPU compiles live in the slow-marked variant; the
+    denoise pipeline itself is covered by test_render)."""
     import subprocess
     import sys
 
@@ -231,13 +232,13 @@ def test_terminal_viewer_scripted_fast():
     r = subprocess.run(
         [sys.executable, "-m", "vk_gltf_renderer_tpu.viewer",
          "--scenefile", "/root/reference/resources/Box.glb",
-         "--size", "24", "--renderer", "1", "--keys", "an", "--output", out],
+         "--size", "24", "--renderer", "1", "--keys", "a", "--output", out],
         capture_output=True, text=True, timeout=300,
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
         cwd="/root/repo",
     )
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "Saved" in r.stdout and "[preview +denoise]" in r.stdout
+    assert "Saved" in r.stdout and "[preview]" in r.stdout
     import numpy as np
     from PIL import Image
 
@@ -386,9 +387,9 @@ def test_headless_animate_flag(tmp_path):
     from PIL import Image
 
     run(["--frames", "1"], str(tmp_path / "f0.png"))
-    run(["--frames", "25", "--animate", "1"], str(tmp_path / "f25.png"))
+    run(["--frames", "9", "--animate", "3"], str(tmp_path / "f9.png"))
     a = np.asarray(Image.open(tmp_path / "f0.png")).astype(np.float32)
-    b = np.asarray(Image.open(tmp_path / "f25.png")).astype(np.float32)
+    b = np.asarray(Image.open(tmp_path / "f9.png")).astype(np.float32)
     assert np.abs(a - b).mean() > 1.0  # the triangle rotated
 
 
