@@ -409,3 +409,241 @@ def test_packet_v3_bvh4_matches_v2():
     a2 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v2", anyhit=True)
     a3 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v3", anyhit=True)
     assert (np.asarray(a2["tri"] >= 0) == np.asarray(a3["tri"] >= 0)).all()
+
+
+def test_packet_v3_entry_points_lossless_and_fewer_visits(tmp_path):
+    """Per-packet entry points (packet_entry_stacks + seeded v3 stacks):
+    clustered bounce-like packets must return EXACTLY the brute oracle's
+    hits (the seeded sibling cut covers the whole tree) while visiting
+    measurably fewer nodes than root-started traversal. Reference role:
+    SER coherence hints, raytracer_interface.h.slang:199-222."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tools.large_scene_demo import write_large_glb
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.pallas_traverse import (
+        PACKET,
+        _pack_soa,
+        packet_entry_stacks,
+        traverse_packets3,
+    )
+    from vk_gltf_renderer_tpu.ops.traverse import as_device, intersect_brute
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer
+
+    p = str(tmp_path / "terrain.glb")
+    write_large_glb(p, target_tris=8000, grid=2)
+    r = GltfRenderer(width=8, height=8, spp=1, max_depth=1)
+    r.create_scene(p)
+    wb = as_device(r.bvh)
+    flat = as_device(build_scene_flat(r.scene))
+
+    rng = np.random.RandomState(3)
+    tris = np.asarray(r.bvh.tris128).reshape(-1, 16)
+    v0 = tris[tris[:, 10] >= 0][:, 0:3]
+    packs = []
+    for _ in range(4):  # each packet a tight surface cluster (post-Morton-sort shape)
+        c = v0[rng.randint(0, v0.shape[0])]
+        packs.append((c + rng.randn(PACKET, 3) * 0.01).astype(np.float32))
+    ro = np.concatenate(packs)
+    n = ro.shape[0]
+    rd = rng.randn(n, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+
+    ro_p, _ = _pack_soa(
+        [jnp.asarray(ro[:, 0]), jnp.asarray(ro[:, 1]), jnp.asarray(ro[:, 2]), jnp.full(n, 1e32)],
+        PACKET,
+    )
+    rd_p, _ = _pack_soa(
+        [jnp.asarray(rd[:, 0]), jnp.asarray(rd[:, 1]), jnp.asarray(rd[:, 2]), jnp.zeros(n)],
+        PACKET,
+    )
+    entry = packet_entry_stacks(wb.nodes4_fi, wb.root4_code, ro_p, PACKET)
+    assert (np.asarray(entry)[:, 0] > 1).any()  # descent actually engaged
+    o_ref = traverse_packets3(
+        wb.nodes4_fi, wb.tris128, ro_p, rd_p, wb.root4_code,
+        interpret=True, tiles=1, count_visits=True,
+    )
+    o_seed = traverse_packets3(
+        wb.nodes4_fi, wb.tris128, ro_p, rd_p, wb.root4_code,
+        interpret=True, tiles=1, count_visits=True, entry=entry,
+    )
+    hb = intersect_brute(flat, jnp.asarray(ro), jnp.asarray(rd))
+    tb = np.asarray(hb["t"])
+    m = tb < 1e30
+    t_s = np.asarray(o_seed)[:, 0].reshape(-1)[:n]
+    tri_s = np.asarray(o_seed)[:, 2].reshape(-1)[:n].astype(int)
+    assert ((tri_s >= 0) == m).all()
+    assert np.allclose(t_s[m], tb[m], atol=1e-4)
+    assert (tri_s[m] == np.asarray(hb["tri"])[m]).all()
+    v_ref = np.asarray(o_ref)[:, 5, 0, 0].sum()
+    v_seed = np.asarray(o_seed)[:, 5, 0, 0].sum()
+    assert v_seed < 0.75 * v_ref  # the >=25%-fewer-visits contract
+
+
+def test_packet_v5_multipop_matches_v2():
+    """The branch-free multi-pop v5 kernel (speculative node+leaf fetches,
+    masked vector phase, t_best chained through the popped group) must
+    return identical hits to v2 — closest AND any-hit, root-started AND
+    entry-seeded — on a multi-level BVH4."""
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.models.editor import SceneEditor
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.pallas_traverse import intersect_rays_packet_soa
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    ed = SceneEditor(sc)
+    ed.add_primitive("sphere", segments=12)
+    cube_nid = ed.add_primitive("cube")
+    ed.set_translation(cube_nid, [2.0, 0.5, -1.0])
+    sc.parse_scene()
+    wb = build_world_bvh(build_scene_flat(sc))
+    assert wb.nodes4_fi.shape[0] > 2
+
+    rng = np.random.default_rng(23)
+    n = 1024
+    lo, hi = wb.nodes_self[0, 0:3], wb.nodes_self[0, 3:6]
+    c = (lo + hi) / 2
+    r = float(np.linalg.norm(hi - lo))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro = jnp.asarray(c + d * r)
+    rd = jnp.asarray(-d)
+    args = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+            jnp.zeros(n), jnp.full(n, 1e32)]
+    h2 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v2")
+    h5 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v5")
+    assert np.asarray(h2["tri"] >= 0).sum() > 200
+    for k in ("t", "rnode", "tri", "u", "v"):
+        np.testing.assert_allclose(np.asarray(h2[k]), np.asarray(h5[k]), atol=1e-5, err_msg=k)
+    h5e = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v5",
+                                    entry_points=True)
+    for k in ("t", "rnode", "tri", "u", "v"):
+        np.testing.assert_allclose(np.asarray(h2[k]), np.asarray(h5e[k]), atol=1e-5, err_msg=k)
+    a2 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v2", anyhit=True)
+    a5 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v5", anyhit=True)
+    assert (np.asarray(a2["tri"] >= 0) == np.asarray(a5["tri"] >= 0)).all()
+
+
+def test_packet_v6_bvh16_matches_v2():
+    """The dense-BVH16 v6 kernel (one [1,128] row per internal visit, 16
+    child boxes + codes + 15 near-order axes) must return identical hits
+    to the binary v2 kernel on a multi-level tree — closest AND any-hit.
+    Also checks the v6 VMEM accounting is DENSE (no Mosaic padding)."""
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.models.editor import SceneEditor
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh, vmem_bytes
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.pallas_traverse import intersect_rays_packet_soa
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    ed = SceneEditor(sc)
+    ed.add_primitive("sphere", segments=16)
+    cube_nid = ed.add_primitive("cube")
+    ed.set_translation(cube_nid, [2.0, 0.5, -1.0])
+    sc.parse_scene()
+    wb = build_world_bvh(build_scene_flat(sc))
+    assert wb.nodes16_fi.shape[1] == 128
+    assert wb.nodes16_fi.shape[0] < wb.nodes4_fi.shape[0]  # deeper collapse
+    assert vmem_bytes(wb, "v6") == wb.nodes16_fi.nbytes + wb.tris128.nbytes
+
+    rng = np.random.default_rng(31)
+    n = 1024
+    lo, hi = wb.nodes_self[0, 0:3], wb.nodes_self[0, 3:6]
+    c = (lo + hi) / 2
+    r = float(np.linalg.norm(hi - lo))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro = jnp.asarray(c + d * r)
+    rd = jnp.asarray(-d)
+    args = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+            jnp.zeros(n), jnp.full(n, 1e32)]
+    h2 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v2")
+    h6 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v6")
+    assert np.asarray(h2["tri"] >= 0).sum() > 200
+    for k in ("t", "rnode", "tri", "u", "v"):
+        np.testing.assert_allclose(np.asarray(h2[k]), np.asarray(h6[k]), atol=1e-5, err_msg=k)
+    a2 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v2", anyhit=True)
+    a6 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v6", anyhit=True)
+    assert (np.asarray(a2["tri"] >= 0) == np.asarray(a6["tri"] >= 0)).all()
+
+
+def test_packet_v6_refit_matches_brute():
+    """After a vertex refit, the regathered BVH16 mirror must trace the
+    MOVED geometry exactly (refit_world_bvh map16 path vs brute oracle)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.models.editor import SceneEditor
+    from vk_gltf_renderer_tpu.ops.animation import refit_world_bvh
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.pallas_traverse import intersect_rays_packet_soa
+    from vk_gltf_renderer_tpu.ops.traverse import intersect_brute
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    ed = SceneEditor(sc)
+    ed.add_primitive("sphere", segments=12)
+    sc.parse_scene()
+    flat = build_scene_flat(sc)
+    wb = build_world_bvh(flat)
+
+    # move every world triangle by a smooth displacement and refit
+    tris = jnp.asarray(wb.tris)
+    disp = 0.25 * jnp.sin(tris[:, 0:1] * 3.0)
+    moved = tris.at[:, 0:9:3].add(disp)
+    nf, ns, n4f, tris2, nfi, t128, lpages, nfi4, nfi16 = refit_world_bvh(wb, moved)
+    wb2 = dataclasses.replace(
+        wb, nodes_f=nf, nodes_self=ns, nodes4_f=n4f, tris=tris2, nodes_fi=nfi,
+        tris128=t128, lane_pages=lpages, nodes4_fi=nfi4, nodes16_fi=nfi16,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 512
+    lo, hi = np.asarray(ns)[0, 0:3], np.asarray(ns)[0, 3:6]
+    c = (lo + hi) / 2
+    r = float(np.linalg.norm(hi - lo))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro = jnp.asarray(c + d * r)
+    rd = jnp.asarray(-d)
+    args = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+            jnp.zeros(n), jnp.full(n, 1e32)]
+    h6 = intersect_rays_packet_soa(wb2, *args, interpret=True, tiles=1, kernel="v6")
+    # brute oracle directly over the MOVED world triangles
+    mt = np.asarray(moved)
+    valid = np.asarray(wb.wtri_tri) >= 0
+    t_ref = np.full(n, np.inf, np.float32)
+    tri_ref = np.full(n, -1, np.int64)
+    ron, rdn = np.asarray(ro), np.asarray(rd)
+    for i, (v0, v1, v2) in enumerate(zip(mt[:, 0:3], mt[:, 3:6], mt[:, 6:9])):
+        if not valid[i] or i >= wb.num_world_tris:
+            continue
+        e1, e2 = v1 - v0, v2 - v0
+        p = np.cross(rdn, e2)
+        det = (e1 * p).sum(1)
+        ok = np.abs(det) >= 1e-12
+        invd = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        tv = ron - v0
+        u = (tv * p).sum(1) * invd
+        q = np.cross(tv, e1)
+        v = (rdn * q).sum(1) * invd
+        t = (e2 * q).sum(1) * invd
+        hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 0) & (t < t_ref)
+        t_ref = np.where(hit, t, t_ref)
+        tri_ref = np.where(hit, np.asarray(wb.wtri_tri)[i], tri_ref)
+    m = np.isfinite(t_ref)
+    t6 = np.asarray(h6["t"])
+    assert ((t6 < 1e30) == m).all()
+    np.testing.assert_allclose(t6[m], t_ref[m], atol=1e-4)
+    assert (np.asarray(h6["tri"])[m] == tri_ref[m]).all()

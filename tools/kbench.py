@@ -74,6 +74,7 @@ def main():
     ap.add_argument("--anyhit", action="store_true")
     ap.add_argument("--sort", action="store_true")
     ap.add_argument("--inner", type=int, default=4)
+    ap.add_argument("--entry", action="store_true")
     args = ap.parse_args()
 
     scene = Scene()
@@ -103,16 +104,17 @@ def main():
                         wb, ro, rd, coherent=True, max_tiles=args.tiles, anyhit=args.anyhit,
                         inner_steps=args.inner,
                     )
-            elif variant in ("p2", "p3"):
+            elif variant in ("p2", "p3", "p5"):
                 from vk_gltf_renderer_tpu.ops.pallas_traverse import intersect_rays_packet_soa
 
-                kern = "v2" if variant == "p2" else "v3"
+                kern = {"p2": "v2", "p3": "v3", "p5": "v5"}[variant]
 
                 def run(ro, rd, kern=kern):
                     return intersect_rays_packet_soa(
                         wb, ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
                         jnp.zeros(ro.shape[0]), jnp.full(ro.shape[0], 1e32),
                         tiles=args.tiles, anyhit=args.anyhit, kernel=kern,
+                        entry_points=args.entry,
                     )
             elif variant == "wavefront":
                 from vk_gltf_renderer_tpu.ops.traverse_wavefront import intersect_rays_wavefront

@@ -175,6 +175,19 @@ def refit_world_bvh(wb, new_tris):
     miss4 = jnp.repeat(old_fi4[:, 24:28] == 0, 6, axis=1)
     boxes4 = jnp.where(miss4, jnp.float32(3e38), boxes4)
     nodes4_fi = jnp.concatenate([boxes4, old_fi4[:, 24:32]], axis=1).astype(jnp.float32)
+    # v6 dense BVH16 rows: 16 child boxes (cols 0:96) regathered from the
+    # binary self boxes via map16; codes/axes (96:128) are topology.
+    # Missing slots (map16 == -1) keep their always-miss POINT boxes.
+    map16 = jnp.asarray(wb.map16)
+    old16 = jnp.asarray(wb.nodes16_fi)
+    parts16 = []
+    for slot in range(16):
+        src = map16[:, slot]
+        safe_src = jnp.maximum(src, 0)
+        box = jnp.concatenate([lo[safe_src], hi[safe_src]], axis=1)
+        box = jnp.where((src >= 0)[:, None], box, jnp.float32(3e38))
+        parts16.append(box)
+    nodes16_fi = jnp.concatenate(parts16 + [old16[:, 96:128]], axis=1).astype(jnp.float32)
     # leaf tri blocks regathered from the refit triangles
     t8s = jnp.asarray(wb.tri8_src)
     Lrows = t8s.shape[0] // 8
@@ -190,7 +203,7 @@ def refit_world_bvh(wb, new_tris):
     lane_pages = refit_lane_pages(
         jnp.asarray(wb.lane_pages), jnp.asarray(wb.lane_geo_idx), nodes_self, new_tris
     )
-    return nodes_f, nodes_self, nodes4_f, new_tris, nodes_fi, tris128, lane_pages, nodes4_fi
+    return nodes_f, nodes_self, nodes4_f, new_tris, nodes_fi, tris128, lane_pages, nodes4_fi, nodes16_fi
 
 
 def bake_world_tris(vtx_pos, tri_idx, rn_o2w, wtri_rnode, wtri_tri):

@@ -153,6 +153,11 @@ class WorldBvh:
     # v3 fused BVH4 rows (_packet3_tables): 4 child boxes + codes + axes in
     # one [M,32] row — half the scalar visits of the binary v2 layout
     nodes4_fi: np.ndarray
+    # v6 dense BVH16 rows (_packet6_tables): 16 child boxes + 16 codes +
+    # 15 order axes in exactly 128 floats (zero Mosaic padding waste;
+    # halves internal visits vs BVH4) + refit slot->binary-node map
+    nodes16_fi: np.ndarray
+    map16: np.ndarray
     num_world_tris: int
     root_code: int = 0
     root4_code: int = 0
@@ -437,6 +442,7 @@ def build_world_bvh(flat) -> WorldBvh:
         lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16)
         nfi, t128, w8r, w8t, t8s, rcode = _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri)
         nfi4, r4 = _packet3_tables(nodes_i, n4i, n4f)
+        nfi16, m16 = _packet6_tables(nodes_i, nodes_self)
         return WorldBvh(
             nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
             wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
@@ -446,7 +452,7 @@ def build_world_bvh(flat) -> WorldBvh:
         nodes_fi=nfi, tris128=t128, wtri8_rnode=w8r, wtri8_tri=w8t, tri8_src=t8s,
         hit_attr=hit_attr, rn_attr_base=rn_attr_base, attr_rnode=attr_rnode,
         attr_tri=attr_tri, attr_has_uv=attr_has_uv,
-        nodes4_fi=nfi4, root4_code=r4,
+        nodes4_fi=nfi4, root4_code=r4, nodes16_fi=nfi16, map16=m16,
         root_code=rcode, num_world_tris=1,
         )
 
@@ -477,6 +483,7 @@ def build_world_bvh(flat) -> WorldBvh:
         lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16)
         nfi, t128, w8r, w8t, t8s, rcode = _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri)
         nfi4, r4 = _packet3_tables(nodes_i, n4i, n4f)
+        nfi16, m16 = _packet6_tables(nodes_i, nodes_self)
         return WorldBvh(
             nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
             wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
@@ -485,7 +492,7 @@ def build_world_bvh(flat) -> WorldBvh:
         nodes_fi=nfi, tris128=t128, wtri8_rnode=w8r, wtri8_tri=w8t, tri8_src=t8s,
         hit_attr=hit_attr, rn_attr_base=rn_attr_base, attr_rnode=attr_rnode,
         attr_tri=attr_tri, attr_has_uv=attr_has_uv,
-        nodes4_fi=nfi4, root4_code=r4,
+        nodes4_fi=nfi4, root4_code=r4, nodes16_fi=nfi16, map16=m16,
         root_code=rcode, num_world_tris=nt,
         )
 
@@ -689,6 +696,7 @@ def build_world_bvh(flat) -> WorldBvh:
     lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16)
     nfi, t128, w8r, w8t, t8s, rcode = _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri)
     nfi4, r4 = _packet3_tables(nodes_i, n4i, n4f)
+    nfi16, m16 = _packet6_tables(nodes_i, nodes_self)
     return WorldBvh(
         nodes_f=nodes_f, nodes_self=nodes_self, nodes_i=nodes_i, tris=tris16,
         wtri_rnode=wtri_rnode, wtri_tri=wtri_tri,
@@ -697,7 +705,7 @@ def build_world_bvh(flat) -> WorldBvh:
         nodes_fi=nfi, tris128=t128, wtri8_rnode=w8r, wtri8_tri=w8t, tri8_src=t8s,
         hit_attr=hit_attr, rn_attr_base=rn_attr_base, attr_rnode=attr_rnode,
         attr_tri=attr_tri, attr_has_uv=attr_has_uv,
-        nodes4_fi=nfi4, root4_code=r4,
+        nodes4_fi=nfi4, root4_code=r4, nodes16_fi=nfi16, map16=m16,
         root_code=rcode, num_world_tris=nt,
     )
 
@@ -721,7 +729,10 @@ def vmem_bytes(wb: WorldBvh, kernel: str = "v2") -> int:
     v3 nodes4_fi rows occupy 128 lanes too (4x raw), but a BVH4 has ~half
     the nodes, so the v3 footprint is ~half of v2's. tris128 is already
     128-wide."""
-    rows = wb.nodes4_fi.shape[0] if kernel == "v3" else wb.nodes_fi.shape[0]
+    if kernel == "v6":
+        # BVH16 rows are exactly 128 floats — zero Mosaic padding waste
+        return wb.nodes16_fi.nbytes + wb.tris128.nbytes
+    rows = wb.nodes4_fi.shape[0] if kernel in ("v3", "v5") else wb.nodes_fi.shape[0]
     return rows * 128 * 4 + wb.tris128.nbytes
 
 
@@ -879,3 +890,99 @@ def build_bvh4(nodes_i, nodes_f, nodes_self):
         np.stack(n4_f).astype(np.float32),
         np.asarray(m4, np.int32),
     )
+
+
+# ---------------------------------------------------------------- BVH16
+# 4-level collapse of the binary tree into 16-wide nodes, ONE DENSE
+# 128-float row per node for the v6 packet kernel:
+#
+#   cols   0: 96  16 child AABBs (slot s at 6s: lo3 hi3); missing slots
+#                 carry the always-miss POINT box lo=hi=+3e38 (same
+#                 convention as _packet3_tables — the straddling slab
+#                 treats INVERTED boxes as guaranteed hits)
+#   cols  96:112  16 child codes (v2 sign convention: >= 0 BVH16 node id,
+#                 < 0 tris128 leaf code -(leafrow*16+count)-1; missing 0)
+#   cols 112:127  15 near-order axes of the collapsed binary subtree,
+#                 level-order: [root, l, r, ll, lr, rl, rr, 8x level-3];
+#                 slot index = 4-bit root-to-leaf path (MSB = top split)
+#   col  127      pad
+#
+# Why: Mosaic pads the 32-wide BVH4 rows to 128 VMEM lanes (4x raw bytes
+# — the measured packet-path scene ceiling, ~370k world tris); a BVH16
+# row is exactly 128 floats (zero padding waste) AND halves the number of
+# internal visits vs BVH4 (the per-visit scalar latency chain is the
+# measured kernel bottleneck). Reference role: the budgeted BLAS build's
+# capacity story, renderer.cpp:1699-1721.
+
+
+def _axis_idx(depth, path):
+    """Level-order index of a collapsed-subtree position into cols 112+."""
+    return (1 << depth) - 1 + path
+
+
+def _packet6_tables(nodes_i, nodes_self):
+    """Build (nodes16_fi [M,128] f32, map16 [M,16] i32) from the flattened
+    binary tree. Root BVH16 node is id 0 (root16_code == 0)."""
+    nodes_i = np.asarray(nodes_i)
+    nodes_self = np.asarray(nodes_self, np.float32)
+    count = nodes_i[:, 3].astype(np.int64)
+    leaf_ids = np.nonzero(count > 0)[0]
+    first2row = np.full(int(nodes_i[:, 2].max()) + 2, -1, np.int64)
+    first2row[nodes_i[leaf_ids, 2].astype(np.int64)] = np.arange(leaf_ids.size)
+
+    def leaf_code(b):
+        return -(int(first2row[nodes_i[b, 2]]) * 16 + int(nodes_i[b, 3])) - 1
+
+    rows_f, rows_m = [], []
+    from collections import deque
+
+    if nodes_i[0, 3] > 0:  # root is a leaf: single row, one child slot
+        f = np.full(128, 0.0, np.float32)
+        f[0:96:6] = 3e38
+        for s in range(16):
+            f[6 * s : 6 * s + 6] = 3e38
+        f[0:3] = nodes_self[0, 0:3]
+        f[3:6] = nodes_self[0, 3:6]
+        f[96] = leaf_code(0)
+        m = np.full(16, -1, np.int32)
+        m[0] = 0
+        return f[None, :].copy(), m[None, :].copy()
+
+    id_of = {0: 0}
+    work = deque([0])
+    rows_f.append(None)
+    rows_m.append(None)
+    while work:
+        b = work.popleft()
+        nid = id_of[b]
+        f = np.zeros(128, np.float32)
+        for s in range(16):
+            f[6 * s : 6 * s + 6] = 3e38  # missing = point box
+        m = np.full(16, -1, np.int32)
+        # expand the binary subtree at b up to 4 levels
+        stack = [(b, 0, 0)]  # (internal binary id, path, depth)
+        while stack:
+            nb, path, depth = stack.pop()
+            f[112 + _axis_idx(depth, path)] = float(nodes_i[nb, 5])
+            for side, child in ((0, int(nodes_i[nb, 0])), (1, int(nodes_i[nb, 1]))):
+                cpath = path * 2 + side
+                cdepth = depth + 1
+                if nodes_i[child, 3] > 0 or cdepth == 4:  # terminal slot
+                    slot = cpath << (4 - cdepth)
+                    f[6 * slot : 6 * slot + 3] = nodes_self[child, 0:3]
+                    f[6 * slot + 3 : 6 * slot + 6] = nodes_self[child, 3:6]
+                    m[slot] = child
+                    if nodes_i[child, 3] > 0:
+                        f[96 + slot] = leaf_code(child)
+                    else:
+                        if child not in id_of:
+                            id_of[child] = len(rows_f)
+                            rows_f.append(None)
+                            rows_m.append(None)
+                            work.append(child)
+                        f[96 + slot] = id_of[child]
+                else:
+                    stack.append((child, cpath, cdepth))
+        rows_f[nid] = f
+        rows_m[nid] = m
+    return np.stack(rows_f).astype(np.float32), np.stack(rows_m).astype(np.int32)

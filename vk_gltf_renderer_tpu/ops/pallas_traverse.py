@@ -502,7 +502,8 @@ def _traverse2_body(nodes_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_re
     out_ref[0, 4] = v_best
 
 
-def _traverse3_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_ref, root_code=0, anyhit=False):
+def _traverse3_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_ref,
+                    root_code=0, anyhit=False, entry_ref=None, count_visits=False):
     """v3 packet traversal: fused BVH4 rows + v2 leaf blocks.
 
     Per INTERNAL visit ONE [1,32] fetch carries 4 child AABBs, 4 child
@@ -534,7 +535,19 @@ def _traverse3_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_r
     def sign_of(axis):
         return jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
 
-    stack_ref[0] = root_code
+    if entry_ref is None:
+        stack_ref[0] = root_code
+        sp0 = jnp.int32(1)
+    else:
+        # per-packet seeded stack (entry-point traversal): col 0 is the
+        # seed count, cols 1..E the entries bottom-to-top (the packet's
+        # deepest bounding node on top, off-path siblings below). The
+        # whole [G, ENTRY_WIDTH] table sits in SMEM (Mosaic requires
+        # full-array blocks there); rows are selected by program_id.
+        pk = pl.program_id(0)
+        for k in range(ENTRY_WIDTH - 1):
+            stack_ref[k] = entry_ref[pk, k + 1]
+        sp0 = entry_ref[pk, 0]
 
     def tri_tests(row, t_best, rn_best, tri_best, u_best, v_best, count):
         tv = tris128_ref[pl.ds(row, 1), :]  # [1,128] = 8 tris
@@ -565,7 +578,8 @@ def _traverse3_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_r
         return t_best, rn_best, tri_best, u_best, v_best
 
     def body(state):
-        sp, t_best, rn_best, tri_best, u_best, v_best = state
+        sp, visits, t_best, rn_best, tri_best, u_best, v_best = state
+        visits = visits + 1
         sp = sp - 1
         e = stack_ref[sp]
 
@@ -639,6 +653,449 @@ def _traverse3_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_r
                 sp = sp + jnp.where(pa, 1, 0)
             return sp, t_best, rn_best, tri_best, u_best, v_best
 
+        res = jax.lax.cond(e < 0, leaf, internal, sp, t_best, rn_best, tri_best, u_best, v_best)
+        return (res[0], visits) + res[1:]
+
+    state = (
+        sp0,
+        jnp.int32(0),
+        tmax,
+        jnp.full((sub, LANE), -1.0),
+        jnp.full((sub, LANE), -1.0),
+        jnp.zeros((sub, LANE)),
+        jnp.zeros((sub, LANE)),
+    )
+    _, visits, t_best, rn_best, tri_best, u_best, v_best = jax.lax.while_loop(
+        lambda s: s[0] > 0, body, state
+    )
+
+    out_ref[0, 0] = t_best
+    out_ref[0, 1] = rn_best
+    out_ref[0, 2] = tri_best
+    out_ref[0, 3] = u_best
+    out_ref[0, 4] = v_best
+    if count_visits:
+        out_ref[0, 5] = jnp.full((sub, LANE), 1.0) * visits.astype(jnp.float32)
+
+
+def _traverse5_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_ref,
+                    root_code=0, anyhit=False, entry_ref=None, multipop=4):
+    """v5 packet traversal: BVH4 fused rows + branch-free MULTI-POP.
+
+    MEASURED SLOWER than v3 on the v5e (102.6 ms vs 76.7 ms, 262k sorted
+    bounce rays, shader_ball, tiles=8, multipop=4): the speculative vector
+    work (every popped entry pays BOTH 8 tri tests AND 4 slab tests) costs
+    more than the scalar latency it hides. Kept as a measured experiment —
+    kbench --variants p5 reproduces; do not re-derive (NEXT.md).
+
+    The measured v2/v3 bottleneck is per-visit SCALAR latency (~0.35us:
+    SMEM pop -> dynamic-slice fetch -> cond -> packed any() reduction),
+    while the VPU work per visit is ~40 cycles. v5 pops up to `multipop`
+    stack entries per loop iteration and:
+
+      * issues ALL fetches up front — for every popped entry it fetches
+        BOTH its BVH4 row and its tris128 row speculatively (one is
+        wasted; VMEM bandwidth is free next to the latency), so the 2M
+        dynamic-slice latencies overlap instead of serializing;
+      * eliminates the leaf/internal `lax.cond` entirely: every entry
+        runs BOTH the 4 slab tests and the 8 triangle tests with masked
+        results (cnt=0 for internals, inverted boxes for leaves). Mosaic
+        cannot overlap scalar latency across cond boundaries (measured:
+        the 2-pop cond unroll was parity), so the branch-free body is
+        what lets the loop pipeline;
+      * chains t_best through the popped group, so pruning quality within
+        a group is preserved; ordering degrades only by the group width
+        (entries were all already on the stack, so traversal stays exact).
+    """
+    rox = ro_ref[0, 0]
+    roy = ro_ref[0, 1]
+    roz = ro_ref[0, 2]
+    tmax = ro_ref[0, 3]
+    rdx = rd_ref[0, 0]
+    rdy = rd_ref[0, 1]
+    rdz = rd_ref[0, 2]
+    tmin = rd_ref[0, 3]
+    sub = rox.shape[0]
+
+    def inv(d):
+        return jnp.where(jnp.abs(d) < 1e-20, jnp.where(d >= 0, 1e30, -1e30), 1.0 / d)
+
+    ix, iy, iz = inv(rdx), inv(rdy), inv(rdz)
+
+    sx = jnp.sum(jnp.where(rdx >= 0, 1, -1)) >= 0
+    sy = jnp.sum(jnp.where(rdy >= 0, 1, -1)) >= 0
+    sz = jnp.sum(jnp.where(rdz >= 0, 1, -1)) >= 0
+
+    def sign_of(axis):
+        return jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+
+    if entry_ref is None:
+        stack_ref[0] = root_code
+        sp0 = jnp.int32(1)
+    else:
+        pk = pl.program_id(0)
+        for k in range(ENTRY_WIDTH - 1):
+            stack_ref[k] = entry_ref[pk, k + 1]
+        sp0 = entry_ref[pk, 0]
+
+    nrows = nodes4_fi_ref.shape[0]
+    trows = tris128_ref.shape[0]
+
+    def body(state):
+        sp, t_best, rn_best, tri_best, u_best, v_best = state
+        # ---- pop up to M entries (scalar only)
+        es, ens = [], []
+        avail = sp
+        for j in range(multipop):
+            en_j = avail >= (j + 1)
+            e_j = stack_ref[jnp.maximum(avail - 1 - j, 0)]
+            es.append(jnp.where(en_j, e_j, 0))
+            ens.append(en_j)
+        sp = jnp.maximum(avail - multipop, 0)
+
+        # ---- speculative fetches for the whole group, all issued before
+        # any vector work (independent dynamic slices -> overlapped)
+        nfs, tvs = [], []
+        for j in range(multipop):
+            e = es[j]
+            is_leaf = e < 0
+            code = -e - 1
+            nrow = jnp.clip(e, 0, nrows - 1)
+            trow = jnp.clip(code // 16, 0, trows - 1)
+            nfs.append(nodes4_fi_ref[pl.ds(nrow, 1), :])   # [1,32]
+            tvs.append(tris128_ref[pl.ds(trow, 1), :])     # [1,128]
+
+        # ---- masked vector phase, t_best chained through the group
+        for j in range(multipop):
+            e = es[j]
+            en = ens[j]
+            is_leaf = e < 0
+            code = -e - 1
+            cnt = jnp.where(is_leaf & en, code - (code // 16) * 16, 0)
+            tv = tvs[j]
+            for c in range(LEAF_SIZE):
+                o = c * 16
+                v0x, v0y, v0z = tv[0, o + 0], tv[0, o + 1], tv[0, o + 2]
+                e1x, e1y, e1z = tv[0, o + 3] - v0x, tv[0, o + 4] - v0y, tv[0, o + 5] - v0z
+                e2x, e2y, e2z = tv[0, o + 6] - v0x, tv[0, o + 7] - v0y, tv[0, o + 8] - v0z
+                px = rdy * e2z - rdz * e2y
+                py = rdz * e2x - rdx * e2z
+                pz = rdx * e2y - rdy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                ok = (c < cnt) & (jnp.abs(det) >= 1e-12)
+                inv_det = 1.0 / jnp.where(jnp.abs(det) >= 1e-12, det, 1.0)
+                tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+                uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                hit = ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) & (tt > tmin) & (tt < t_best)
+                t_best = jnp.where(hit, jnp.float32(-1.0) if anyhit else tt, t_best)
+                rn_best = jnp.where(hit, tv[0, o + 9], rn_best)
+                tri_best = jnp.where(hit, tv[0, o + 10], tri_best)
+                u_best = jnp.where(hit, uu, u_best)
+                v_best = jnp.where(hit, vv, v_best)
+
+            f = nfs[j]
+            en_int = en & ~is_leaf
+
+            def slab(o):
+                t0x = (f[0, o + 0] - rox) * ix
+                t1x = (f[0, o + 3] - rox) * ix
+                t0y = (f[0, o + 1] - roy) * iy
+                t1y = (f[0, o + 4] - roy) * iy
+                t0z = (f[0, o + 2] - roz) * iz
+                t1z = (f[0, o + 5] - roz) * iz
+                tnear = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+                )
+                tfar = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), t_best),
+                )
+                return tnear <= tfar
+
+            h0 = slab(0)
+            h1 = slab(6)
+            h2 = slab(12)
+            h3 = slab(18)
+            p01 = jnp.sum(h0.astype(jnp.int32) * 65536 + h1.astype(jnp.int32))
+            p23 = jnp.sum(h2.astype(jnp.int32) * 65536 + h3.astype(jnp.int32))
+            a0 = (p01 >= 65536) & en_int
+            a1 = ((p01 & 65535) > 0) & en_int
+            a2 = (p23 >= 65536) & en_int
+            a3 = ((p23 & 65535) > 0) & en_int
+            c0 = f[0, 24].astype(jnp.int32)
+            c1 = f[0, 25].astype(jnp.int32)
+            c2 = f[0, 26].astype(jnp.int32)
+            c3 = f[0, 27].astype(jnp.int32)
+            s0 = sign_of(f[0, 28].astype(jnp.int32))
+            s1 = sign_of(f[0, 29].astype(jnp.int32))
+            s2 = sign_of(f[0, 30].astype(jnp.int32))
+
+            ln_id = jnp.where(s1, c0, c1)
+            lf_id = jnp.where(s1, c1, c0)
+            ln_a = jnp.where(s1, a0, a1)
+            lf_a = jnp.where(s1, a1, a0)
+            rn_id = jnp.where(s2, c2, c3)
+            rf_id = jnp.where(s2, c3, c2)
+            rn_a = jnp.where(s2, a2, a3)
+            rf_a = jnp.where(s2, a3, a2)
+
+            p1_id = jnp.where(s0, rf_id, lf_id)
+            p1_a = jnp.where(s0, rf_a, lf_a)
+            p2_id = jnp.where(s0, rn_id, ln_id)
+            p2_a = jnp.where(s0, rn_a, ln_a)
+            p3_id = jnp.where(s0, lf_id, rf_id)
+            p3_a = jnp.where(s0, lf_a, rf_a)
+            p4_id = jnp.where(s0, ln_id, rn_id)
+            p4_a = jnp.where(s0, ln_a, rn_a)
+
+            for pid, pa in ((p1_id, p1_a), (p2_id, p2_a), (p3_id, p3_a), (p4_id, p4_a)):
+                stack_ref[sp] = pid
+                sp = sp + jnp.where(pa, 1, 0)
+
+        return sp, t_best, rn_best, tri_best, u_best, v_best
+
+    state = (
+        sp0,
+        tmax,
+        jnp.full((sub, LANE), -1.0),
+        jnp.full((sub, LANE), -1.0),
+        jnp.zeros((sub, LANE)),
+        jnp.zeros((sub, LANE)),
+    )
+    _, t_best, rn_best, tri_best, u_best, v_best = jax.lax.while_loop(
+        lambda s: s[0] > 0, body, state
+    )
+
+    out_ref[0, 0] = t_best
+    out_ref[0, 1] = rn_best
+    out_ref[0, 2] = tri_best
+    out_ref[0, 3] = u_best
+    out_ref[0, 4] = v_best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tiles", "anyhit", "root_code", "multipop"))
+def traverse_packets5(nodes4_fi, tris128, rays_ro, rays_rd, root_code, interpret=False,
+                      tiles=1, anyhit=False, entry=None, multipop=4):
+    """v5 kernel dispatch (branch-free multi-pop over BVH4 fused rows);
+    same I/O as traverse_packets3 (no count_visits)."""
+    g = rays_ro.shape[0]
+    sub = tiles * SUB
+    kernel = functools.partial(_traverse5_body, root_code=root_code, anyhit=anyhit,
+                               multipop=multipop)
+    in_specs = [
+        pl.BlockSpec(nodes4_fi.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(tris128.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [nodes4_fi, tris128, rays_ro, rays_rd]
+    if entry is not None:
+        def kernel(n_ref, t_ref, ro_ref, rd_ref, e_ref, out_ref, stack_ref):
+            return _traverse5_body(n_ref, t_ref, ro_ref, rd_ref, out_ref, stack_ref,
+                                   root_code=root_code, anyhit=anyhit, entry_ref=e_ref,
+                                   multipop=multipop)
+        in_specs.append(pl.BlockSpec(entry.shape, lambda i: (0, 0), memory_space=pltpu.SMEM))
+        operands.append(entry)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 5, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 5, sub, LANE), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((STACK + 64,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tiles", "anyhit", "root_code", "count_visits"))
+def traverse_packets3(nodes4_fi, tris128, rays_ro, rays_rd, root_code, interpret=False,
+                      tiles=1, anyhit=False, entry=None, count_visits=False):
+    """v3 kernel dispatch (BVH4 fused rows); same I/O as traverse_packets2.
+    entry: optional [G, ENTRY_WIDTH] i32 per-packet seeded stacks
+    (packet_entry_stacks); count_visits adds a 6th output channel with the
+    packet's node-visit count (debug/measurement only)."""
+    g = rays_ro.shape[0]
+    sub = tiles * SUB
+    nchan = 6 if count_visits else 5
+    kernel = functools.partial(_traverse3_body, root_code=root_code, anyhit=anyhit,
+                               count_visits=count_visits)
+    in_specs = [
+        pl.BlockSpec(nodes4_fi.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(tris128.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [nodes4_fi, tris128, rays_ro, rays_rd]
+    if entry is not None:
+        def kernel(n_ref, t_ref, ro_ref, rd_ref, e_ref, out_ref, stack_ref):
+            return _traverse3_body(n_ref, t_ref, ro_ref, rd_ref, out_ref, stack_ref,
+                                   root_code=root_code, anyhit=anyhit, entry_ref=e_ref,
+                                   count_visits=count_visits)
+        in_specs.append(pl.BlockSpec(entry.shape, lambda i: (0, 0), memory_space=pltpu.SMEM))
+        operands.append(entry)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nchan, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, nchan, sub, LANE), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def _traverse6_body(nodes16_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_ref,
+                    anyhit=False):
+    """v6 packet traversal: dense BVH16 rows (bvh_flatten._packet6_tables).
+
+    Per INTERNAL visit ONE [1,128] fetch carries 16 child AABBs, 16 child
+    codes and the 15 near-order axes of the collapsed binary subtree.
+    Rationale: (a) a BVH16 row is exactly 128 floats, so the resident node
+    table has ZERO Mosaic padding waste (v3's 32-wide BVH4 rows occupy 128
+    VMEM lanes = 4x raw bytes — the measured packet-path scene ceiling);
+    (b) per unit of tree progress the scalar visit count is HALF of BVH4
+    (the per-visit scalar latency chain pop -> dynamic-slice fetch ->
+    packed reductions -> pushes is the measured kernel bottleneck at
+    ~0.35us/visit). Vector work per visit is 4x v3 (16 slab tests) —
+    cheap next to the scalar chain at the measured tile sizes. Children
+    are pushed in EXACT hierarchical near-first order (per-level sign_of
+    the 15 stored split axes), so early-termination quality matches the
+    binary near-order traversal. Leaf visits and anyhit poisoning are
+    identical to v2/v3 (tris128 blocks, sign-encoded stack entries)."""
+    rox = ro_ref[0, 0]
+    roy = ro_ref[0, 1]
+    roz = ro_ref[0, 2]
+    tmax = ro_ref[0, 3]
+    rdx = rd_ref[0, 0]
+    rdy = rd_ref[0, 1]
+    rdz = rd_ref[0, 2]
+    tmin = rd_ref[0, 3]
+    sub = rox.shape[0]
+
+    def inv(d):
+        return jnp.where(jnp.abs(d) < 1e-20, jnp.where(d >= 0, 1e30, -1e30), 1.0 / d)
+
+    ix, iy, iz = inv(rdx), inv(rdy), inv(rdz)
+
+    sx = jnp.sum(jnp.where(rdx >= 0, 1, -1)) >= 0
+    sy = jnp.sum(jnp.where(rdy >= 0, 1, -1)) >= 0
+    sz = jnp.sum(jnp.where(rdz >= 0, 1, -1)) >= 0
+
+    def sign_of(axis):
+        return jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+
+    stack_ref[0] = jnp.int32(0)  # BVH16 root row is always id 0
+
+    def tri_tests(row, t_best, rn_best, tri_best, u_best, v_best, count):
+        tv = tris128_ref[pl.ds(row, 1), :]  # [1,128] = 8 tris
+        for c in range(LEAF_SIZE):
+            o = c * 16
+            v0x, v0y, v0z = tv[0, o + 0], tv[0, o + 1], tv[0, o + 2]
+            e1x, e1y, e1z = tv[0, o + 3] - v0x, tv[0, o + 4] - v0y, tv[0, o + 5] - v0z
+            e2x, e2y, e2z = tv[0, o + 6] - v0x, tv[0, o + 7] - v0y, tv[0, o + 8] - v0z
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = (c < count) & (jnp.abs(det) >= 1e-12)
+            inv_det = 1.0 / jnp.where(jnp.abs(det) >= 1e-12, det, 1.0)
+            tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+            uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hit = ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) & (tt > tmin) & (tt < t_best)
+            t_best = jnp.where(hit, jnp.float32(-1.0) if anyhit else tt, t_best)
+            rn_best = jnp.where(hit, tv[0, o + 9], rn_best)
+            tri_best = jnp.where(hit, tv[0, o + 10], tri_best)
+            u_best = jnp.where(hit, uu, u_best)
+            v_best = jnp.where(hit, vv, v_best)
+        return t_best, rn_best, tri_best, u_best, v_best
+
+    def body(state):
+        sp, t_best, rn_best, tri_best, u_best, v_best = state
+        sp = sp - 1
+        e = stack_ref[sp]
+
+        def leaf(sp, t_best, rn_best, tri_best, u_best, v_best):
+            code = -e - 1
+            row = code // 16
+            cnt = code - row * 16
+            t_best, rn_best, tri_best, u_best, v_best = tri_tests(
+                row, t_best, rn_best, tri_best, u_best, v_best, cnt
+            )
+            return sp, t_best, rn_best, tri_best, u_best, v_best
+
+        def internal(sp, t_best, rn_best, tri_best, u_best, v_best):
+            f = nodes16_ref[pl.ds(e, 1), :]  # [1,128]
+
+            def slab(o):
+                t0x = (f[0, o + 0] - rox) * ix
+                t1x = (f[0, o + 3] - rox) * ix
+                t0y = (f[0, o + 1] - roy) * iy
+                t1y = (f[0, o + 4] - roy) * iy
+                t0z = (f[0, o + 2] - roz) * iz
+                t1z = (f[0, o + 5] - roz) * iz
+                tnear = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+                )
+                tfar = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), t_best),
+                )
+                return tnear <= tfar
+
+            h = [slab(6 * s) for s in range(16)]
+            # 8 independent packed any() reductions (2 children per int32;
+            # lane count <= 16*8*128 < 2^16 so the low field never carries)
+            a = []
+            for k in range(8):
+                p = jnp.sum(h[2 * k].astype(jnp.int32) * 65536 + h[2 * k + 1].astype(jnp.int32))
+                a.append(p >= 65536)
+                a.append((p & 65535) > 0)
+            c = [f[0, 96 + s].astype(jnp.int32) for s in range(16)]
+            nb = [sign_of(f[0, 112 + i].astype(jnp.int32)) for i in range(15)]
+
+            def merge(near_first, la, lb):
+                """Visit-ordered concat of two equal-length (code, any)
+                lists: la then lb when near_first, else swapped."""
+                out = []
+                for i in range(len(la)):
+                    out.append((jnp.where(near_first, la[i][0], lb[i][0]),
+                                jnp.where(near_first, la[i][1], lb[i][1])))
+                for i in range(len(lb)):
+                    out.append((jnp.where(near_first, lb[i][0], la[i][0]),
+                                jnp.where(near_first, lb[i][1], la[i][1])))
+                return out
+
+            pairs = [merge(nb[7 + j], [(c[2 * j], a[2 * j])], [(c[2 * j + 1], a[2 * j + 1])])
+                     for j in range(8)]
+            quads = [merge(nb[3 + q], pairs[2 * q], pairs[2 * q + 1]) for q in range(4)]
+            halves = [merge(nb[1 + hh], quads[2 * hh], quads[2 * hh + 1]) for hh in range(2)]
+            visit = merge(nb[0], halves[0], halves[1])
+
+            for cid, ca in reversed(visit):
+                stack_ref[sp] = cid
+                sp = sp + jnp.where(ca, 1, 0)
+            return sp, t_best, rn_best, tri_best, u_best, v_best
+
         return jax.lax.cond(e < 0, leaf, internal, sp, t_best, rn_best, tri_best, u_best, v_best)
 
     state = (
@@ -660,30 +1117,33 @@ def _traverse3_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_r
     out_ref[0, 4] = v_best
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tiles", "anyhit", "root_code"))
-def traverse_packets3(nodes4_fi, tris128, rays_ro, rays_rd, root_code, interpret=False, tiles=1, anyhit=False):
-    """v3 kernel dispatch (BVH4 fused rows); same I/O as traverse_packets2."""
+@functools.partial(jax.jit, static_argnames=("interpret", "tiles", "anyhit"))
+def traverse_packets6(nodes16_fi, tris128, rays_ro, rays_rd, interpret=False,
+                      tiles=1, anyhit=False):
+    """v6 kernel dispatch (dense BVH16 rows); same ray I/O as
+    traverse_packets3. Root row is always BVH16 id 0."""
     g = rays_ro.shape[0]
     sub = tiles * SUB
-    kernel = functools.partial(_traverse3_body, root_code=root_code, anyhit=anyhit)
+    kernel = functools.partial(_traverse6_body, anyhit=anyhit)
     return pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec(nodes4_fi.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(nodes16_fi.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(tris128.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 5, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, 5, sub, LANE), jnp.float32),
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        # a BVH16 visit pushes up to 15 extra entries — extra headroom
+        scratch_shapes=[pltpu.SMEM((STACK + 128,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(nodes4_fi, tris128, rays_ro, rays_rd)
+    )(nodes16_fi, tris128, rays_ro, rays_rd)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tiles", "anyhit", "root_code"))
@@ -731,22 +1191,129 @@ def _pack_soa(comps, packet):
 
 MAX_TILES = 16  # packed-reduction int32 headroom (see _traverse2_body)
 
+# seeded-stack width: col 0 = seed count, cols 1..31 = stack entries
+ENTRY_WIDTH = 32
+_ENTRY_ITERS = 24  # max descent depth (BVH4 depth of an 8M-tri scene ~12)
+
+
+@functools.partial(jax.jit, static_argnames=("packet",))
+def packet_entry_stacks(nodes4_fi, root4_code, ro_p, packet):
+    """Per-packet traversal entry points from the Morton-sort prefix.
+
+    For each ray packet (already spatially sorted — tile-order primaries or
+    Morton-sorted bounce/shadow rays), descend the BVH4 from the root as
+    long as SOME child box CONTAINS the packet's live-origin AABB: the
+    descended-into child becomes the packet's entry node (popped first, so
+    origin-local geometry establishes small t_best before anything else),
+    and every non-descended sibling is pre-seeded below it on the stack —
+    the seeded cut covers the whole tree, so traversal stays lossless. This
+    skips the shared top levels every pop otherwise pays and is the TPU
+    analog of the reference's SER coherence hints
+    (raytracer_interface.h.slang:199-222) applied to traversal itself.
+
+    ro_p: [G, 4, sub, 128] packed origins (x, y, z, tmax) — the same layout
+    traverse_packets3 consumes; lanes with tmax <= 0 (dead or padding) are
+    excluded from the packet box. Returns [G, ENTRY_WIDTH] i32.
+    """
+    del packet  # shape is already packed; kept for cache-key clarity
+    g = ro_p.shape[0]
+    ox = ro_p[:, 0].reshape(g, -1)
+    oy = ro_p[:, 1].reshape(g, -1)
+    oz = ro_p[:, 2].reshape(g, -1)
+    live = ro_p[:, 3].reshape(g, -1) > 0.0
+    big = jnp.float32(3e38)
+
+    def box(c):
+        lo = jnp.min(jnp.where(live, c, big), axis=1)
+        hi = jnp.max(jnp.where(live, c, -big), axis=1)
+        return lo, hi
+
+    (px0, px1), (py0, py1), (pz0, pz1) = box(ox), box(oy), box(oz)
+    any_live = jnp.any(live, axis=1)
+
+    depth = ENTRY_WIDTH - 1
+    cols = jnp.arange(depth, dtype=jnp.int32)[None, :]
+
+    def step(_, st):
+        node, sp, stack, entry, done = st
+        rows = nodes4_fi[jnp.maximum(node, 0)]  # [G, 32]
+        conts, valids, codes = [], [], []
+        for j in range(4):
+            o = 6 * j
+            lo_x, lo_y, lo_z = rows[:, o], rows[:, o + 1], rows[:, o + 2]
+            hi_x, hi_y, hi_z = rows[:, o + 3], rows[:, o + 4], rows[:, o + 5]
+            valid = lo_x < 1e38  # missing children carry the 3e38 point box
+            cont = (
+                valid
+                & (lo_x <= px0) & (px1 <= hi_x)
+                & (lo_y <= py0) & (py1 <= hi_y)
+                & (lo_z <= pz0) & (pz1 <= hi_z)
+            )
+            conts.append(cont)
+            valids.append(valid)
+            codes.append(rows[:, 24 + j].astype(jnp.int32))
+        has_pick = conts[0] | conts[1] | conts[2] | conts[3]
+        # room for up to 3 sibling pushes + the final entry slot
+        act = ~done & has_pick & (sp <= depth - 5)
+        taken = jnp.zeros_like(has_pick)
+        pick_code = jnp.full_like(node, 0)
+        for j in range(4):
+            pick_j = conts[j] & ~taken
+            taken = taken | pick_j
+            pick_code = jnp.where(pick_j, codes[j], pick_code)
+            push_j = act & valids[j] & ~pick_j
+            stack = jnp.where(
+                push_j[:, None] & (cols == sp[:, None]), codes[j][:, None], stack
+            )
+            sp = sp + push_j.astype(jnp.int32)
+        descend = act & (pick_code >= 0)
+        # containing child is a leaf: it becomes the entry directly
+        entry = jnp.where(act, pick_code, entry)
+        done = done | ~act | (pick_code < 0)
+        node = jnp.where(descend, pick_code, node)
+        return node, sp, stack, entry, done
+
+    node0 = jnp.full((g,), root4_code, jnp.int32)
+    sp0 = jnp.zeros((g,), jnp.int32)
+    stack0 = jnp.zeros((g, depth), jnp.int32)
+    entry0 = node0
+    done0 = (node0 < 0) | ~any_live
+    node, sp, stack, entry, _ = jax.lax.fori_loop(
+        0, _ENTRY_ITERS, step, (node0, sp0, stack0, entry0, done0)
+    )
+    stack = jnp.where(cols == sp[:, None], entry[:, None], stack)
+    count = sp + 1
+    return jnp.concatenate([count[:, None], stack], axis=1)
+
 
 def intersect_rays_packet_soa(
     wb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
-    interpret=False, anyhit=False, tiles=8, kernel="v2",
+    interpret=False, anyhit=False, tiles=8, kernel="v2", entry_points=False,
 ):
     """SoA-component variant of intersect_rays_packet (v2/v3 kernels):
     takes 8 [N] vectors, returns dict of [N] channels with ids resolved
-    in-kernel. The caller is responsible for any coherence ordering."""
+    in-kernel. The caller is responsible for any coherence ordering.
+    entry_points=True (v3 only) seeds each packet's stack at its deepest
+    bounding node (packet_entry_stacks) — profitable for surface-origin
+    bounce/shadow packets, a no-op-cost root fallback for camera packets."""
     n = rox.shape[0]
     tiles = max(1, min(tiles, max(n // PACKET, 1), MAX_TILES))
     ro_p, _ = _pack_soa([rox, roy, roz, tmax], PACKET * tiles)
     rd_p, _ = _pack_soa([rdx, rdy, rdz, tmin], PACKET * tiles)
-    if kernel == "v3":
-        out = traverse_packets3(
-            wb.nodes4_fi, wb.tris128, ro_p, rd_p, wb.root4_code,
+    if kernel == "v6":
+        out = traverse_packets6(
+            wb.nodes16_fi, wb.tris128, ro_p, rd_p,
             interpret=interpret, tiles=tiles, anyhit=anyhit,
+        )
+    elif kernel in ("v3", "v5"):
+        entry = (
+            packet_entry_stacks(wb.nodes4_fi, wb.root4_code, ro_p, PACKET * tiles)
+            if entry_points else None
+        )
+        fn = traverse_packets5 if kernel == "v5" else traverse_packets3
+        out = fn(
+            wb.nodes4_fi, wb.tris128, ro_p, rd_p, wb.root4_code,
+            interpret=interpret, tiles=tiles, anyhit=anyhit, entry=entry,
         )
     else:
         out = traverse_packets2(

@@ -152,6 +152,11 @@ class RenderConfig:
     # defaults to v3 and the peeled primary bounce to v2.
     packet_kernel: str = "v3"
     primary_kernel: str = "v2"
+    # per-packet entry points (v3/v5): seed each Morton-sorted packet's
+    # stack at its deepest bounding node + off-path siblings (lossless cut,
+    # oracle-tested). Default off until measured end-to-end on hardware —
+    # flip via VKGR_ENTRY_POINTS=1.
+    entry_points: bool = False
 
 
 def _hit_state(flat, bvh, hits, rd, cfg):
@@ -278,7 +283,7 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
             h = intersect_rays_packet_soa(
                 bvh, rox, roy, roz, rdx, rdy, rdz, tmn, tmx,
                 anyhit=anyhit, tiles=cfg.packet_tiles, interpret=interp,
-                kernel=cfg.packet_kernel,
+                kernel=cfg.packet_kernel, entry_points=cfg.entry_points,
             )
             return h["t"], h["rnode"], h["tri"], h["u"], h["v"]
 
@@ -345,7 +350,7 @@ def trace_closest(bvh, ro, rd, cfg: RenderConfig, tmin=0.0, tmax=None, alive=Non
         h = intersect_rays_packet_soa(
             bvh, comps[0], comps[1], comps[2], comps[3], comps[4], comps[5],
             comps[6], tmax, anyhit=anyhit, tiles=tiles, interpret=interp,
-            kernel=cfg.packet_kernel,
+            kernel=cfg.packet_kernel, entry_points=cfg.entry_points,
         )
         if w and w > n:
             h = {k: v[:n] for k, v in h.items()}

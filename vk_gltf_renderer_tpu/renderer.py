@@ -379,7 +379,7 @@ class GltfRenderer:
             vtx_pos, jnp.asarray(self.flat.tri_idx), jnp.asarray(o2w),
             jnp.asarray(self.bvh.wtri_rnode), jnp.asarray(self.bvh.wtri_tri),
         )
-        nodes_f, nodes_self, nodes4_f, tris, nodes_fi, tris128, lane_pages, nodes4_fi = refit_world_bvh(
+        nodes_f, nodes_self, nodes4_f, tris, nodes_fi, tris128, lane_pages, nodes4_fi, nodes16_fi = refit_world_bvh(
             self.bvh, tris
         )
         # fused hit-state rows track the deformed vertices + new matrices
@@ -395,7 +395,7 @@ class GltfRenderer:
         self.bvh = dataclasses.replace(
             self.bvh, nodes_f=nodes_f, nodes_self=nodes_self, nodes4_f=nodes4_f, tris=tris,
             nodes_fi=nodes_fi, tris128=tris128, lane_pages=lane_pages, hit_attr=hit_attr,
-            nodes4_fi=nodes4_fi,
+            nodes4_fi=nodes4_fi, nodes16_fi=nodes16_fi,
         )
         return True
 
@@ -424,22 +424,29 @@ class GltfRenderer:
         default = "packet" if on_tpu else "wavefront"
         # kernel ladder: v2 primaries + v3 loop (fastest) while the larger
         # v2 table fits VMEM; v3-everywhere (half the node footprint, ~1.5x
-        # the tri ceiling) while only v3 fits; HBM wavefront beyond (the
-        # budgeted-BLAS analog, renderer.cpp:1699-1721) — automatic
+        # the tri ceiling) while only v3 fits; v6-everywhere (dense BVH16
+        # rows, zero Mosaic padding — ~4x the v3 ceiling) while only v6
+        # fits; HBM wavefront beyond (the budgeted-BLAS analog,
+        # renderer.cpp:1699-1721) — automatic
         primary_default = "v2"
+        loop_default = "v3"
         if on_tpu and self.bvh is not None:
             from .ops.bvh_flatten import fits_vmem
 
             if not fits_vmem(self.bvh, "v2"):
                 primary_default = "v3"
             if not fits_vmem(self.bvh, "v3"):
+                primary_default = "v6"
+                loop_default = "v6"
+            if not fits_vmem(self.bvh, "v6"):
                 default = "wavefront"
         traversal = os.environ.get("VKGR_TRAVERSAL", default)
         return RenderConfig(
             traversal=traversal,
             fused_hitstate=os.environ.get("VKGR_FUSED_HITSTATE", "1") != "0",
-            packet_kernel=os.environ.get("VKGR_PACKET_KERNEL", "v3"),
+            packet_kernel=os.environ.get("VKGR_PACKET_KERNEL", loop_default),
             primary_kernel=os.environ.get("VKGR_PRIMARY_KERNEL", primary_default),
+            entry_points=os.environ.get("VKGR_ENTRY_POINTS", "0") != "0",
             width=self.width,
             height=self.height,
             spp=self.spp,
