@@ -31,6 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", type=str, default=None, help="output image path (.png/.jpg)")
     # rendering
     p.add_argument("--renderSystem", type=int, default=0, help="0=pathtracer 1=rasterizer")
+    p.add_argument("--wireframe", type=int, default=0, help="barycentric wireframe overlay (preview)")
     p.add_argument("--envSystem", type=int, default=0, help="0=sky 1=hdr")
     p.add_argument("--envIntensity", type=float, default=1.0)
     p.add_argument("--envRotation", type=float, default=0.0)
@@ -89,6 +90,7 @@ def main(argv=None) -> int:
         env_kind="hdr" if args.envSystem == 1 else "sky",
         render_system=args.renderSystem,
     )
+    r.wireframe = bool(args.wireframe)
     r.tonemapper = args.tonemapper
     r.firefly_clamp = args.ptFireflyClamp
     r.env_intensity = args.envIntensity

@@ -150,6 +150,10 @@ class WorldBvh:
     attr_rnode: np.ndarray  # [Ta] i32 emit-order render node (refit rebake)
     attr_tri: np.ndarray  # [Ta] i32 emit-order global tri id (refit rebake)
     attr_has_uv: np.ndarray  # [Ta] i32 (static: texel-density gate)
+    # conservative per-emit-row opacity class (ops/omm.py: 0 opaque,
+    # 1 mixed, 2 transparent-culled) — the SceneOmm role: OPAQUE rows skip
+    # the stochastic-alpha opacity eval entirely
+    attr_alpha_class: np.ndarray  # [Ta] i8
     # v3 fused BVH4 rows (_packet3_tables): 4 child boxes + codes + axes in
     # one [M,32] row — half the scalar visits of the binary v2 layout
     nodes4_fi: np.ndarray
@@ -370,8 +374,16 @@ def _build_sah(tlo, thi, cen):
     return perm, nodes_i, nodes_f, nodes_self
 
 
-def build_world_bvh(flat) -> WorldBvh:
-    """Bake instances to world space + SAH/LBVH over all world triangles."""
+def build_world_bvh(flat, tri_class=None) -> WorldBvh:
+    """Bake instances to world space + SAH/LBVH over all world triangles.
+
+    tri_class: optional [sum of visible-node tri counts] int8 in EMIT order
+    (ops/omm.classify_attr_alpha): rows classified ALPHA_TRANSPARENT are
+    CULLED from the world BVH — they can never occlude, so the image is
+    identical with fewer triangles (the reference's SceneOmm role:
+    accelerate alpha-tested traversal only, RENDERING_ARCHITECTURE.md:65-95).
+    The fused hit-attr table keeps the FULL emit (hits never land on culled
+    rows), so rn_attr_base addressing is unchanged."""
     vtx = np.asarray(flat.vtx_pos, np.float64)
     tri_idx = np.asarray(flat.tri_idx)
     rn_o2w = np.asarray(flat.rn_o2w, np.float64)
@@ -381,6 +393,7 @@ def build_world_bvh(flat) -> WorldBvh:
     ptc = np.asarray(flat.prim_tri_count)
 
     v_chunks, rnode_chunks, tri_chunks = [], [], []
+    attr_rnode_chunks, attr_tri_chunks = [], []
     rn_attr_base = np.zeros(rn_o2w.shape[0], np.int32)
     attr_off = 0
     for i in range(rn_o2w.shape[0]):
@@ -389,36 +402,50 @@ def build_world_bvh(flat) -> WorldBvh:
         p = rn_prim[i]
         f, c = int(pft[p]), int(ptc[p])
         ids = np.arange(f, f + c)
-        idx = tri_idx[ids]  # [c,3]
+        attr_rnode_chunks.append(np.full(c, i, np.int32))
+        attr_tri_chunks.append(ids.astype(np.int32))
+        keep = slice(None)
+        if tri_class is not None:
+            from .omm import ALPHA_TRANSPARENT
+
+            keep = np.asarray(tri_class[attr_off : attr_off + c]) != ALPHA_TRANSPARENT
+            ids = ids[keep]
+        idx = tri_idx[ids]  # [c',3]
         m = rn_o2w[i]
         w0 = vtx[idx[:, 0]] @ m[:3, :3].T + m[:3, 3]
         w1 = vtx[idx[:, 1]] @ m[:3, :3].T + m[:3, 3]
         w2 = vtx[idx[:, 2]] @ m[:3, :3].T + m[:3, 3]
         v_chunks.append(np.concatenate([w0, w1, w2], axis=1).astype(np.float32))
-        rnode_chunks.append(np.full(c, i, np.int32))
+        rnode_chunks.append(np.full(ids.shape[0], i, np.int32))
         tri_chunks.append(ids.astype(np.int32))
         # fused hit-state addressing: this node's world tris occupy emit
         # rows [attr_off, attr_off + c) and carry global tri ids [f, f+c)
         rn_attr_base[i] = attr_off - f
         attr_off += c
 
-    if not v_chunks:  # empty scene: one far-away degenerate triangle
-        v_chunks = [np.full((1, 9), 3e37, np.float32)]
-        rnode_chunks = [np.zeros(1, np.int32)]
-        tri_chunks = [np.zeros(1, np.int32)]
+    # emit-order copies survive the BVH reorder below — they drive the
+    # fused hit-attr bake (build + device refit rebake). FULL emit, even
+    # when tri_class culls rows from the BVH itself.
+    attr_rnode = (np.concatenate(attr_rnode_chunks) if attr_rnode_chunks
+                  else np.zeros(0, np.int32))
+    attr_tri = (np.concatenate(attr_tri_chunks) if attr_tri_chunks
+                else np.zeros(0, np.int32))
 
-    wv = np.concatenate(v_chunks)  # [T',9]
-    wtri_rnode = np.concatenate(rnode_chunks)
-    wtri_tri = np.concatenate(tri_chunks)
+    wv = (np.concatenate(v_chunks) if v_chunks
+          else np.zeros((0, 9), np.float32))  # [T',9]
+    wtri_rnode = np.concatenate(rnode_chunks) if rnode_chunks else np.zeros(0, np.int32)
+    wtri_tri = np.concatenate(tri_chunks) if tri_chunks else np.zeros(0, np.int32)
+    if wv.shape[0] == 0:  # empty scene (or fully culled): one degenerate tri
+        wv = np.full((1, 9), 3e37, np.float32)
+        wtri_rnode = np.zeros(1, np.int32)
+        wtri_tri = np.zeros(1, np.int32)
     nt = wv.shape[0]
 
-    # emit-order copies survive the BVH reorder below — they drive the
-    # fused hit-attr bake (build + device refit rebake)
-    attr_rnode = wtri_rnode.copy()
-    attr_tri = wtri_tri.copy()
     from .hitstate import bake_hit_attrs_np
 
     hit_attr, attr_has_uv = bake_hit_attrs_np(flat, attr_rnode, attr_tri)
+    attr_alpha_class = (np.asarray(tri_class, np.int8) if tri_class is not None
+                        else np.ones(attr_rnode.shape[0], np.int8))  # default MIXED
 
     v0, v1, v2 = wv[:, 0:3], wv[:, 3:6], wv[:, 6:9]
     tlo = np.minimum(np.minimum(v0, v1), v2)
@@ -452,6 +479,7 @@ def build_world_bvh(flat) -> WorldBvh:
         nodes_fi=nfi, tris128=t128, wtri8_rnode=w8r, wtri8_tri=w8t, tri8_src=t8s,
         hit_attr=hit_attr, rn_attr_base=rn_attr_base, attr_rnode=attr_rnode,
         attr_tri=attr_tri, attr_has_uv=attr_has_uv,
+        attr_alpha_class=attr_alpha_class,
         nodes4_fi=nfi4, root4_code=r4, nodes16_fi=nfi16, map16=m16,
         root_code=rcode, num_world_tris=1,
         )
@@ -492,6 +520,7 @@ def build_world_bvh(flat) -> WorldBvh:
         nodes_fi=nfi, tris128=t128, wtri8_rnode=w8r, wtri8_tri=w8t, tri8_src=t8s,
         hit_attr=hit_attr, rn_attr_base=rn_attr_base, attr_rnode=attr_rnode,
         attr_tri=attr_tri, attr_has_uv=attr_has_uv,
+        attr_alpha_class=attr_alpha_class,
         nodes4_fi=nfi4, root4_code=r4, nodes16_fi=nfi16, map16=m16,
         root_code=rcode, num_world_tris=nt,
         )
@@ -705,6 +734,7 @@ def build_world_bvh(flat) -> WorldBvh:
         nodes_fi=nfi, tris128=t128, wtri8_rnode=w8r, wtri8_tri=w8t, tri8_src=t8s,
         hit_attr=hit_attr, rn_attr_base=rn_attr_base, attr_rnode=attr_rnode,
         attr_tri=attr_tri, attr_has_uv=attr_has_uv,
+        attr_alpha_class=attr_alpha_class,
         nodes4_fi=nfi4, root4_code=r4, nodes16_fi=nfi16, map16=m16,
         root_code=rcode, num_world_tris=nt,
     )

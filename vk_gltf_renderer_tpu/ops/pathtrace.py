@@ -157,6 +157,9 @@ class RenderConfig:
     # oracle-tested). Default off until measured end-to-end on hardware —
     # flip via VKGR_ENTRY_POINTS=1.
     entry_points: bool = False
+    # barycentric wireframe overlay (the reference's WIREFRAME shader
+    # variant, renderer_pathtracer.cpp:1050 macro set) — preview renderer
+    wireframe: bool = False
 
 
 def _hit_state(flat, bvh, hits, rd, cfg):
@@ -512,16 +515,32 @@ def _trace_with_alpha(flat, bvh, ro, rd, seed, cfg: RenderConfig, alive=None):
         return hits, seed
     org = ro
     t_accum = jnp.zeros(ro.shape[0])
+    # SceneOmm role (ops/omm.py, gltf_scene_omm.cpp analog): hits on
+    # conservatively-OPAQUE triangles never reject — skip the opacity eval
+    # for them, and skip the whole re-trace round at runtime when no lane
+    # rejected (the common case in mostly-opaque scenes).
+    cls_tab = jnp.asarray(bvh.attr_alpha_class).astype(jnp.int32)
     for _ in range(cfg.alpha_rounds):
+        attr_row = bvh.rn_attr_base[jnp.maximum(hits["rnode"], 0)] + jnp.maximum(hits["tri"], 0)
+        cls = cls_tab[jnp.clip(attr_row, 0, cls_tab.shape[0] - 1)]
+        maybe = (hits["tri"] >= 0) & (cls != 0)  # != ALPHA_OPAQUE
         hs = _hit_state(flat, bvh, hits, rd, cfg)
         mat_id = flat.rn_material[jnp.maximum(hits["rnode"], 0)]
         opacity = get_opacity(flat, mat_id, hs, textured="textured" in cfg.features)
         u, seed = rng.rand(seed)
-        reject = (hits["tri"] >= 0) & (u > opacity)
+        reject = maybe & (u > opacity)
         step = hits["t"] + 1e-4
         org2 = org + rd * step[..., None]
         t_accum2 = t_accum + step
-        re = trace_closest(bvh, org2, rd, cfg, tmin=0.0)
+
+        def retrace(ops):
+            org2, rd_ = ops
+            return trace_closest(bvh, org2, rd_, cfg, tmin=0.0)
+
+        def skip(ops):
+            return {k: v for k, v in hits.items()}
+
+        re = jax.lax.cond(jnp.any(reject), retrace, skip, (org2, rd))
         hits = {
             "t": jnp.where(reject, re["t"], hits["t"]),
             "rnode": jnp.where(reject, re["rnode"], hits["rnode"]),

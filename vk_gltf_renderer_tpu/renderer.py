@@ -219,11 +219,22 @@ class GltfRenderer:
         the Model (render arrays are always derived) then rebuild mirrors."""
         self.scene.parse_scene()
         self.flat = build_scene_flat(self.scene)
-        self.bvh = build_world_bvh(self.flat)
+        self.bvh = build_world_bvh(self.flat, tri_class=self._alpha_classes())
         self._anim_tables_cache = None
         self.scene.clear_dirty_flags()
         self._render_fn = None
         self.reset_frame()
+
+    def _alpha_classes(self):
+        """Conservative per-triangle opacity classes (ops/omm.py — the
+        SceneOmm role): None when every material is OPAQUE (classification
+        is all-opaque by definition and the BVH needs no cull pass)."""
+        mats = self.scene.model.materials
+        if not any(m.get("alphaMode", "OPAQUE") != "OPAQUE" for m in mats):
+            return None
+        from .ops.omm import classify_attr_alpha
+
+        return classify_attr_alpha(self.flat)
 
     def sync_scene_changes(self) -> bool:
         """Dirty-flag driven surgical update (reference updateSceneChanges
@@ -257,11 +268,23 @@ class GltfRenderer:
                 pass  # device refit done
             else:
                 self.flat = build_scene_flat(self.scene)
-                self.bvh = build_world_bvh(self.flat)
+                self.bvh = build_world_bvh(self.flat, tri_class=self._alpha_classes())
         elif df & (DirtyFlags.MATERIALS | DirtyFlags.LIGHTS):
             from .ops.flat import refresh_materials
 
             self.flat = refresh_materials(self.flat, self.scene)
+            # alpha-mode/cutoff/texture edits can change the conservative
+            # opacity classification baked into the BVH (culled transparent
+            # tris, opaque fast path) — the reference rebuilds micromaps on
+            # such edits (SceneOmm); here: rebuild when the classes moved
+            if df & DirtyFlags.MATERIALS and self.bvh is not None:
+                cls = self._alpha_classes()
+                old = np.asarray(self.bvh.attr_alpha_class)
+                new = (np.ones(old.shape[0], np.int8) if cls is None
+                       else np.asarray(cls, np.int8))
+                if new.shape != old.shape or (new != old).any():
+                    self.rebuild_device_scene()
+                    return True
         self.scene.clear_dirty_flags()
         self.reset_frame()
         return True
@@ -457,6 +480,7 @@ class GltfRenderer:
             alpha_any=alpha_any,
             firefly_clamp=self.firefly_clamp,
             orthographic=bool(self.camera and self.camera.orthographic),
+            wireframe=getattr(self, "wireframe", False),
             aperture=self.aperture,
             focal_distance=self.focal_distance or float(np.linalg.norm(
                 np.asarray(self.camera.center) - np.asarray(self.camera.eye))) if self.aperture > 0 else 0.0,
