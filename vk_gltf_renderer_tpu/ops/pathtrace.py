@@ -160,6 +160,14 @@ class RenderConfig:
     # barycentric wireframe overlay (the reference's WIREFRAME shader
     # variant, renderer_pathtracer.cpp:1050 macro set) — preview renderer
     wireframe: bool = False
+    # spp>1 BATCHED launch: trace all spp samples as one n*spp-lane batch
+    # instead of a lax.scan of spp sequential frames — per-bounce sorts,
+    # bucket machinery and launch glue amortize k-fold, and late-bounce
+    # survivors from all samples co-compact into fuller packets. Sample
+    # streams are decorrelated by seeding xxhash32(px, py, frame*spp + s)
+    # (placement-independent, like the reference's per-frame seeds,
+    # gltf_pathtrace.slang:560). Offline lever — NEXT.md #6.
+    spp_batch: bool = False
 
 
 def _hit_state(flat, bvh, hits, rd, cfg):
@@ -1113,6 +1121,94 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
     return state["radiance"], aux, state["seed"]
 
 
+def _render_frame_spp_batched(flat, bvh, env, frame, cfg: RenderConfig,
+                              px, py, n, tile_order, image_size):
+    """spp>1 as ONE n*spp-lane launch (cfg.spp_batch; see RenderConfig).
+
+    Lane layout IN: sample-major blocks [s*n + lane] so bounce-0 primaries
+    keep each block's (tile-order) coherence. Lane layout OUT: the compact
+    path's final pixel-keyed restore groups each pixel's spp samples
+    adjacently in ascending-pixel order (duplicates group; intra-group
+    order is irrelevant under the mean) -> reshape [n, spp]; the
+    non-compact path preserves lane order -> reshape [spp, n].
+    First-hit captures (guides) are written in LANE order during the
+    peeled bounce and never sorted, so sample block 0 IS the aux the scan
+    path would keep (aux_keep at s == 0)."""
+    w, h = cfg.width, cfg.height
+    k = cfg.spp
+    s_b = jnp.repeat(jnp.arange(k, dtype=jnp.uint32), n)
+    px_b = jnp.tile(px, k)
+    py_b = jnp.tile(py, k)
+    seed = rng.xxhash32(px_b, py_b,
+                        frame["frame_idx"].astype(jnp.uint32) * jnp.uint32(k) + s_b)
+    sample_pos = jnp.stack([px_b, py_b], axis=-1).astype(jnp.float32)
+    ug, seed = rng.rand2(seed)
+    gauss = 0.5 + ANTIALIASING_STD * rng.sample_gaussian(ug)
+    uu, seed = rng.rand2(seed)
+    jitter = jnp.where((s_b == 0)[..., None], gauss, uu)
+    ro, rd = generate_rays(
+        sample_pos, jitter, image_size, frame["proj_inv"], frame["view_inv"],
+        orthographic=cfg.orthographic,
+    )
+    if cfg.aperture > 0.0:
+        u1, seed = rng.rand(seed)
+        u2, seed = rng.rand(seed)
+        ro, rd = apply_depth_of_field(ro, rd, frame["view_inv"], cfg.focal_distance,
+                                      cfg.aperture, u1, u2)
+    rad, aux, _ = path_trace_batch(
+        flat, bvh, env, ro, rd, seed, cfg,
+        pixel_angle=frame.get("pixel_angle", 0.0),
+        prev_rn_o2w=frame.get("prev_rn_o2w"),
+        pixel=(py_b * w + px_b).astype(jnp.int32),
+    )
+    rad = jnp.nan_to_num(rad, nan=0.0, posinf=0.0, neginf=0.0)
+    lum = jnp.mean(rad, axis=-1)
+    scale = jnp.where(lum > cfg.firefly_clamp, cfg.firefly_clamp / jnp.maximum(lum, 1e-20), 1.0)
+    rad = rad * scale[..., None]
+
+    compact = cfg.sort_rays and cfg.traversal == "packet" and n * k >= COMPACT_MIN_LANES
+    if compact:  # pixel-keyed restore grouped the spp duplicates
+        total = rad.reshape(n, k, 3).sum(axis=1)
+    else:  # lane order preserved: sample-major blocks
+        total = rad.reshape(k, n, 3).sum(axis=0)
+
+    # first-hit captures: sample block 0, in (tile) lane order like the scan
+    aux_out = {key: (v if key == "rays" else v[:n]) for key, v in aux.items()}
+    if cfg.denoise_guides:
+        if compact:
+            aux_out["spec_hitdist"] = aux["spec_hitdist"].reshape(n, k).mean(axis=1)
+        else:
+            aux_out["spec_hitdist"] = aux["spec_hitdist"][:n]
+        L = 0.2126 * rad[:, 0] + 0.7152 * rad[:, 1] + 0.0722 * rad[:, 2]
+        if compact:
+            aux_out["lum_moments"] = jnp.stack(
+                [L.reshape(n, k).sum(1), (L * L).reshape(n, k).sum(1)], axis=-1
+            )
+        else:
+            aux_out["lum_moments"] = jnp.stack(
+                [L.reshape(k, n).sum(0), (L * L).reshape(k, n).sum(0)], axis=-1
+            )
+    if tile_order:
+        tx_n, ty_n = w // 128, h // 8
+
+        def unmap(a):
+            rest = a.shape[1:]
+            t = a.reshape((tx_n, ty_n, 8, 128) + rest)
+            t = jnp.transpose(t, (1, 2, 0, 3) + tuple(range(4, 4 + len(rest))))
+            return t.reshape((n,) + rest)
+
+        aux_out = {
+            key: (v if key in ("rays", "spec_hitdist", "lum_moments") else unmap(v))
+            for key, v in aux_out.items()
+        }
+        if not compact:
+            total = unmap(total)
+    mean = total / k
+    ts = frame["total_samples"].astype(jnp.float32)
+    new_accum = (frame["accum"] * ts[..., None] + mean * k) / (ts + k)
+    return new_accum, aux_out
+
+
 def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
     """Render one frame's samples for all pixels (flattened [W*H] lanes).
 
@@ -1154,6 +1250,11 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
     seed0 = rng.xxhash32(px, py, frame["frame_idx"])
     sample_pos = jnp.stack([px, py], axis=-1).astype(jnp.float32)
     image_size = jnp.array([w, h], jnp.float32)
+
+    if cfg.spp > 1 and cfg.spp_batch and "px" not in frame:
+        return _render_frame_spp_batched(
+            flat, bvh, env, frame, cfg, px, py, n, tile_order, image_size
+        )
 
     def one_sample(carry, s):
         seed, total, rays_total, aux_prev = carry

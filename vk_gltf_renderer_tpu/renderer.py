@@ -470,6 +470,7 @@ class GltfRenderer:
             packet_kernel=os.environ.get("VKGR_PACKET_KERNEL", loop_default),
             primary_kernel=os.environ.get("VKGR_PRIMARY_KERNEL", primary_default),
             entry_points=os.environ.get("VKGR_ENTRY_POINTS", "0") != "0",
+            spp_batch=os.environ.get("VKGR_SPP_BATCH", "0") != "0",
             width=self.width,
             height=self.height,
             spp=self.spp,
