@@ -440,3 +440,79 @@ def test_edit_cli_shell(tmp_path):
     # material edit persisted
     bc = sc.model.materials[0]["pbrMetallicRoughness"]["baseColorFactor"]
     assert bc == [0.1, 0.9, 0.1, 1.0]
+
+
+def test_edit_cli_inspector_verbs(capsys, triangle_model):
+    """Inspector/browser parity verbs: flat list, search, node panel,
+    material dump, cameras, light editing, animation scrub, variants
+    (ui_inspector.cpp property panels + ui_animation.cpp slider roles)."""
+    import numpy as np
+
+    from vk_gltf_renderer_tpu.edit_cli import EditShell
+    from vk_gltf_renderer_tpu.models import Scene
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    sh = EditShell(sc)
+    for line in ("flat", "find mesh", "inspect 0", "matget 0", "cameras",
+                 "light point", "lightset 0 intensity 40"):
+        assert sh.run_line(line)
+    out = capsys.readouterr().out
+    assert "error:" not in out, out
+    assert "[0]" in out and "world" in out  # flat + inspect panel
+    assert "baseColorFactor" in out or "pbrMetallicRoughness" in out  # matget
+    lights = sc.model.gltf["extensions"]["KHR_lights_punctual"]["lights"]
+    assert lights[0]["intensity"] == 40.0
+    sh.run_line("undo")  # lightset undone
+    lights = sc.model.gltf["extensions"]["KHR_lights_punctual"]["lights"]
+    assert "intensity" not in lights[0] or lights[0]["intensity"] != 40.0
+
+    # animation scrub on a procedural animated scene (anim IDX TIME)
+    g = triangle_model.gltf
+    buf = triangle_model.buffers[0]
+    times = np.array([0.0, 1.0], np.float32)
+    vals = np.array([[0, 0, 0], [4, 0, 0]], np.float32)
+    off_t = len(buf); buf.extend(times.tobytes())
+    off_v = len(buf); buf.extend(vals.tobytes())
+    g["buffers"][0]["byteLength"] = len(buf)
+    g["bufferViews"] += [
+        {"buffer": 0, "byteOffset": off_t, "byteLength": times.nbytes},
+        {"buffer": 0, "byteOffset": off_v, "byteLength": vals.nbytes},
+    ]
+    g["accessors"] += [
+        {"bufferView": len(g["bufferViews"]) - 2, "componentType": 5126,
+         "count": 2, "type": "SCALAR", "min": [0], "max": [1]},
+        {"bufferView": len(g["bufferViews"]) - 1, "componentType": 5126,
+         "count": 2, "type": "VEC3"},
+    ]
+    g["animations"] = [{
+        "samplers": [{"input": len(g["accessors"]) - 2,
+                      "output": len(g["accessors"]) - 1,
+                      "interpolation": "LINEAR"}],
+        "channels": [{"sampler": 0, "target": {"node": 0, "path": "translation"}}],
+    }]
+    sa = Scene()
+    sa.load_from_model(triangle_model)
+    sha = EditShell(sa)
+    assert sha.run_line("anims") and sha.run_line("anim 0 0.5")
+    out = capsys.readouterr().out
+    assert "error:" not in out, out
+    assert sa.model.nodes[0]["translation"] == [2.0, 0.0, 0.0]
+
+    # variants: synthetic 2-variant model
+    g["extensions"] = {"KHR_materials_variants": {
+        "variants": [{"name": "A"}, {"name": "B"}]}}
+    g["materials"].append({"pbrMetallicRoughness": {"baseColorFactor": [0, 0, 1, 1]}})
+    g["meshes"][0]["primitives"][0].setdefault("extensions", {})[
+        "KHR_materials_variants"] = {
+        "mappings": [{"material": 0, "variants": [0]},
+                     {"material": 1, "variants": [1]}]}
+    sv = Scene()
+    sv.load_from_model(triangle_model)
+    shv = EditShell(sv)
+    assert shv.run_line("variants") and shv.run_line("variant 1")
+    out = capsys.readouterr().out
+    assert "error:" not in out, out
+    assert sv.model.meshes[0]["primitives"][0]["material"] == 1
+    shv.run_line("undo")
+    assert sv.model.meshes[0]["primitives"][0]["material"] == 0

@@ -9,15 +9,22 @@ command-pattern undo (undo_redo.hpp:22-90).
     echo "tree" | python -m vk_gltf_renderer_tpu.edit_cli scene.glb
 
 Commands (tab-free, scriptable; `help` lists them):
-    tree | materials | lights | stats        inspection (inspect_cli views)
+    tree | flat | materials | lights | stats inspection (inspect_cli views)
+    find SUBSTR                              node search (browser filter)
+    inspect NODE                             full node panel (inspector parity)
+    matget MAT                               dump one material (all fields)
+    cameras                                  scene cameras
     translate|scale NODE X Y Z               TRS edit (undoable, merging)
     rotate NODE X Y Z W                      quaternion rotation
     rename NODE NAME         visible NODE 0|1
     material NODE PRIM MAT                   assign material
     matset MAT KEY V...                      e.g. matset 0 baseColorFactor 1 0 0 1
+    lightset LIGHT KEY V...                  e.g. lightset 0 intensity 40
     add plane|cube|sphere [PARENT]           procedural primitives
     light point|directional|spot [PARENT]
     duplicate NODE | delete NODE | reparent NODE PARENT(-1=root)
+    anims | anim IDX TIME                    list / scrub animation (undoable)
+    variants | variant IDX                   list / apply material variant
     undo | redo
     save PATH                                write .gltf/.glb
     render PATH [W H]                        path-traced snapshot
@@ -60,6 +67,112 @@ class EditShell:
     def cmd_lights(self, *a):
         for i, rl in enumerate(self.scene.render_lights):
             print(f"[{i}] light={rl.light} node={rl.node_id}")
+
+    def cmd_flat(self, *a):
+        """Flat node list — the browser's non-tree mode (ui_scene_browser)."""
+        for nid, node in enumerate(self.scene.model.nodes):
+            mesh = node.get("mesh", "-")
+            kids = len(node.get("children", []))
+            print(f"[{nid}] {node.get('name', '')!r} mesh={mesh} children={kids}")
+
+    def cmd_find(self, *sub):
+        needle = " ".join(sub).lower()
+        for nid, node in enumerate(self.scene.model.nodes):
+            if needle in node.get("name", "").lower():
+                print(f"[{nid}] {node.get('name', '')!r}")
+
+    def cmd_inspect(self, node):
+        """Node property panel (ui_inspector.cpp transform/mesh/material view)."""
+        nid = int(node)
+        n = self.scene.model.nodes[nid]
+        print(f"node [{nid}] {n.get('name', '')!r}")
+        if "matrix" in n:
+            print(f"  matrix      {n['matrix']}")
+        else:
+            print(f"  translation {n.get('translation', [0, 0, 0])}")
+            print(f"  rotation    {n.get('rotation', [0, 0, 0, 1])}")
+            print(f"  scale       {n.get('scale', [1, 1, 1])}")
+        if nid < len(self.scene.world_matrices):
+            w = self.scene.world_matrices[nid]
+            print("  world       " + "; ".join(
+                " ".join(f"{v:.4g}" for v in row) for row in w))
+        print(f"  children    {n.get('children', [])}")
+        if "mesh" in n:
+            mesh = self.scene.model.meshes[n["mesh"]]
+            print(f"  mesh        [{n['mesh']}] {mesh.get('name', '')!r}")
+            for pi, prim in enumerate(mesh.get("primitives", [])):
+                mat = prim.get("material", "-")
+                attrs = ",".join(sorted(prim.get("attributes", {})))
+                print(f"    prim {pi}: material={mat} attrs={attrs}")
+        for k in ("camera", "skin", "weights"):
+            if k in n:
+                print(f"  {k:<11} {n[k]}")
+        if n.get("extensions"):
+            print(f"  extensions  {sorted(n['extensions'])}")
+
+    def cmd_matget(self, mat):
+        import json as _json
+
+        print(_json.dumps(self.scene.model.materials[int(mat)], indent=2, default=str))
+
+    def cmd_cameras(self, *a):
+        for i, cam in enumerate(self.scene.model.cameras):
+            print(f"[{i}] {cam.get('type', '?')} {cam.get('name', '')!r} "
+                  f"{cam.get('perspective', cam.get('orthographic', {}))}")
+        for rc in self.scene.render_cameras:
+            eye = " ".join(f"{v:.4g}" for v in rc.eye)
+            print(f"  instance: {rc.type} eye=({eye}) yfov={rc.yfov:.4g}")
+
+    def cmd_lightset(self, idx, key, *vals):
+        """Edit a punctual light's properties (inspector light panel)."""
+        li = int(idx)
+        v = [float(x) for x in vals]
+        val = v if len(v) > 1 else v[0]
+
+        def act(scene):
+            lights = scene.model.gltf["extensions"]["KHR_lights_punctual"]["lights"]
+            lights[li][key] = val
+            from .models.scene import DirtyFlags
+
+            scene.mark_dirty(DirtyFlags.LIGHTS)
+
+        self.undo.execute(SnapshotCommand(action=act, label=f"lightset {li}.{key}"))
+
+    def cmd_anims(self, *a):
+        for i, info in enumerate(self.scene.animations):
+            print(f"[{i}] {info.name!r} t={info.current_time:.3f} "
+                  f"range=[{info.start:.3f},{info.end:.3f}] channels={len(info.channels)}")
+
+    def cmd_anim(self, idx, time):
+        """Scrub one animation to TIME seconds — the animation bar's slider
+        (ui_animation.cpp), applied Model-primary like the reference."""
+        ai, t = int(idx), float(time)
+
+        def act(scene):
+            from .models.animation import update_animation
+
+            scene.animations[ai].current_time = t
+            update_animation(scene, ai)
+            scene.parse_scene()
+
+        self.undo.execute(SnapshotCommand(action=act, label=f"anim {ai}@{t}"))
+
+    def cmd_variants(self, *a):
+        from .models.variants import parse_variants
+
+        for i, name in enumerate(parse_variants(self.scene.model)):
+            print(f"[{i}] {name}")
+
+    def cmd_variant(self, idx):
+        vi = int(idx)
+
+        def act(scene):
+            from .models.variants import apply_variant
+
+            n = apply_variant(scene, vi)
+            print(f"variant {vi}: {n} primitives switched")
+
+        self.undo.execute(SnapshotCommand(action=act, label=f"variant {vi}"))
 
     def _trs(self, key, node, vals):
         self.undo.execute(TransformCommand(node_id=int(node), key=key, new_value=[float(v) for v in vals]))

@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ptAperture", type=float, default=0.0)
     p.add_argument("--ptFocalDistance", type=float, default=0.0)
     # tonemapper
+    p.add_argument("--upscale", type=int, default=1,
+                   help="render at size/N, TAAU-reconstruct to size (DLSS-RR render-low/display-high role)")
     p.add_argument("--tonemapper", type=str, default="filmic")
     p.add_argument("--backgroundColor", type=float, nargs=3, default=None, help="solid backplate")
     p.add_argument("--infinitePlane", type=int, default=0)
@@ -82,14 +84,16 @@ def main(argv=None) -> int:
     from .renderer import GltfRenderer
 
     w, h = args.size
+    rw, rh = (w // args.upscale, h // args.upscale) if args.upscale > 1 else (w, h)
     r = GltfRenderer(
-        width=w,
-        height=h,
+        width=rw,
+        height=rh,
         spp=args.ptSamples,
         max_depth=args.ptDepth,
         env_kind="hdr" if args.envSystem == 1 else "sky",
         render_system=args.renderSystem,
     )
+    r.upscale = args.upscale
     r.wireframe = bool(args.wireframe)
     r.tonemapper = args.tonemapper
     r.firefly_clamp = args.ptFireflyClamp
@@ -163,7 +167,7 @@ def main(argv=None) -> int:
 
     if timed > 0:
         ms_per_frame = wall / timed * 1000.0
-        msps = (w * h * args.ptSamples * timed) / wall / 1e6
+        msps = (rw * rh * args.ptSamples * timed) / wall / 1e6
         mrays = rays_timed / wall / 1e6
     else:
         ms_per_frame = msps = mrays = 0.0

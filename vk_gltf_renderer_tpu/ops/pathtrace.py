@@ -160,6 +160,11 @@ class RenderConfig:
     # barycentric wireframe overlay (the reference's WIREFRAME shader
     # variant, renderer_pathtracer.cpp:1050 macro set) — preview renderer
     wireframe: bool = False
+    # TAAU upscaling (ops/upscale.py): sample 0 is placed EXACTLY at the
+    # frame's Halton subpixel position (frame["cam_jitter"]) instead of the
+    # Gaussian AA jitter, so the temporal upscaler can gather it
+    # jitter-correctly (the DLSS-RR jittered-render contract, dlss.hpp)
+    taa_jitter: bool = False
     # spp>1 BATCHED launch: trace all spp samples as one n*spp-lane batch
     # instead of a lax.scan of spp sequential frames — per-bounce sorts,
     # bucket machinery and launch glue amortize k-fold, and late-bounce
@@ -1146,6 +1151,8 @@ def _render_frame_spp_batched(flat, bvh, env, frame, cfg: RenderConfig,
     gauss = 0.5 + ANTIALIASING_STD * rng.sample_gaussian(ug)
     uu, seed = rng.rand2(seed)
     jitter = jnp.where((s_b == 0)[..., None], gauss, uu)
+    if cfg.taa_jitter:
+        jitter = jnp.where((s_b == 0)[..., None], frame["cam_jitter"][None, :], jitter)
     ro, rd = generate_rays(
         sample_pos, jitter, image_size, frame["proj_inv"], frame["view_inv"],
         orthographic=cfg.orthographic,
@@ -1262,6 +1269,8 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
         gauss = 0.5 + ANTIALIASING_STD * rng.sample_gaussian(ug)
         uu, seed = rng.rand2(seed)
         jitter = jnp.where((s == 0), gauss, uu)
+        if cfg.taa_jitter:
+            jitter = jnp.where(s == 0, frame["cam_jitter"][None, :], jitter)
         ro, rd = generate_rays(
             sample_pos, jitter, image_size, frame["proj_inv"], frame["view_inv"], orthographic=cfg.orthographic
         )

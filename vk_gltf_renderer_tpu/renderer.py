@@ -169,6 +169,8 @@ class GltfRenderer:
         self.focal_distance = 0.0
         self._prev_vp = None  # previous frame view-proj (temporal denoise)
         self._history = None  # temporally accumulated denoised history
+        self.upscale = 1  # >1: render low, TAAU-reconstruct display-res
+        self._history_hi = None  # display-res TAAU history (ops/upscale.py)
         self.background = None  # (r,g,b) solid backplate or None
         self.use_infinite_plane = False
         self.plane_height = 0.0
@@ -434,6 +436,7 @@ class GltfRenderer:
         self.total_samples = 0
         self.accum = jnp.zeros((self.width * self.height, 3), jnp.float32)
         self._moments = None  # accumulated luminance sample moments (SVGF)
+        self._history_hi = None  # TAAU display-res history restarts too
 
     def _config(self) -> RenderConfig:
         import jax
@@ -492,6 +495,7 @@ class GltfRenderer:
             shadow_catcher_darken=self.shadow_catcher_darken,
             packet_tiles=self.packet_tiles,
             denoise_guides=self.denoise_guides,
+            taa_jitter=self.upscale > 1,
         )
 
     def _ensure_render_fn(self):
@@ -535,6 +539,10 @@ class GltfRenderer:
             "total_samples": jnp.int32(self.total_samples),
             "pixel_angle": jnp.float32(_pa(cam.yfov, self.height)),
         }
+        if self.upscale > 1:
+            from .ops.upscale import halton23
+
+            out["cam_jitter"] = jnp.asarray(halton23(self.frame_idx))
         if self.denoise_guides and self.flat is not None:
             # previous-frame per-node object->world snapshot for instance
             # motion vectors (snapshot_prev_transforms.comp.slang:22-31);
@@ -597,6 +605,12 @@ class GltfRenderer:
         self.total_samples += self.spp
         self.frame_idx += 1
         self._last_aux = aux
+        if self.upscale > 1:
+            # TAAU owns accumulation at display res: each frame's accum must
+            # be that frame alone (low-res averaging across jitters would
+            # bake in exactly the blur the upscaler removes)
+            self.total_samples = 0
+            self._taau_step()
         if "lum_moments" in aux:
             # per-sample luminance moments accumulate across progressive
             # frames (device-resident, like accum) — the variance source
@@ -621,6 +635,40 @@ class GltfRenderer:
     # -------------------------------------------------------------- output
     def image_linear(self) -> np.ndarray:
         return np.asarray(self.accum).reshape(self.height, self.width, 3)
+
+    def _taau_step(self) -> None:
+        """Fold this frame into the display-res TAAU history (the DLSS-RR
+        render-low/display-high role, dlss.hpp:22-63; ops/upscale.py)."""
+        import jax.numpy as jnp
+
+        from .ops.temporal import motion_vectors
+        from .ops.upscale import halton23, temporal_upscale
+        from .utils import mathutil as mu
+
+        cam = self.camera
+        view = mu.look_at(cam.eye, cam.center, cam.up)
+        proj = mu.perspective(cam.yfov, self.width / self.height, cam.znear, cam.zfar)
+        vp = jnp.asarray((proj.astype(np.float64) @ view.astype(np.float64)).astype(np.float32))
+        cur = jnp.asarray(self.accum).reshape(self.height, self.width, 3)
+        pos = jnp.asarray(self._last_aux["first_pos"]).reshape(self.height, self.width, 3)
+        solid = jnp.asarray(self._last_aux["solid"]).reshape(self.height, self.width)
+        prev_vp = self._prev_vp if self._prev_vp is not None else vp
+        prev_pos = None
+        if "first_pos_prev" in self._last_aux:
+            prev_pos = jnp.asarray(self._last_aux["first_pos_prev"]).reshape(self.height, self.width, 3)
+        mv = motion_vectors(pos, solid, prev_vp, vp, self.width, self.height,
+                            first_pos_prev=prev_pos)
+        # frame_idx was already advanced; the render used frame_idx - 1
+        jit = jnp.asarray(halton23(self.frame_idx - 1))
+        self._history_hi = temporal_upscale(cur, mv, jit, self._history_hi, self.upscale)
+        self._prev_vp = vp
+
+    def image_upscaled(self) -> np.ndarray:
+        """Display-res linear image reconstructed by temporal upsampling
+        (requires upscale > 1 and at least one rendered frame)."""
+        if self._history_hi is None:
+            raise RuntimeError("no TAAU history: set upscale > 1 and render")
+        return np.asarray(self._history_hi[..., :3])
 
     def image_tonemapped(self) -> np.ndarray:
         from .ops.tonemap import tonemap
@@ -695,5 +743,13 @@ class GltfRenderer:
         renderer.cpp:557-574)."""
         from PIL import Image
 
-        img = (np.clip(self.image_with_silhouette() if self.selection else self.image_tonemapped(), 0, 1) * 255).astype(np.uint8)
+        if self.upscale > 1 and self._history_hi is not None:
+            from .ops.tonemap import tonemap
+
+            img = np.asarray(tonemap(self._history_hi[..., :3], self.tonemapper))
+        elif self.selection:
+            img = self.image_with_silhouette()
+        else:
+            img = self.image_tonemapped()
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
         Image.fromarray(img).save(path)
