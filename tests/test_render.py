@@ -160,11 +160,11 @@ def test_compact_frame_matches_wavefront(monkeypatch):
     from vk_gltf_renderer_tpu.renderer import GltfRenderer
 
     def render(traversal):
-        r = GltfRenderer(width=48, height=48, spp=1, max_depth=4)
+        r = GltfRenderer(width=40, height=40, spp=1, max_depth=4)
         r.create_scene("/root/reference/resources/Box.glb")
         monkeypatch.setenv("VKGR_TRAVERSAL", traversal)
         aux = r.on_render()
-        return np.asarray(r.accum).reshape(48, 48, 3), aux
+        return np.asarray(r.accum).reshape(40, 40, 3), aux
 
     ref_img, ref_aux = render("wavefront")
 
