@@ -647,3 +647,89 @@ def test_packet_v6_refit_matches_brute():
     assert ((t6 < 1e30) == m).all()
     np.testing.assert_allclose(t6[m], t_ref[m], atol=1e-4)
     assert (np.asarray(h6["tri"])[m] == tri_ref[m]).all()
+
+
+def test_sbvh_spatial_splits_match_sah_hits():
+    """SBVH (spatial splits + triangle-clipped reference duplication,
+    bvh_flatten._build_sbvh) must return the exact closest hits of the
+    plain SAH tree: duplicated references carry the same (rnode, tri)
+    payload, and clipped child boxes stay conservative. Long thin
+    triangles force the spatial-split path (object-split children overlap
+    heavily). Reference anchor: the driver-side BLAS build policy this
+    replaces (gltf_scene_rtx.cpp:173)."""
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import LEAF_SIZE, _build_sah, _build_sbvh
+
+    rng = np.random.RandomState(7)
+    n = 1500
+    v0 = rng.rand(n, 3).astype(np.float64) * 10
+    # long thin slivers: one huge edge along a random axis + a small one
+    e_long = np.zeros((n, 3))
+    e_long[np.arange(n), rng.randint(0, 3, n)] = 4.0 + rng.rand(n) * 4.0
+    e_small = rng.rand(n, 3) * 0.2
+    tris = np.stack([v0, v0 + e_long, v0 + e_small], axis=1)
+    tlo, thi = tris.min(1).astype(np.float32), tris.max(1).astype(np.float32)
+    cen = (tlo + thi) * 0.5
+    wv = tris.reshape(n, 9).astype(np.float32)
+
+    order_s, ni_s, nf_s, ns_s = _build_sbvh(tlo, thi, cen, wv)
+    assert order_s.shape[0] > n  # spatial splits actually duplicated refs
+    order_o, ni_o, _, ns_o = _build_sah(tlo, thi, cen)
+
+    # structural: leaves tile [0, nrefs); every ref's tri is a valid id
+    for ni, order in ((ni_s, order_s), (ni_o, order_o)):
+        leaves = ni[ni[:, 3] > 0]
+        segs = sorted((int(f), int(c)) for f, c in leaves[:, 2:4])
+        pos = 0
+        for f, c in segs:
+            assert f == pos
+            pos += c
+        assert pos == order.shape[0]
+    assert order_s.min() >= 0 and order_s.max() < n
+
+    def closest(tree, order, ro, rd):
+        ni, ns = tree
+        tw = tris[order]  # [nrefs,3,3]
+        hits_t = np.full(ro.shape[0], np.inf)
+        hits_id = np.full(ro.shape[0], -1)
+        for r in range(ro.shape[0]):
+            o, d = ro[r], rd[r]
+            inv = np.where(np.abs(d) < 1e-20, 1e30, 1.0 / d)
+            stack = [0]
+            while stack:
+                nid = stack.pop()
+                t0 = (ns[nid, 0:3] - o) * inv
+                t1 = (ns[nid, 3:6] - o) * inv
+                tn = np.minimum(t0, t1).max()
+                tf = np.maximum(t0, t1).min()
+                if tn > tf or tf < 0 or tn > hits_t[r]:
+                    continue
+                if ni[nid, 3] > 0:
+                    f, c = int(ni[nid, 2]), int(ni[nid, 3])
+                    for k in range(f, f + c):
+                        a, b2, c2 = tw[k]
+                        e1, e2 = b2 - a, c2 - a
+                        p = np.cross(d, e2)
+                        det = e1 @ p
+                        if abs(det) < 1e-12:
+                            continue
+                        tv = o - a
+                        u = (tv @ p) / det
+                        q = np.cross(tv, e1)
+                        v = (d @ q) / det
+                        t = (e2 @ q) / det
+                        if u >= 0 and v >= 0 and u + v <= 1 and 1e-6 < t < hits_t[r]:
+                            hits_t[r] = t
+                            hits_id[r] = order[k]
+                    continue
+                stack.append(int(ni[nid, 0]))
+                stack.append(int(ni[nid, 1]))
+        return hits_t, hits_id
+
+    m = 200
+    ro = rng.rand(m, 3) * 12 - 1
+    rd = rng.randn(m, 3)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ts, ids_s = closest((ni_s, ns_s), order_s, ro, rd)
+    to, ids_o = closest((ni_o, ns_o), order_o, ro, rd)
+    np.testing.assert_allclose(ts, to, atol=1e-9)
+    assert (ids_s == ids_o).all()

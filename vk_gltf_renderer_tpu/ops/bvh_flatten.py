@@ -374,6 +374,274 @@ def _build_sah(tlo, thi, cen):
     return perm, nodes_i, nodes_f, nodes_self
 
 
+def _clip_tri_slab(tri, axis, lo, hi):
+    """AABB of a triangle clipped to the slab lo <= x[axis] <= hi
+    (Sutherland-Hodgman against the two planes). tri: [3,3] float64."""
+    poly = [tri[0], tri[1], tri[2]]
+    for plane_v, keep_ge in ((lo, True), (hi, False)):
+        out = []
+        for i in range(len(poly)):
+            a = poly[i]
+            b = poly[(i + 1) % len(poly)]
+            da = a[axis] - plane_v
+            db = b[axis] - plane_v
+            ina = da >= 0 if keep_ge else da <= 0
+            inb = db >= 0 if keep_ge else db <= 0
+            if ina:
+                out.append(a)
+            if ina != inb:
+                t = da / (da - db)
+                out.append(a + (b - a) * t)
+        poly = out
+        if not poly:
+            return None
+    p = np.asarray(poly)
+    return p.min(axis=0), p.max(axis=0)
+
+
+def _build_sbvh(tlo, thi, cen, wv, alpha=1e-5, ref_budget=0.5):
+    """Top-down SBVH (Stich et al. 2009): binned object SAH + spatial
+    splits with triangle-clipped reference duplication.
+
+    When the best object split's child boxes overlap by more than
+    alpha * root_area, a spatial-split candidate is also evaluated: 16
+    uniform bins along each axis, each reference entering every bin its
+    clipped box straddles; straddling references are DUPLICATED into both
+    children with their boxes re-clipped to the winning plane. Total
+    duplicates are capped at ref_budget * num_tris, after which only
+    object splits are taken. Same output contract as _build_sah except
+    `order` is a REFERENCE -> triangle map that may repeat triangle ids
+    (downstream tables simply carry duplicated tris128 rows; hits on
+    either copy resolve to the same (rnode, tri)).
+
+    The reference builds its BLAS inside the Vulkan driver
+    (gltf_scene_rtx.cpp:173) where spatial splits are the vendor's call;
+    here the build policy is in-repo. Gated to static scenes: refit
+    conservatively re-expands clipped boxes (correct, just looser).
+    """
+    nt = tlo.shape[0]
+    wv3 = np.asarray(wv, np.float64)[:, :9].reshape(nt, 3, 3)
+    max_refs = nt + int(ref_budget * nt)
+    # reference arrays (grow as refs split)
+    rlo = [tlo[i].astype(np.float64) for i in range(nt)]
+    rhi = [thi[i].astype(np.float64) for i in range(nt)]
+    rtri = list(range(nt))
+
+    root_d = thi.max(axis=0) - tlo.min(axis=0)
+    root_area = float(root_d[0] * root_d[1] + root_d[1] * root_d[2] + root_d[2] * root_d[0])
+    if root_area <= 0:
+        return _build_sah(tlo, thi, cen)
+
+    t_left, t_right, t_first, t_count, t_axis = [], [], [], [], []
+    t_lo, t_hi = [], []
+
+    def new_node():
+        t_left.append(-1)
+        t_right.append(-1)
+        t_first.append(-1)
+        t_count.append(0)
+        t_axis.append(0)
+        t_lo.append(None)
+        t_hi.append(None)
+        return len(t_left) - 1
+
+    def area3(d):
+        d = np.maximum(d, 0.0)
+        return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
+    # node work items carry explicit ref-id lists (duplication makes the
+    # in-place permutation of _build_sah unusable)
+    root = new_node()
+    stack = [(root, list(range(nt)))]
+    leaves = []  # (nid, ref ids) — order assembled at the end
+
+    while stack:
+        nid, ids = stack.pop()
+        n = len(ids)
+        nlo = np.min([rlo[i] for i in ids], axis=0)
+        nhi = np.max([rhi[i] for i in ids], axis=0)
+        t_lo[nid] = nlo
+        t_hi[nid] = nhi
+        if n <= LEAF_SIZE:
+            t_first[nid] = -2  # filled in the order pass
+            t_count[nid] = n
+            leaves.append((nid, ids))
+            continue
+        blo_r = np.asarray([rlo[i] for i in ids])
+        bhi_r = np.asarray([rhi[i] for i in ids])
+        c = (blo_r + bhi_r) * 0.5
+
+        # ---- object split (binned SAH over reference boxes)
+        clo = c.min(axis=0)
+        chi = c.max(axis=0)
+        ext = chi - clo
+        best = dict(cost=np.inf, axis=-1, kind="obj")
+        for axis in range(3):
+            if ext[axis] <= 1e-12:
+                continue
+            b = np.minimum(((c[:, axis] - clo[axis]) * (_SAH_BINS / ext[axis])).astype(np.int64),
+                           _SAH_BINS - 1)
+            cnt = np.bincount(b, minlength=_SAH_BINS)
+            blo = np.full((_SAH_BINS, 3), np.inf)
+            bhi = np.full((_SAH_BINS, 3), -np.inf)
+            np.minimum.at(blo, b, blo_r)
+            np.maximum.at(bhi, b, bhi_r)
+            llo = np.minimum.accumulate(blo, axis=0)
+            lhi = np.maximum.accumulate(bhi, axis=0)
+            rlo_s = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+            rhi_s = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+            lcnt = np.cumsum(cnt)
+
+            def areas(alo, ahi):
+                d = np.maximum(ahi - alo, 0.0)
+                return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+            la = areas(llo[:-1], lhi[:-1])
+            ra = areas(rlo_s[1:], rhi_s[1:])
+            lc = lcnt[:-1]
+            rc = n - lc
+            cost = la * lc + ra * rc
+            cost[(lc == 0) | (rc == 0)] = np.inf
+            k = int(np.argmin(cost))
+            if cost[k] < best["cost"]:
+                ov_lo = np.maximum(llo[k], rlo_s[k + 1])
+                ov_hi = np.minimum(lhi[k], rhi_s[k + 1])
+                best = dict(cost=float(cost[k]), axis=axis, kind="obj",
+                            mask=b <= k, overlap=area3(ov_hi - ov_lo))
+
+        # ---- spatial split candidate (only when object children overlap)
+        if (best["axis"] >= 0 and best.get("overlap", 0.0) > alpha * root_area
+                and len(rtri) < max_refs):
+            for axis in range(3):
+                w = nhi[axis] - nlo[axis]
+                if w <= 1e-12:
+                    continue
+                inv_w = _SAH_BINS / w
+                b0 = np.clip(((blo_r[:, axis] - nlo[axis]) * inv_w).astype(np.int64),
+                             0, _SAH_BINS - 1)
+                b1 = np.clip(((bhi_r[:, axis] - nlo[axis]) * inv_w).astype(np.int64),
+                             0, _SAH_BINS - 1)
+                enter = np.bincount(b0, minlength=_SAH_BINS)
+                exit_ = np.bincount(b1, minlength=_SAH_BINS)
+                # per-bin boxes from clipped fragments (AABB-clip estimate
+                # for costing; the actual split re-clips the triangle)
+                blo = np.full((_SAH_BINS, 3), np.inf)
+                bhi = np.full((_SAH_BINS, 3), -np.inf)
+                for j in range(n):
+                    lo_j, hi_j = blo_r[j].copy(), bhi_r[j].copy()
+                    for bb in range(int(b0[j]), int(b1[j]) + 1):
+                        s0 = nlo[axis] + bb * w / _SAH_BINS
+                        s1 = s0 + w / _SAH_BINS
+                        fl = lo_j.copy()
+                        fh = hi_j.copy()
+                        fl[axis] = max(fl[axis], s0)
+                        fh[axis] = min(fh[axis], s1)
+                        blo[bb] = np.minimum(blo[bb], fl)
+                        bhi[bb] = np.maximum(bhi[bb], fh)
+                llo = np.minimum.accumulate(blo, axis=0)
+                lhi = np.maximum.accumulate(bhi, axis=0)
+                rlo_s = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+                rhi_s = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+                lc = np.cumsum(enter)[:-1]
+                rc = n - np.cumsum(exit_)[:-1]
+
+                def areas(alo, ahi):
+                    d = np.maximum(ahi - alo, 0.0)
+                    return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+                la = areas(llo[:-1], lhi[:-1])
+                ra = areas(rlo_s[1:], rhi_s[1:])
+                cost = la * lc + ra * rc
+                bad = (lc == 0) | (rc == 0)
+                cost[bad] = np.inf
+                k = int(np.argmin(cost))
+                if cost[k] < best["cost"]:
+                    best = dict(cost=float(cost[k]), axis=axis, kind="spatial",
+                                plane=float(nlo[axis] + (k + 1) * w / _SAH_BINS))
+
+        if best["axis"] < 0:
+            mid = n // 2
+            lids, rids = ids[:mid], ids[mid:]
+        elif best["kind"] == "obj":
+            mask = best["mask"]
+            lids = [ids[j] for j in range(n) if mask[j]]
+            rids = [ids[j] for j in range(n) if not mask[j]]
+            t_axis[nid] = best["axis"]
+        else:
+            axis, plane = best["axis"], best["plane"]
+            lids, rids = [], []
+            for j in range(n):
+                rid = ids[j]
+                if rhi[rid][axis] <= plane:
+                    lids.append(rid)
+                elif rlo[rid][axis] >= plane:
+                    rids.append(rid)
+                else:
+                    tri = wv3[rtri[rid]]
+                    cl = _clip_tri_slab(tri, axis, rlo[rid][axis], plane)
+                    cr = _clip_tri_slab(tri, axis, plane, rhi[rid][axis])
+                    if cl is None or cr is None or len(rtri) >= max_refs:
+                        # degenerate clip or budget exhausted: assign whole
+                        (lids if (rlo[rid][axis] + rhi[rid][axis]) * 0.5 <= plane
+                         else rids).append(rid)
+                        continue
+                    # left fragment reuses the ref id; right gets a new one
+                    rlo[rid] = np.maximum(cl[0], rlo[rid])
+                    rhi[rid] = np.minimum(cl[1], rhi[rid])
+                    lids.append(rid)
+                    rlo.append(np.maximum(cr[0], np.asarray(tlo[rtri[rid]], np.float64)))
+                    rhi.append(np.minimum(cr[1], np.asarray(thi[rtri[rid]], np.float64)))
+                    rtri.append(rtri[rid])
+                    rids.append(len(rtri) - 1)
+            t_axis[nid] = axis
+            if not lids or not rids:  # numerical corner: fall back
+                mid = n // 2
+                lids, rids = ids[:mid], ids[mid:]
+        l_id = new_node()
+        r_id = new_node()
+        t_left[nid] = l_id
+        t_right[nid] = r_id
+        stack.append((r_id, rids))
+        stack.append((l_id, lids))
+
+    # assemble reference order from leaves (leaf tris must be contiguous)
+    order = np.empty(sum(len(ids) for _, ids in leaves), np.int64)
+    pos = 0
+    for nid, ids in leaves:
+        t_first[nid] = pos
+        order[pos : pos + len(ids)] = [rtri[i] for i in ids]
+        pos += len(ids)
+
+    nn = len(t_left)
+    nodes_i = np.zeros((nn, 8), np.int32)
+    nodes_f = np.zeros((nn, 16), np.float32)
+    nodes_self = np.zeros((nn, 8), np.float32)
+    parent = np.full(nn, -1, np.int32)
+    for nid in range(nn):
+        nodes_self[nid, 0:3] = t_lo[nid]
+        nodes_self[nid, 3:6] = t_hi[nid]
+        if t_count[nid] > 0:
+            nodes_i[nid, 2] = t_first[nid]
+            nodes_i[nid, 3] = t_count[nid]
+            continue
+        l_id, r_id, axis = t_left[nid], t_right[nid], t_axis[nid]
+        cl = (t_lo[l_id][axis] + t_hi[l_id][axis]) * 0.5
+        cr = (t_lo[r_id][axis] + t_hi[r_id][axis]) * 0.5
+        if cr < cl:
+            l_id, r_id = r_id, l_id
+        nodes_i[nid, 0] = l_id
+        nodes_i[nid, 1] = r_id
+        nodes_i[nid, 5] = axis
+        nodes_f[nid, 0:3] = t_lo[l_id]
+        nodes_f[nid, 3:6] = t_hi[l_id]
+        nodes_f[nid, 6:9] = t_lo[r_id]
+        nodes_f[nid, 9:12] = t_hi[r_id]
+        parent[l_id] = nid
+        parent[r_id] = nid
+    nodes_i[:, 4] = parent
+    return order, nodes_i, nodes_f, nodes_self
+
+
 def build_world_bvh(flat, tri_class=None) -> WorldBvh:
     """Bake instances to world space + SAH/LBVH over all world triangles.
 
@@ -488,13 +756,17 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
     # LBVH radix tree above the size cutoff or via VKGR_BVH=lbvh
     import os
 
-    use_sah = os.environ.get("VKGR_BVH", "sah") == "sah"
+    bvh_kind = os.environ.get("VKGR_BVH", "sah")
+    use_sah = bvh_kind in ("sah", "sbvh")
     if use_sah and nt > LEAF_SIZE:
-        from ..native import build_sah_native
+        if bvh_kind == "sbvh" and nt <= 300_000:
+            built = _build_sbvh(tlo, thi, cen, wv)
+        else:
+            from ..native import build_sah_native
 
-        built = build_sah_native(tlo, thi, cen, LEAF_SIZE)
-        if built is None and nt <= 300_000:  # numpy oracle path (slow: python loop)
-            built = _build_sah(tlo, thi, cen)
+            built = build_sah_native(tlo, thi, cen, LEAF_SIZE)
+            if built is None and nt <= 300_000:  # numpy oracle path (slow: python loop)
+                built = _build_sah(tlo, thi, cen)
         if built is None:
             use_sah = False
     if use_sah and nt > LEAF_SIZE:
@@ -502,9 +774,10 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
         wv = wv[order]
         wtri_rnode = wtri_rnode[order]
         wtri_tri = wtri_tri[order]
+        nrefs = order.shape[0]  # == nt except under SBVH duplication
         refit_levels, portal_roots = _levels_and_portals(nodes_i)
-        tris16 = np.zeros((nt + LEAF_SIZE, 16), np.float32)
-        tris16[:nt, :9] = wv
+        tris16 = np.zeros((nrefs + LEAF_SIZE, 16), np.float32)
+        tris16[:nrefs, :9] = wv
         wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
         wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
         n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
