@@ -733,3 +733,54 @@ def test_sbvh_spatial_splits_match_sah_hits():
     to, ids_o = closest((ni_o, ns_o), order_o, ro, rd)
     np.testing.assert_allclose(ts, to, atol=1e-9)
     assert (ids_s == ids_o).all()
+
+
+def test_packet_v7_smem_sidecar_matches_v2():
+    """The v7 kernel (v3 rows + SMEM sidecar for child codes/near-order
+    axes, bvh_flatten._packet3_sidecar) must return identical hits to v2 —
+    closest, any-hit, AND with per-packet entry points (both SMEM operands
+    bound at once)."""
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.models.editor import SceneEditor
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.pallas_traverse import intersect_rays_packet_soa
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    ed = SceneEditor(sc)
+    ed.add_primitive("sphere", segments=12)
+    nid = ed.add_primitive("cube")
+    ed.set_translation(nid, [2.0, 0.5, -1.0])
+    sc.parse_scene()
+    wb = build_world_bvh(build_scene_flat(sc))
+    assert wb.nodes4_sc.shape == (wb.nodes4_fi.shape[0], 8)
+    # sidecar is byte-for-byte the int cast of the fused-row scalar block
+    np.testing.assert_array_equal(
+        np.asarray(wb.nodes4_sc[:, 0:7]), np.asarray(wb.nodes4_fi[:, 24:31]).astype(np.int32))
+
+    rng = np.random.default_rng(13)
+    n = 1024
+    lo, hi = wb.nodes_self[0, 0:3], wb.nodes_self[0, 3:6]
+    c = (lo + hi) / 2
+    r = float(np.linalg.norm(hi - lo))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro = jnp.asarray(c + d * r)
+    rd = jnp.asarray(-d)
+    args = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+            jnp.zeros(n), jnp.full(n, 1e32)]
+    h2 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v2")
+    h7 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v7")
+    assert np.asarray(h2["tri"] >= 0).sum() > 200
+    for k in ("t", "rnode", "tri", "u", "v"):
+        np.testing.assert_allclose(np.asarray(h2[k]), np.asarray(h7[k]), atol=1e-5, err_msg=k)
+    a2 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v2", anyhit=True)
+    a7 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v7", anyhit=True)
+    assert (np.asarray(a2["tri"] >= 0) == np.asarray(a7["tri"] >= 0)).all()
+    e7 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v7",
+                                   entry_points=True)
+    for k in ("t", "rnode", "tri", "u", "v"):
+        np.testing.assert_allclose(np.asarray(h2[k]), np.asarray(e7[k]), atol=1e-5, err_msg=k)

@@ -19,7 +19,7 @@ timeout 900 python tools/exp_visit.py --visits 4096 --grid 32 >> "$OUT" 2>&1
 
 log "kbench sorted bounce/random: v2 v3 v5 v6"
 timeout 1200 python tools/kbench.py --rays 262144 --kinds bounce,random --sort \
-  --variants p2,p3,p5,p6 --tiles 8 >> "$OUT" 2>&1
+  --variants p2,p3,p5,p6,p7 --tiles 8 >> "$OUT" 2>&1
 
 log "kbench primary: v2 v3 v6 tiles=16"
 timeout 900 python tools/kbench.py --rays 262144 --kinds primary \
@@ -31,6 +31,12 @@ timeout 900 python tools/kbench.py --rays 262144 --kinds bounce --sort \
 
 log "bench baseline (defaults)"
 timeout 1800 python bench.py >> "$OUT" 2>&1
+
+log "bench packet_kernel=v7"
+VKGR_PACKET_KERNEL=v7 timeout 1800 python bench.py >> "$OUT" 2>&1
+
+log "bench packet_kernel=v6"
+VKGR_PACKET_KERNEL=v6 VKGR_PRIMARY_KERNEL=v6 timeout 1800 python bench.py >> "$OUT" 2>&1
 
 log "bench entry_points=1"
 VKGR_ENTRY_POINTS=1 timeout 1800 python bench.py >> "$OUT" 2>&1

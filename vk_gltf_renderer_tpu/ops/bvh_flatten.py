@@ -162,6 +162,10 @@ class WorldBvh:
     # halves internal visits vs BVH4) + refit slot->binary-node map
     nodes16_fi: np.ndarray
     map16: np.ndarray
+    # v7 SMEM sidecar: the 7 per-node scalars of a v3 visit (4 child codes
+    # + 3 near-order axes) as an int32 [M,8] table read from SMEM, so the
+    # kernel's scalar chain skips 7 VMEM->SREG extracts per visit
+    nodes4_sc: np.ndarray
     num_world_tris: int
     root_code: int = 0
     root4_code: int = 0
@@ -748,7 +752,8 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
         hit_attr=hit_attr, rn_attr_base=rn_attr_base, attr_rnode=attr_rnode,
         attr_tri=attr_tri, attr_has_uv=attr_has_uv,
         attr_alpha_class=attr_alpha_class,
-        nodes4_fi=nfi4, root4_code=r4, nodes16_fi=nfi16, map16=m16,
+        nodes4_fi=nfi4, nodes4_sc=_packet3_sidecar(nfi4), root4_code=r4,
+        nodes16_fi=nfi16, map16=m16,
         root_code=rcode, num_world_tris=1,
         )
 
@@ -794,7 +799,8 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
         hit_attr=hit_attr, rn_attr_base=rn_attr_base, attr_rnode=attr_rnode,
         attr_tri=attr_tri, attr_has_uv=attr_has_uv,
         attr_alpha_class=attr_alpha_class,
-        nodes4_fi=nfi4, root4_code=r4, nodes16_fi=nfi16, map16=m16,
+        nodes4_fi=nfi4, nodes4_sc=_packet3_sidecar(nfi4), root4_code=r4,
+        nodes16_fi=nfi16, map16=m16,
         root_code=rcode, num_world_tris=nt,
         )
 
@@ -1008,7 +1014,8 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
         hit_attr=hit_attr, rn_attr_base=rn_attr_base, attr_rnode=attr_rnode,
         attr_tri=attr_tri, attr_has_uv=attr_has_uv,
         attr_alpha_class=attr_alpha_class,
-        nodes4_fi=nfi4, root4_code=r4, nodes16_fi=nfi16, map16=m16,
+        nodes4_fi=nfi4, nodes4_sc=_packet3_sidecar(nfi4), root4_code=r4,
+        nodes16_fi=nfi16, map16=m16,
         root_code=rcode, num_world_tris=nt,
     )
 
@@ -1035,7 +1042,7 @@ def vmem_bytes(wb: WorldBvh, kernel: str = "v2") -> int:
     if kernel == "v6":
         # BVH16 rows are exactly 128 floats — zero Mosaic padding waste
         return wb.nodes16_fi.nbytes + wb.tris128.nbytes
-    rows = wb.nodes4_fi.shape[0] if kernel in ("v3", "v5") else wb.nodes_fi.shape[0]
+    rows = wb.nodes4_fi.shape[0] if kernel in ("v3", "v5", "v7") else wb.nodes_fi.shape[0]
     return rows * 128 * 4 + wb.tris128.nbytes
 
 
@@ -1106,6 +1113,14 @@ def _packet3_tables(nodes_i, nodes4_i, nodes4_f):
     for s in range(4):
         fi[is_missing[:, s], 6 * s : 6 * s + 6] = 3e38
     return fi, 0
+
+
+def _packet3_sidecar(nodes4_fi):
+    """int32 [M,8] SMEM sidecar of the v3 rows: cols 0:4 child codes,
+    4:7 near-order axes, 7 pad (codes are exact in f32: |code| < 2^24)."""
+    sc = np.zeros((nodes4_fi.shape[0], 8), np.int32)
+    sc[:, 0:7] = nodes4_fi[:, 24:31].astype(np.int32)
+    return sc
 
 
 def _leaf_code(first, count):

@@ -503,7 +503,8 @@ def _traverse2_body(nodes_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_re
 
 
 def _traverse3_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_ref,
-                    root_code=0, anyhit=False, entry_ref=None, count_visits=False):
+                    root_code=0, anyhit=False, entry_ref=None, count_visits=False,
+                    sc_ref=None):
     """v3 packet traversal: fused BVH4 rows + v2 leaf blocks.
 
     Per INTERNAL visit ONE [1,32] fetch carries 4 child AABBs, 4 child
@@ -512,7 +513,12 @@ def _traverse3_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_r
     the scalar work (pops, fetches, conds, packed reductions — the measured
     bottleneck at ~0.35us/visit) is roughly halved. Leaf visits and the
     anyhit poisoning are identical to _traverse2_body (tris128 blocks,
-    sign-encoded stack entries)."""
+    sign-encoded stack entries).
+
+    sc_ref (the v7 variant): optional [M,8] int32 SMEM sidecar carrying
+    each node's 4 child codes + 3 near-order axes
+    (bvh_flatten._packet3_sidecar) — the visit's 7 scalar reads become
+    cheap SMEM loads instead of VMEM->SREG extracts off the fetched row."""
     rox = ro_ref[0, 0]
     roy = ro_ref[0, 1]
     roz = ro_ref[0, 2]
@@ -622,13 +628,20 @@ def _traverse3_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_r
             a1 = (p01 & 65535) > 0
             a2 = p23 >= 65536
             a3 = (p23 & 65535) > 0
-            c0 = f[0, 24].astype(jnp.int32)
-            c1 = f[0, 25].astype(jnp.int32)
-            c2 = f[0, 26].astype(jnp.int32)
-            c3 = f[0, 27].astype(jnp.int32)
-            s0 = sign_of(f[0, 28].astype(jnp.int32))  # left pair nearer?
-            s1 = sign_of(f[0, 29].astype(jnp.int32))  # slot0 nearer in left pair
-            s2 = sign_of(f[0, 30].astype(jnp.int32))
+            if sc_ref is None:
+                c0 = f[0, 24].astype(jnp.int32)
+                c1 = f[0, 25].astype(jnp.int32)
+                c2 = f[0, 26].astype(jnp.int32)
+                c3 = f[0, 27].astype(jnp.int32)
+                ax0, ax1, ax2 = (f[0, 28].astype(jnp.int32),
+                                 f[0, 29].astype(jnp.int32),
+                                 f[0, 30].astype(jnp.int32))
+            else:
+                c0, c1, c2, c3 = sc_ref[e, 0], sc_ref[e, 1], sc_ref[e, 2], sc_ref[e, 3]
+                ax0, ax1, ax2 = sc_ref[e, 4], sc_ref[e, 5], sc_ref[e, 6]
+            s0 = sign_of(ax0)  # left pair nearer?
+            s1 = sign_of(ax1)  # slot0 nearer in left pair
+            s2 = sign_of(ax2)
 
             ln_id = jnp.where(s1, c0, c1)
             lf_id = jnp.where(s1, c1, c0)
@@ -919,16 +932,17 @@ def traverse_packets5(nodes4_fi, tris128, rays_ro, rays_rd, root_code, interpret
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tiles", "anyhit", "root_code", "count_visits"))
 def traverse_packets3(nodes4_fi, tris128, rays_ro, rays_rd, root_code, interpret=False,
-                      tiles=1, anyhit=False, entry=None, count_visits=False):
+                      tiles=1, anyhit=False, entry=None, count_visits=False,
+                      sidecar=None):
     """v3 kernel dispatch (BVH4 fused rows); same I/O as traverse_packets2.
     entry: optional [G, ENTRY_WIDTH] i32 per-packet seeded stacks
     (packet_entry_stacks); count_visits adds a 6th output channel with the
-    packet's node-visit count (debug/measurement only)."""
+    packet's node-visit count (debug/measurement only); sidecar: optional
+    [M,8] i32 SMEM table (bvh_flatten._packet3_sidecar) = the v7 variant
+    (per-visit codes/axes from SMEM instead of VMEM scalar extracts)."""
     g = rays_ro.shape[0]
     sub = tiles * SUB
     nchan = 6 if count_visits else 5
-    kernel = functools.partial(_traverse3_body, root_code=root_code, anyhit=anyhit,
-                               count_visits=count_visits)
     in_specs = [
         pl.BlockSpec(nodes4_fi.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(tris128.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -936,13 +950,22 @@ def traverse_packets3(nodes4_fi, tris128, rays_ro, rays_rd, root_code, interpret
         pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
     ]
     operands = [nodes4_fi, tris128, rays_ro, rays_rd]
+    opt = []  # (kw_name, operand) in in_specs order after the fixed four
     if entry is not None:
-        def kernel(n_ref, t_ref, ro_ref, rd_ref, e_ref, out_ref, stack_ref):
-            return _traverse3_body(n_ref, t_ref, ro_ref, rd_ref, out_ref, stack_ref,
-                                   root_code=root_code, anyhit=anyhit, entry_ref=e_ref,
-                                   count_visits=count_visits)
         in_specs.append(pl.BlockSpec(entry.shape, lambda i: (0, 0), memory_space=pltpu.SMEM))
         operands.append(entry)
+        opt.append("entry_ref")
+    if sidecar is not None:
+        in_specs.append(pl.BlockSpec(sidecar.shape, lambda i: (0, 0), memory_space=pltpu.SMEM))
+        operands.append(sidecar)
+        opt.append("sc_ref")
+
+    def kernel(n_ref, t_ref, ro_ref, rd_ref, *rest):
+        *opt_refs, out_ref, stack_ref = rest
+        kw = dict(zip(opt, opt_refs))
+        return _traverse3_body(n_ref, t_ref, ro_ref, rd_ref, out_ref, stack_ref,
+                               root_code=root_code, anyhit=anyhit,
+                               count_visits=count_visits, **kw)
     return pl.pallas_call(
         kernel,
         grid=(g,),
@@ -1305,16 +1328,22 @@ def intersect_rays_packet_soa(
             wb.nodes16_fi, wb.tris128, ro_p, rd_p,
             interpret=interpret, tiles=tiles, anyhit=anyhit,
         )
-    elif kernel in ("v3", "v5"):
+    elif kernel in ("v3", "v5", "v7"):
         entry = (
             packet_entry_stacks(wb.nodes4_fi, wb.root4_code, ro_p, PACKET * tiles)
             if entry_points else None
         )
-        fn = traverse_packets5 if kernel == "v5" else traverse_packets3
-        out = fn(
-            wb.nodes4_fi, wb.tris128, ro_p, rd_p, wb.root4_code,
-            interpret=interpret, tiles=tiles, anyhit=anyhit, entry=entry,
-        )
+        if kernel == "v5":
+            out = traverse_packets5(
+                wb.nodes4_fi, wb.tris128, ro_p, rd_p, wb.root4_code,
+                interpret=interpret, tiles=tiles, anyhit=anyhit, entry=entry,
+            )
+        else:
+            out = traverse_packets3(
+                wb.nodes4_fi, wb.tris128, ro_p, rd_p, wb.root4_code,
+                interpret=interpret, tiles=tiles, anyhit=anyhit, entry=entry,
+                sidecar=wb.nodes4_sc if kernel == "v7" else None,
+            )
     else:
         out = traverse_packets2(
             wb.nodes_fi, wb.tris128, ro_p, rd_p, wb.root_code,
