@@ -24,15 +24,45 @@ from pathlib import Path
 HERE = Path(__file__).resolve().parent
 
 
+def _tpu_reachable(env, timeout=180) -> bool:
+    """Cheap probe: the axon tunnel wedges by HANGING (not erroring), so a
+    bounded subprocess is the only safe way to ask."""
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform != 'cpu'"],
+            cwd=HERE, env=env, capture_output=True, timeout=timeout,
+        )
+        return probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
     env = dict(os.environ)
+    if not _tpu_reachable(env):
+        # one retry after a cool-off: transient UNAVAILABLE recovers ~30 s
+        import time
+
+        time.sleep(60)
+        if not _tpu_reachable(env):
+            print(json.dumps({
+                "metric": "Mrays_per_sec", "value": 0.0, "unit": "Mrays/s",
+                "vs_baseline": 0.0,
+                "detail": {"error": "TPU tunnel unreachable (probe timed out twice)"},
+            }))
+            return 1
     for attempt in range(3):
         if attempt > 0:
             env["VKGR_TPU_CACHE"] = tempfile.mkdtemp(prefix="vkgr_bench_cache_")
-        proc = subprocess.run(
-            [sys.executable, "-m", "vk_gltf_renderer_tpu.bench_impl"],
-            cwd=HERE, env=env, capture_output=True, text=True, timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "vk_gltf_renderer_tpu.bench_impl"],
+                cwd=HERE, env=env, capture_output=True, text=True, timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench attempt {attempt + 1} timed out; retrying\n")
+            continue
         for line in reversed(proc.stdout.splitlines()):
             if line.startswith("{") and '"metric"' in line:
                 print(line)
