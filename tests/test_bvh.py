@@ -481,6 +481,7 @@ def test_packet_v3_entry_points_lossless_and_fewer_visits(tmp_path):
     assert v_seed < 0.75 * v_ref  # the >=25%-fewer-visits contract
 
 
+@pytest.mark.slow  # parity for a KEPT-AS-NEGATIVE experiment (v5 measured slower; NEXT.md)
 def test_packet_v5_multipop_matches_v2():
     """The branch-free multi-pop v5 kernel (speculative node+leaf fetches,
     masked vector phase, t_best chained through the popped group) must
@@ -783,3 +784,65 @@ def test_packet_v7_smem_sidecar_matches_v2():
                                    entry_points=True)
     for k in ("t", "rnode", "tri", "u", "v"):
         np.testing.assert_allclose(np.asarray(h2[k]), np.asarray(e7[k]), atol=1e-5, err_msg=k)
+
+
+def test_primary_seed_reverify_matches_trace():
+    """_primary_seed_hits (the sound ray-path-prediction seed,
+    RenderConfig.primary_seed) must re-derive EXACTLY the traced first
+    hits when fed those hits' own (rnode, tri) via emit2ref — and reject
+    or stay-true on garbage refs (a wrong prediction either fails the
+    Moller-Trumbore re-verify or is itself a true intersection)."""
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.pathtrace import _primary_seed_hits
+    from vk_gltf_renderer_tpu.ops.traverse_wavefront import intersect_rays_wavefront
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    wb = build_world_bvh(build_scene_flat(sc))
+
+    rng = np.random.default_rng(5)
+    n = 512
+    lo, hi = wb.nodes_self[0, 0:3], wb.nodes_self[0, 3:6]
+    c = (lo + hi) / 2
+    r = float(np.linalg.norm(hi - lo))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro = jnp.asarray(c + d * r)
+    rd = jnp.asarray(-d)
+    h = intersect_rays_wavefront(wb, ro, rd)
+    hit = np.asarray(h["tri"]) >= 0
+    assert hit.sum() > 100
+
+    # (rnode, tri) -> emit row -> ref, exactly as _render_frame does
+    row = np.asarray(wb.rn_attr_base)[np.maximum(np.asarray(h["rnode"]), 0)] + np.maximum(np.asarray(h["tri"]), 0)
+    ref = np.where(hit, np.asarray(wb.emit2ref)[np.clip(row, 0, wb.emit2ref.shape[0] - 1)], -1)
+    t, rn, tri, u, v, valid = _primary_seed_hits(wb, ro, rd, jnp.asarray(ref, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(valid), hit)
+    m = hit
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(h["t"])[m], rtol=1e-5)
+    assert (np.asarray(rn)[m] == np.asarray(h["rnode"])[m]).all()
+    assert (np.asarray(tri)[m] == np.asarray(h["tri"])[m]).all()
+    np.testing.assert_allclose(np.asarray(u)[m], np.asarray(h["u"])[m], atol=1e-5)
+
+    # garbage refs: valid only where a TRUE intersection with that exact
+    # triangle exists (sound upper bound by construction)
+    bad = jnp.asarray(rng.integers(0, wb.num_world_tris, n), jnp.int32)
+    t2, rn2, tri2, u2, v2, valid2 = _primary_seed_hits(wb, ro, rd, bad)
+    tb = np.asarray(wb.tris)[np.asarray(bad)]
+    v0, e1, e2 = tb[:, 0:3], tb[:, 3:6] - tb[:, 0:3], tb[:, 6:9] - tb[:, 0:3]
+    ron, rdn = np.asarray(ro), np.asarray(rd)
+    p = np.cross(rdn, e2)
+    det = (e1 * p).sum(1)
+    ok = np.abs(det) >= 1e-12
+    invd = 1.0 / np.where(ok, det, 1.0)
+    tv = ron - v0
+    uu = (tv * p).sum(1) * invd
+    q = np.cross(tv, e1)
+    vv = (rdn * q).sum(1) * invd
+    tt = (e2 * q).sum(1) * invd
+    truth = ok & (uu >= 0) & (vv >= 0) & (uu + vv <= 1) & (tt > 0)
+    np.testing.assert_array_equal(np.asarray(valid2), truth)

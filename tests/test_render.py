@@ -160,7 +160,9 @@ def test_compact_frame_matches_wavefront(monkeypatch):
     from vk_gltf_renderer_tpu.renderer import GltfRenderer
 
     def render(traversal):
-        r = GltfRenderer(width=40, height=40, spp=1, max_depth=4)
+        # 40x40 depth-3 == the box_render fixture's config: the wavefront
+        # baseline graph is a variant-cache hit (make_render_fn memo)
+        r = GltfRenderer(width=40, height=40, spp=1, max_depth=3)
         r.create_scene("/root/reference/resources/Box.glb")
         monkeypatch.setenv("VKGR_TRAVERSAL", traversal)
         aux = r.on_render()
@@ -433,3 +435,32 @@ def test_denoise_renderer_ramp_and_background():
     # (b) miss pixels pass through exactly
     assert solid.sum() > 0 and (~solid).sum() > 0
     assert np.allclose(guided[~solid], np.asarray(rad)[~solid], atol=1e-6)
+
+
+@pytest.mark.slow  # two fresh render-graph compiles (~2 min CPU); verified passing
+def test_primary_seed_exact(monkeypatch):
+    """Previous-frame hit seeding (RenderConfig.primary_seed) must be
+    radiometrically EXACT: the seed is a re-verified true intersection, so
+    tmax-bounded traversal + seed fallback returns the same closest hits.
+    Compare a seeded vs unseeded progressive render (only t/u/v may differ
+    in final-ulp where the seed's Moller-Trumbore stands in for the
+    traversal's). Paper basis: hash-based ray path prediction (PAPERS.md),
+    made lossless."""
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer
+
+    def run(enabled):
+        monkeypatch.setenv("VKGR_PRIMARY_SEED", "1" if enabled else "0")
+        r = GltfRenderer(width=32, height=32, spp=1, max_depth=2)
+        r.create_scene("/root/reference/resources/Box.glb")
+        for _ in range(2):
+            aux = r.on_render()
+        assert r._cfg.primary_seed is enabled
+        return np.asarray(r.image_linear()), aux
+
+    img_off, aux_off = run(False)
+    img_on, aux_on = run(True)
+    # frame >= 2 used real seeds: assert they were actually produced
+    assert (np.asarray(aux_on["first_tri"]) >= 0).any()
+    assert (np.asarray(aux_on["first_rnode"]) == np.asarray(aux_off["first_rnode"])).all()
+    assert (np.asarray(aux_on["first_tri"]) == np.asarray(aux_off["first_tri"])).all()
+    np.testing.assert_allclose(img_on, img_off, atol=2e-5)

@@ -378,7 +378,7 @@ def test_headless_animate_flag(tmp_path):
         r = subprocess.run(
             [sys.executable, "-m", "vk_gltf_renderer_tpu.headless",
              "--scenefile", str(tmp_path / "anim.gltf"), "--size", "24", "24",
-             "--output", out] + extra,
+             "--ptDepth", "2", "--output", out] + extra,
             capture_output=True, text=True, timeout=600,
             env={**os.environ, "JAX_PLATFORMS": "cpu"}, cwd="/root/repo",
         )

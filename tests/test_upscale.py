@@ -81,16 +81,16 @@ def test_renderer_upscale_end_to_end(box_glb):
     display-res image close to a native-res render of the same scene."""
     from vk_gltf_renderer_tpu.renderer import GltfRenderer
 
-    r = GltfRenderer(width=32, height=32, spp=1, max_depth=2)
+    r = GltfRenderer(width=24, height=24, spp=1, max_depth=2)
     r.upscale = 2
     r.create_scene(str(box_glb))
     for _ in range(8):
         r.on_render()
     up = r.image_upscaled()
-    assert up.shape == (64, 64, 3)
+    assert up.shape == (48, 48, 3)
     assert np.isfinite(up).all()
 
-    rn = GltfRenderer(width=64, height=64, spp=1, max_depth=2)
+    rn = GltfRenderer(width=48, height=48, spp=1, max_depth=2)
     rn.create_scene(str(box_glb))
     for _ in range(8):
         rn.on_render()

@@ -38,6 +38,9 @@ VKGR_PACKET_KERNEL=v7 timeout 1800 python bench.py >> "$OUT" 2>&1
 log "bench packet_kernel=v6"
 VKGR_PACKET_KERNEL=v6 VKGR_PRIMARY_KERNEL=v6 timeout 1800 python bench.py >> "$OUT" 2>&1
 
+log "bench primary_seed=1"
+VKGR_PRIMARY_SEED=1 timeout 1800 python bench.py >> "$OUT" 2>&1
+
 log "bench entry_points=1"
 VKGR_ENTRY_POINTS=1 timeout 1800 python bench.py >> "$OUT" 2>&1
 

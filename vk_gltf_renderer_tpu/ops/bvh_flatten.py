@@ -166,6 +166,11 @@ class WorldBvh:
     # + 3 near-order axes) as an int32 [M,8] table read from SMEM, so the
     # kernel's scalar chain skips 7 VMEM->SREG extracts per visit
     nodes4_sc: np.ndarray
+    # emit-row -> reordered world-tri ref (-1 where culled): inverts
+    # (rnode, tri) -> tris row for the primary-seed fast path
+    # (ops/pathtrace._primary_seed_hits); under SBVH duplication any copy
+    # is valid (identical vertices)
+    emit2ref: np.ndarray
     num_world_tris: int
     root_code: int = 0
     root4_code: int = 0
@@ -750,6 +755,8 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
             nodes4_i=n4i, nodes4_f=n4f, map4=m4, lane_pages=lp, lane_geo_idx=lgi,
         nodes_fi=nfi, tris128=t128, wtri8_rnode=w8r, wtri8_tri=w8t, tri8_src=t8s,
         hit_attr=hit_attr, rn_attr_base=rn_attr_base, attr_rnode=attr_rnode,
+        emit2ref=_emit2ref(rn_attr_base, wtri_rnode, wtri_tri,
+                           attr_rnode.shape[0], wtri_rnode.shape[0] - LEAF_SIZE),
         attr_tri=attr_tri, attr_has_uv=attr_has_uv,
         attr_alpha_class=attr_alpha_class,
         nodes4_fi=nfi4, nodes4_sc=_packet3_sidecar(nfi4), root4_code=r4,
@@ -797,6 +804,8 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
             nodes4_i=n4i, nodes4_f=n4f, map4=m4, lane_pages=lp, lane_geo_idx=lgi,
         nodes_fi=nfi, tris128=t128, wtri8_rnode=w8r, wtri8_tri=w8t, tri8_src=t8s,
         hit_attr=hit_attr, rn_attr_base=rn_attr_base, attr_rnode=attr_rnode,
+        emit2ref=_emit2ref(rn_attr_base, wtri_rnode, wtri_tri,
+                           attr_rnode.shape[0], wtri_rnode.shape[0] - LEAF_SIZE),
         attr_tri=attr_tri, attr_has_uv=attr_has_uv,
         attr_alpha_class=attr_alpha_class,
         nodes4_fi=nfi4, nodes4_sc=_packet3_sidecar(nfi4), root4_code=r4,
@@ -1012,6 +1021,8 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
         nodes4_i=n4i, nodes4_f=n4f, map4=m4, lane_pages=lp, lane_geo_idx=lgi,
         nodes_fi=nfi, tris128=t128, wtri8_rnode=w8r, wtri8_tri=w8t, tri8_src=t8s,
         hit_attr=hit_attr, rn_attr_base=rn_attr_base, attr_rnode=attr_rnode,
+        emit2ref=_emit2ref(rn_attr_base, wtri_rnode, wtri_tri,
+                           attr_rnode.shape[0], wtri_rnode.shape[0] - LEAF_SIZE),
         attr_tri=attr_tri, attr_has_uv=attr_has_uv,
         attr_alpha_class=attr_alpha_class,
         nodes4_fi=nfi4, nodes4_sc=_packet3_sidecar(nfi4), root4_code=r4,
@@ -1121,6 +1132,16 @@ def _packet3_sidecar(nodes4_fi):
     sc = np.zeros((nodes4_fi.shape[0], 8), np.int32)
     sc[:, 0:7] = nodes4_fi[:, 24:31].astype(np.int32)
     return sc
+
+
+def _emit2ref(rn_attr_base, wtri_rnode, wtri_tri, n_attr, nrefs):
+    """emit-row -> reordered ref table (see WorldBvh.emit2ref)."""
+    e2r = np.full(max(int(n_attr), 1), -1, np.int32)
+    if nrefs > 0:
+        rows = (np.asarray(rn_attr_base)[wtri_rnode[:nrefs]]
+                + np.asarray(wtri_tri[:nrefs], np.int64))
+        e2r[rows] = np.arange(nrefs, dtype=np.int32)
+    return e2r
 
 
 def _leaf_code(first, count):

@@ -157,6 +157,19 @@ class RenderConfig:
     # oracle-tested). Default off until measured end-to-end on hardware —
     # flip via VKGR_ENTRY_POINTS=1.
     entry_points: bool = False
+    # previous-frame hit seeding for the primary trace (the sound variant
+    # of hash-based ray-path prediction, PAPERS.md): each pixel's last
+    # first-hit (rnode, tri) is re-verified against the CURRENT triangle
+    # by one Moller-Trumbore test, and its t seeds the kernel's tmax — the
+    # traversal only explores nodes intersecting [0, t_seed], and the
+    # verified seed stands whenever the kernel finds nothing strictly
+    # closer. EXACT by construction (a stale or wrong prediction either
+    # fails the re-verify or is itself a true intersection, i.e. a valid
+    # upper bound), so no invalidation is ever needed. Gated to scenes
+    # without stochastic alpha (a seeded alpha hit would freeze the alpha
+    # RNG decision of the frame it was captured in). Default off until
+    # measured end-to-end on hardware — flip via VKGR_PRIMARY_SEED=1.
+    primary_seed: bool = False
     # barycentric wireframe overlay (the reference's WIREFRAME shader
     # variant, renderer_pathtracer.cpp:1050 macro set) — preview renderer
     wireframe: bool = False
@@ -650,7 +663,32 @@ def _hdr_background_fixup(state, env, cfg):
     return state
 
 
-def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angle=0.0, prev_rn_o2w=None, pixel=None):
+def _primary_seed_hits(bvh, ro, rd, prev_ref):
+    """Re-verify last frame's per-lane first hit against the CURRENT
+    triangle table (refit-safe): one Moller-Trumbore test per lane.
+    Returns (t, rnode, tri, u, v, valid) — a sound tmax seed + fallback
+    hit for the primary trace (see RenderConfig.primary_seed)."""
+    ref = jnp.clip(prev_ref, 0, bvh.tris.shape[0] - 1)
+    tv = bvh.tris[ref]  # [n,16] row gather; cols 0:9 = world verts
+    v0 = tv[:, 0:3]
+    e1 = tv[:, 3:6] - v0
+    e2 = tv[:, 6:9] - v0
+    p = jnp.cross(rd, e2)
+    det = jnp.sum(e1 * p, axis=-1)
+    ok = jnp.abs(det) >= 1e-12
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    tvec = ro - v0
+    u = jnp.sum(tvec * p, axis=-1) * inv_det
+    q = jnp.cross(tvec, e1)
+    v = jnp.sum(rd * q, axis=-1) * inv_det
+    t = jnp.sum(e2 * q, axis=-1) * inv_det
+    valid = ((prev_ref >= 0) & ok & (u >= 0.0) & (v >= 0.0)
+             & (u + v <= 1.0) & (t > 0.0))
+    t = jnp.where(valid, t, INFINITE)
+    return (t, bvh.wtri_rnode[ref], bvh.wtri_tri[ref], u, v, valid)
+
+
+def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angle=0.0, prev_rn_o2w=None, pixel=None, prev_ref=None):
     """Trace one sample per lane. Returns (radiance [N,3], aux dict, seed).
 
     The bounce loop is a lax.scan with a depth-uniform body (first-hit
@@ -681,6 +719,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         solid=jnp.ones(n, bool),
         first_pos=jnp.full((n, 3), 1e34),
         first_rnode=jnp.full(n, -1, jnp.int32),
+        first_tri=jnp.full(n, -1, jnp.int32),
         guide_albedo=jnp.zeros((n, 3)),
         guide_normal=jnp.zeros((n, 3)),
         guide_rough=jnp.zeros(n),
@@ -697,7 +736,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         rays=jnp.zeros((), jnp.float32),
     )
 
-    def bounce(state, depth, cfg_t=cfg_t):
+    def bounce(state, depth, cfg_t=cfg_t, seed_hits=None):
         ro, rd = state["ro"], state["rd"]
         alive = state["alive"]
         seed = state["seed"]
@@ -712,7 +751,23 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         # directions (toward env/light samples) are divergent even when the
         # closest-trace origins are tile-coherent, so wider packets lose
         cfg_s = replace(cfg_t, packet_tiles=cfg.packet_tiles)
-        hits, seed = _trace_with_alpha(flat, bvh, ro, rd, seed, cfg_t, alive=alive)
+        if seed_hits is None:
+            hits, seed = _trace_with_alpha(flat, bvh, ro, rd, seed, cfg_t, alive=alive)
+        else:
+            # primary-seed fast path (RenderConfig.primary_seed; no-alpha
+            # scenes only, so this is plain trace_closest): the verified
+            # previous-frame hit bounds tmax — the kernel returns anything
+            # STRICTLY closer, else the seed hit stands
+            s_t, s_rn, s_tri, s_u, s_v, s_valid = seed_hits
+            hits = trace_closest(bvh, ro, rd, cfg_t, tmax=s_t, alive=alive, coherent=True)
+            use = s_valid & (hits["tri"] < 0)
+            hits = {
+                "t": jnp.where(use, s_t, hits["t"]),
+                "rnode": jnp.where(use, s_rn, hits["rnode"]),
+                "tri": jnp.where(use, s_tri, hits["tri"]),
+                "u": jnp.where(use, s_u, hits["u"]),
+                "v": jnp.where(use, s_v, hits["v"]),
+            }
         miss = hits["tri"] < 0
 
         if cfg.denoise_guides:
@@ -796,6 +851,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         first_hit = first & lane_hit
         state["first_pos"] = jnp.where(first_hit[..., None], hs["pos"], state["first_pos"])
         state["first_rnode"] = jnp.where(first_hit, hits["rnode"], state["first_rnode"])
+        state["first_tri"] = jnp.where(first_hit, hits["tri"], state["first_tri"])
         state["guide_albedo"] = jnp.where(first_hit[..., None], pbr["base_color"], state["guide_albedo"])
         state["guide_normal"] = jnp.where(first_hit[..., None], pbr["N"], state["guide_normal"])
         state["guide_rough"] = jnp.where(first_hit, jnp.sqrt(pbr["roughness"][..., 0]), state["guide_rough"])
@@ -1015,14 +1071,27 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         st, depth = carry
         return (depth < cfg.max_depth) & jnp.any(st["alive"])
 
+    # alpha guard belt-and-suspenders (renderer already gates the cfg):
+    # the seeded branch bypasses the stochastic-alpha re-trace, which is
+    # only sound when no material can reject hits
+    seed_hits = (
+        _primary_seed_hits(bvh, ro, rd, prev_ref)
+        if prev_ref is not None and not cfg.alpha_any else None
+    )
+
     if not compact:
         def _bounce_body(carry):
             st, depth = carry
             st, _ = bounce(st, depth)
             return st, depth + 1
 
+        depth0 = jnp.zeros((), jnp.int32)
+        if seed_hits is not None:
+            # peel depth 0 so the seeded trace exists only there
+            state, _ = bounce(state, depth0, seed_hits=seed_hits)
+            depth0 = depth0 + 1
         state, _ = jax.lax.while_loop(
-            _bounce_cond, _bounce_body, (state, jnp.zeros((), jnp.int32))
+            _bounce_cond, _bounce_body, (state, depth0)
         )
     else:
         # Bounce 0 PEELED: full width, NO input sort. Primary rays arrive
@@ -1035,6 +1104,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
             state, jnp.zeros((), jnp.int32),
             cfg_t=replace(cfg_t, packet_tiles=cfg.primary_tiles,
                           packet_kernel=cfg.primary_kernel),
+            seed_hits=seed_hits,
         )
 
         # background fix-up MUST happen here, right after the peel: solid /
@@ -1114,6 +1184,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         "first_pos": state["first_pos"],
         "solid": state["solid"],
         "first_rnode": state["first_rnode"],
+        "first_tri": state["first_tri"],
         "albedo": state["guide_albedo"],
         "normal": state["guide_normal"],
         "roughness": state["guide_rough"],
@@ -1258,6 +1329,18 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
     sample_pos = jnp.stack([px, py], axis=-1).astype(jnp.float32)
     image_size = jnp.array([w, h], jnp.float32)
 
+    prev_ref = None
+    if (cfg.primary_seed and "px" not in frame
+            and frame.get("prev_first_rnode") is not None):
+        # previous frame's per-PIXEL first hit -> this frame's per-LANE
+        # reordered tri ref (emit2ref inversion); -1 lanes seed nothing
+        pix = (py.astype(jnp.int32) * w + px.astype(jnp.int32))
+        p_rn = frame["prev_first_rnode"][pix]
+        p_tri = frame["prev_first_tri"][pix]
+        row = bvh.rn_attr_base[jnp.maximum(p_rn, 0)] + jnp.maximum(p_tri, 0)
+        ref = bvh.emit2ref[jnp.clip(row, 0, bvh.emit2ref.shape[0] - 1)]
+        prev_ref = jnp.where((p_rn >= 0) & (p_tri >= 0), ref, -1)
+
     if cfg.spp > 1 and cfg.spp_batch and "px" not in frame:
         return _render_frame_spp_batched(
             flat, bvh, env, frame, cfg, px, py, n, tile_order, image_size
@@ -1283,6 +1366,7 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
             pixel_angle=frame.get("pixel_angle", 0.0),
             prev_rn_o2w=frame.get("prev_rn_o2w"),
             pixel=(py * w + px).astype(jnp.int32),
+            prev_ref=prev_ref,
         )
         # sanitize: a rare degenerate sample (0*inf through a near-zero pdf)
         # must not poison the accumulation buffer
@@ -1309,6 +1393,7 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
         "first_pos": jnp.zeros((n, 3)),
         "solid": jnp.zeros(n, bool),
         "first_rnode": jnp.full(n, -1, jnp.int32),
+        "first_tri": jnp.full(n, -1, jnp.int32),
         "albedo": jnp.zeros((n, 3)),
         "normal": jnp.zeros((n, 3)),
         "roughness": jnp.zeros(n),
@@ -1354,12 +1439,29 @@ def render_frame_flat(flat, bvh, env, frame, cfg: RenderConfig):
     return new_accum, aux_out
 
 
+# In-process variant cache (the reference's LRU shader-variant cache,
+# renderer_pathtracer.hpp:114-149): the SAME RenderConfig must return the
+# SAME jitted closure, or every GltfRenderer / config toggle retraces and
+# recompiles an identical graph (jax.jit keys on function identity).
+# Keyed additionally on the two semantics knobs that live OUTSIDE the
+# config (tests monkeypatch them): the compact-path gate values and the
+# interpret-mode env flag.
+_RENDER_FN_CACHE: "OrderedDict" = __import__("collections").OrderedDict()
+_RENDER_FN_LRU = 16
+
+
 def make_render_fn(cfg: RenderConfig):
     """jit-compiled frame renderer, specialized on the static config
     (the variant-cache analog)."""
+    key = (cfg, COMPACT_MIN_LANES, globals()["_bucket_ladder"],
+           os.environ.get("VKGR_PALLAS_INTERPRET"))
+    fn = _RENDER_FN_CACHE.pop(key, None)
+    if fn is None:
+        @partial(jax.jit, static_argnames=())
+        def fn(flat, bvh, env, frame):
+            return render_frame_flat(flat, bvh, env, frame, cfg)
 
-    @partial(jax.jit, static_argnames=())
-    def fn(flat, bvh, env, frame):
-        return render_frame_flat(flat, bvh, env, frame, cfg)
-
+    _RENDER_FN_CACHE[key] = fn
+    while len(_RENDER_FN_CACHE) > _RENDER_FN_LRU:
+        _RENDER_FN_CACHE.popitem(last=False)
     return fn

@@ -62,6 +62,7 @@ def make_sharded_render_fn(cfg: RenderConfig, mesh: Mesh, axis: str = "tiles"):
         "first_pos": shd,
         "solid": shd,
         "first_rnode": shd,
+        "first_tri": shd,
         "albedo": shd,
         "normal": shd,
         "roughness": shd,

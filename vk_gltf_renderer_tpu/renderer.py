@@ -473,6 +473,8 @@ class GltfRenderer:
             packet_kernel=os.environ.get("VKGR_PACKET_KERNEL", loop_default),
             primary_kernel=os.environ.get("VKGR_PRIMARY_KERNEL", primary_default),
             entry_points=os.environ.get("VKGR_ENTRY_POINTS", "0") != "0",
+            primary_seed=(os.environ.get("VKGR_PRIMARY_SEED", "0") != "0"
+                          and not alpha_any),
             spp_batch=os.environ.get("VKGR_SPP_BATCH", "0") != "0",
             width=self.width,
             height=self.height,
@@ -552,6 +554,16 @@ class GltfRenderer:
             if prev.shape != cur.shape:
                 prev = cur  # node count changed: rebuild baseline
             out["prev_rn_o2w"] = prev
+        if self._cfg is not None and self._cfg.primary_seed:
+            # previous frame's per-pixel first hit for the seeded primary
+            # trace (RenderConfig.primary_seed). Stale after scene edits is
+            # FINE: the seed is re-verified in-frame (exactness never
+            # depends on invalidation), only shapes must match.
+            n = self.width * self.height
+            pf = getattr(self, "_prev_first", None)
+            if pf is None or pf[0].shape[0] != n:
+                pf = (jnp.full(n, -1, jnp.int32), jnp.full(n, -1, jnp.int32))
+            out["prev_first_rnode"], out["prev_first_tri"] = pf
         return out
 
     def _ensure_ibl(self):
@@ -605,6 +617,8 @@ class GltfRenderer:
         self.total_samples += self.spp
         self.frame_idx += 1
         self._last_aux = aux
+        if "first_tri" in aux:
+            self._prev_first = (aux["first_rnode"], aux["first_tri"])
         if self.upscale > 1:
             # TAAU owns accumulation at display res: each frame's accum must
             # be that frame alone (low-res averaging across jitters would
