@@ -175,7 +175,9 @@ def test_compact_frame_matches_wavefront(monkeypatch):
     # prefix buckets (regression: live lanes scattered at the bounce-0->1
     # transition were truncated by the first prefix slice)
     orig_ladder = pt._bucket_ladder
-    monkeypatch.setattr(pt, "_bucket_ladder", lambda n, levels=(1, 4, 16), align=8192: orig_ladder(n, levels, 128))
+    # two ladder levels still exercise multi-bucket prefix slicing;
+    # each level is a full trace-graph compile branch (1-core budget)
+    monkeypatch.setattr(pt, "_bucket_ladder", lambda n, levels=(1, 4), align=8192: orig_ladder(n, levels, 128))
     monkeypatch.setenv("VKGR_PALLAS_INTERPRET", "1")
     img, aux = render("packet")
 
