@@ -466,3 +466,31 @@ def test_primary_seed_exact(monkeypatch):
     assert (np.asarray(aux_on["first_rnode"]) == np.asarray(aux_off["first_rnode"])).all()
     assert (np.asarray(aux_on["first_tri"]) == np.asarray(aux_off["first_tri"])).all()
     np.testing.assert_allclose(img_on, img_off, atol=2e-5)
+
+
+@pytest.mark.slow  # compact-graph compile (~2 min CPU); verified passing
+def test_primary_seed_compact_packet(monkeypatch):
+    """The seeded peel must also hold on the PRODUCTION path: compact
+    frame + packet kernel (interpret). This is the exact graph the TPU
+    bench runs under VKGR_PRIMARY_SEED=1."""
+    from vk_gltf_renderer_tpu.ops import pathtrace as pt
+    from vk_gltf_renderer_tpu.renderer import GltfRenderer
+
+    monkeypatch.setattr(pt, "COMPACT_MIN_LANES", 1024)
+    monkeypatch.setenv("VKGR_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VKGR_TRAVERSAL", "packet")
+
+    def run(enabled):
+        monkeypatch.setenv("VKGR_PRIMARY_SEED", "1" if enabled else "0")
+        r = GltfRenderer(width=40, height=40, spp=1, max_depth=2)
+        r.create_scene("/root/reference/resources/Box.glb")
+        for _ in range(2):
+            aux = r.on_render()
+        assert r._cfg.primary_seed is enabled
+        return np.asarray(r.image_linear()), aux
+
+    img_on, aux_on = run(True)
+    img_off, aux_off = run(False)
+    assert (np.asarray(aux_on["first_tri"]) >= 0).any()
+    assert (np.asarray(aux_on["first_rnode"]) == np.asarray(aux_off["first_rnode"])).all()
+    np.testing.assert_allclose(img_on, img_off, atol=2e-5)

@@ -1450,6 +1450,14 @@ _RENDER_FN_CACHE: "OrderedDict" = __import__("collections").OrderedDict()
 _RENDER_FN_LRU = 16
 
 
+def clear_render_fn_cache() -> None:
+    """Drop all memoized render closures (each holds its own compiled
+    executables): REQUIRED by the poisoned-persistent-cache recovery —
+    rotating the on-disk cache is useless if the in-process closure still
+    serves the poisoned executable."""
+    _RENDER_FN_CACHE.clear()
+
+
 def make_render_fn(cfg: RenderConfig):
     """jit-compiled frame renderer, specialized on the static config
     (the variant-cache analog)."""

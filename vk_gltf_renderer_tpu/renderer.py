@@ -607,9 +607,11 @@ class GltfRenderer:
             # renderer_pathtracer.cpp:1129-1178).
             if "INVALID_ARGUMENT" not in repr(e):
                 raise
+            from .ops.pathtrace import clear_render_fn_cache
             from .utils import compile_cache
 
             compile_cache.rotate()
+            clear_render_fn_cache()
             self._render_fn = None
             fn = self._ensure_render_fn()
             accum, aux = fn(self.flat, self.bvh, self._env_arrays(), frame)
