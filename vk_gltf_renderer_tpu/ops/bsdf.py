@@ -41,7 +41,7 @@ EVENT_IMPULSE_TRANSMISSION = 5
 EVENT_DIFFUSE_TRANSMISSION = 6
 
 _MIN_ALPHA = 1e-6
-_IMPULSE_ALPHA = 2.0e-3  # ax (=sqrt(alpha)) below this -> mirror impulse
+_IMPULSE_ALPHA = 4.0e-6  # ax (=alpha=roughness^2) below this -> mirror impulse; = (2e-3)^2
 # (covers the MICROFACET_MIN_ROUGHNESS clamp: r=0.0014 -> ax~0.0014)
 
 
@@ -287,8 +287,11 @@ def bsdf_evaluate(pbr, k1, k2):
     n_dot_v = jnp.abs(k1_l[..., 2])
     refl_side = n_dot_l > 0.0
 
-    ax = jnp.sqrt(jnp.maximum(pbr["roughness"][..., 0], _MIN_ALPHA))
-    ay = jnp.sqrt(jnp.maximum(pbr["roughness"][..., 1], _MIN_ALPHA))
+    # pbr["roughness"] stores alpha = roughness^2 (materials_eval, matching
+    # gltf_material_eval.h.slang:220); GGX consumes alpha DIRECTLY — the
+    # clearcoat path below (ac = ccr^2) uses the same convention.
+    ax = jnp.maximum(pbr["roughness"][..., 0], _MIN_ALPHA)
+    ay = jnp.maximum(pbr["roughness"][..., 1], _MIN_ALPHA)
 
     h = k1_l + k2_l
     h = h / jnp.maximum(jnp.sqrt(dot3(h, h)), 1e-12)[..., None]
@@ -362,8 +365,8 @@ def bsdf_sample(pbr, k1, u, extra_u):
     """
     N, T, B = pbr["N"], pbr["T"], pbr["B"]
     k1_l = _to_local(k1, T, B, N)
-    ax = jnp.sqrt(jnp.maximum(pbr["roughness"][..., 0], _MIN_ALPHA))
-    ay = jnp.sqrt(jnp.maximum(pbr["roughness"][..., 1], _MIN_ALPHA))
+    ax = jnp.maximum(pbr["roughness"][..., 0], _MIN_ALPHA)  # alpha = r^2, used directly
+    ay = jnp.maximum(pbr["roughness"][..., 1], _MIN_ALPHA)
     is_smooth = (ax < _IMPULSE_ALPHA) & (ay < _IMPULSE_ALPHA)
 
     w_d, w_g, w_t, w_c, w_s, w_dt = _lobe_weights(pbr, k1)
