@@ -247,3 +247,116 @@ def test_analytic_beer_lambert_slab(tmp_path):
     f0 = 0.04
     want = f0 + (1 - f0) ** 2 * 0.5 + (1 - f0) ** 2 * f0**2 * 0.25
     assert np.allclose(got, want, atol=1e-2), (got, want)
+
+
+def test_analytic_clearcoat_fresnel(tmp_path):
+    """Smooth clearcoat (IOR 1.5 fixed by spec) over a BLACK base with the
+    dielectric base lobe killed (specularFactor 0): the only energy leaving
+    the surface is the coat reflection, so the on-axis pixel reads exactly
+    Fc(0 deg) = 0.04 in a unit furnace. Exercises the clearcoat lobe's
+    Fresnel + the (1 - Fc) base attenuation path in isolation
+    (gltf_material_eval.h.slang:325-347 role)."""
+    mat = {
+        "pbrMetallicRoughness": {
+            "baseColorFactor": [0.0, 0.0, 0.0, 1.0],
+            "metallicFactor": 0.0, "roughnessFactor": 1.0,
+        },
+        "extensions": {
+            "KHR_materials_specular": {"specularFactor": 0.0},
+            "KHR_materials_clearcoat": {
+                "clearcoatFactor": 1.0, "clearcoatRoughnessFactor": 0.0,
+            },
+        },
+    }
+    p = _scene(tmp_path, material=mat)
+    got = _render(p, sky=_unit_sky(), spp=16, frames=32)
+    assert np.allclose(got, 0.04, atol=8e-3), got
+
+
+def test_analytic_sheen_directional_albedo(tmp_path):
+    """Sheen-only surface (black base, specularFactor 0) in a unit furnace:
+    the radiance toward the camera is the sheen lobe's directional albedo
+    E(cos_v, alpha) — the SAME integral ops/sheen_lut.py computes by
+    Gauss-Legendre quadrature for the preview's albedo-scaling. Asserting
+    the Monte-Carlo render against the quadrature cross-validates the
+    sampled path (cosine sampling + mixture MIS) against an independent
+    numeric integration of the identical Charlie-D / Ashikhmin-V BRDF."""
+    from vk_gltf_renderer_tpu.ops.sheen_lut import sheen_albedo
+
+    sheen_roughness = 0.5
+    mat = {
+        "pbrMetallicRoughness": {
+            "baseColorFactor": [0.0, 0.0, 0.0, 1.0],
+            "metallicFactor": 0.0, "roughnessFactor": 1.0,
+        },
+        "extensions": {
+            "KHR_materials_specular": {"specularFactor": 0.0},
+            "KHR_materials_sheen": {
+                "sheenColorFactor": [1.0, 1.0, 1.0],
+                "sheenRoughnessFactor": sheen_roughness,
+            },
+        },
+    }
+    p = _scene(tmp_path, material=mat)
+    got = _render(p, sky=_unit_sky(), spp=16, frames=32)
+    want = float(np.asarray(sheen_albedo(1.0, sheen_roughness)))
+    assert np.allclose(got, want, atol=1e-2), (got, want)
+
+
+def _ggx_albedo_quadrature(ax, ay):
+    """Directional albedo of the single-scatter aniso-GGX lobe with F = 1 at
+    NORMAL incidence, by Gauss-Legendre x trapezoid quadrature of the
+    closed-form microfacet BRDF (Heitz height-correlated Smith):
+
+      E(n) = int D(h; ax, ay) G2(n, l) / 4 dw_l      (cos_v = 1, lambda_v = 0)
+
+    Independent of the renderer's sampling code — only the analytic D and
+    Smith-lambda formulas are shared, which is exactly what the test pins."""
+    n_mu, n_phi = 128, 256
+    mu, w_mu = np.polynomial.legendre.leggauss(n_mu)
+    mu = 0.5 * (mu + 1.0)       # cos(theta_l) in [0, 1]
+    w_mu = 0.5 * w_mu
+    phi = (np.arange(n_phi) + 0.5) * (2.0 * np.pi / n_phi)
+    w_phi = 2.0 * np.pi / n_phi
+    sin_l = np.sqrt(np.maximum(0.0, 1.0 - mu**2))
+    lx = sin_l[:, None] * np.cos(phi)[None, :]
+    ly = sin_l[:, None] * np.sin(phi)[None, :]
+    lz = np.broadcast_to(mu[:, None], lx.shape)
+    # h = normalize(v + l), v = (0,0,1)
+    hx, hy, hz = lx, ly, lz + 1.0
+    hn = np.sqrt(hx * hx + hy * hy + hz * hz)
+    hx, hy, hz = hx / hn, hy / hn, hz / hn
+    d = (hx / ax) ** 2 + (hy / ay) ** 2 + hz**2
+    D = 1.0 / (np.pi * ax * ay * np.maximum(d * d, 1e-20))
+    lam_l = 0.5 * (-1.0 + np.sqrt(1.0 + ((ax * lx) ** 2 + (ay * ly) ** 2) / np.maximum(lz**2, 1e-12)))
+    G2 = 1.0 / (1.0 + lam_l)  # lambda_v = 0 at normal incidence
+    integrand = D * G2 / 4.0
+    return float((integrand * w_mu[:, None]).sum() * w_phi)
+
+
+def test_analytic_anisotropic_ggx_furnace(tmp_path):
+    """White metal (F0 = 1, so Fresnel drops out) with KHR_materials_anisotropy
+    in a unit furnace at normal incidence: the render must equal the
+    single-scatter GGX directional albedo computed by independent quadrature
+    of the analytic D * G2 / 4 integrand. Pins the anisotropic alpha mapping
+    (alpha_t = mix(alpha, 1, s^2), alpha_b = alpha; alpha = r^2) AND the
+    VNDF-sampled MC estimator against the closed-form BRDF."""
+    r0, s = 0.5, 0.8
+    mat = {
+        "pbrMetallicRoughness": {
+            "baseColorFactor": [1.0, 1.0, 1.0, 1.0],
+            "metallicFactor": 1.0, "roughnessFactor": r0,
+        },
+        "extensions": {
+            "KHR_materials_anisotropy": {
+                "anisotropyStrength": s, "anisotropyRotation": 0.0,
+            },
+        },
+    }
+    alpha = max(r0, 0.0014142) ** 2
+    ax = alpha * (1.0 - s * s) + s * s  # materials_eval anisotropy widening
+    ay = alpha
+    want = _ggx_albedo_quadrature(ax, ay)
+    p = _scene(tmp_path, material=mat)
+    got = _render(p, sky=_unit_sky(), spp=16, frames=32)
+    assert np.allclose(got, want, atol=1.2e-2), (got, want)
