@@ -273,6 +273,97 @@ def test_terminal_viewer_scripted():
     assert img.shape[:2] == (32, 32) and img.max() > 0
 
 
+def test_terminal_viewer_browser_verbs():
+    """Scene-browser workflow in the viewer's scripted mode (ui_scene_browser
+    / ui_inspector role, VERDICT r3 #7): tree pane + selection, rename,
+    visibility toggle, grid overlay, ':' inspector commands — all in one
+    --keys script, preview renderer for speed."""
+    import subprocess
+    import sys
+
+    out = "/tmp/viewer_test_browser.png"
+    keys = "t]Gx:rename 1 Lid;:matset 0 metallicFactor 0.5;q"
+    r = subprocess.run(
+        [sys.executable, "-m", "vk_gltf_renderer_tpu.viewer",
+         "--scenefile", "/root/reference/resources/Box.glb",
+         "--size", "24", "--renderer", "1", "--keys", keys, "--output", out],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Saved" in r.stdout
+    assert "+grid" in r.stdout                       # grid overlay active
+    assert "Lid" in r.stdout                         # rename landed in the pane
+    assert "[hidden]" in r.stdout                    # visibility toggled
+    assert "> " in r.stdout                          # selection cursor shown
+
+
+def test_grid_overlay_math():
+    """The grid module's analytic properties: lines composite only where
+    the plane is in FRONT and closer than the scene; coverage is 1 on a
+    line center and 0 mid-cell (the slang fwidth/smoothstep recipe)."""
+    import numpy as np
+
+    from vk_gltf_renderer_tpu.ops.grid import _line_coverage, grid_overlay
+
+    # coverage: exact on-line -> full; mid-cell with sub-pixel footprint -> 0
+    c = np.array([[0.0, 0.5]])
+    fw = np.array([[0.01, 0.01]])
+    cov = _line_coverage(c, fw, 1.0)
+    assert cov[0, 0] == 1.0 and cov[0, 1] == 0.0
+
+    img = np.zeros((32, 32, 3), np.float32)
+    eye = np.array([0.0, 2.0, 5.0])
+    center = np.zeros(3)
+    up = np.array([0.0, 1.0, 0.0])
+    over = grid_overlay(img, eye, center, up, 0.8)
+    assert over.sum() > 0  # grid visible looking down at the plane
+    # rays all above the horizon -> no plane hit -> untouched image
+    up_center = np.array([0.0, 50.0, 0.0])
+    none = grid_overlay(img, eye, up_center, up, 0.4)
+    assert none.sum() == 0
+    # scene depth closer than the plane everywhere -> grid fully occluded
+    occl = grid_overlay(img, eye, center, up, 0.8,
+                        scene_depth=np.full((32, 32), 0.01))
+    assert occl.sum() == 0
+
+
+def test_edit_cli_matfields_registry(tmp_path):
+    """Every per-field material verb writes its documented JSON path and
+    undoes cleanly (ui_inspector.cpp editable-set parity)."""
+    from vk_gltf_renderer_tpu.edit_cli import EditShell
+    from vk_gltf_renderer_tpu.models import Scene
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    sh = EditShell(sc)
+    mat = sc.model.materials[0]
+
+    sh.run_line("matset 0 clearcoatFactor 0.7")
+    assert mat["extensions"]["KHR_materials_clearcoat"]["clearcoatFactor"] == 0.7
+    sh.run_line("matset 0 sheenColorFactor 1 0.5 0.25")
+    assert mat["extensions"]["KHR_materials_sheen"]["sheenColorFactor"] == [1, 0.5, 0.25]
+    sh.run_line("matset 0 alphaMode MASK")
+    assert mat["alphaMode"] == "MASK"
+    sh.run_line("matset 0 doubleSided true")
+    assert mat["doubleSided"] is True
+    sh.run_line("matset 0 unlit on")
+    assert mat["extensions"]["KHR_materials_unlit"] == {}
+    sh.run_line("matset 0 unlit off")
+    assert "KHR_materials_unlit" not in mat.get("extensions", {})
+    sh.run_line("matset 0 ior 1.33")
+    assert mat["extensions"]["KHR_materials_ior"]["ior"] == 1.33
+    # undo unwinds the whole stack
+    for _ in range(7):
+        sh.undo.undo()
+    mat = sc.model.materials[0]
+    assert "KHR_materials_clearcoat" not in mat.get("extensions", {})
+    assert mat.get("alphaMode", "OPAQUE") == "OPAQUE"
+    # the registry covers the inspector's editable set
+    assert len(sh.MAT_FIELDS) >= 30
+
+
 def test_settings_persistence_cli_override(tmp_path, monkeypatch):
     """Saved settings apply to flags NOT passed on the CLI; CLI wins when
     passed (the reference's ini + wasParsed filter contract)."""

@@ -19,6 +19,7 @@ Commands (tab-free, scriptable; `help` lists them):
     rename NODE NAME         visible NODE 0|1
     material NODE PRIM MAT                   assign material
     matset MAT KEY V...                      e.g. matset 0 baseColorFactor 1 0 0 1
+    matfields                                list every per-field material verb
     lightset LIGHT KEY V...                  e.g. lightset 0 intensity 40
     add plane|cube|sphere [PARENT]           procedural primitives
     light point|directional|spot [PARENT]
@@ -211,13 +212,87 @@ class EditShell:
 
         self.undo.execute(SnapshotCommand(action=act, label=f"material {nid}"))
 
+    # Per-field material registry — the full editable set of the reference's
+    # inspector material panel (ui_inspector.cpp:875-1680), field name ->
+    # (JSON path inside the material dict, arity, type). arity "s" = string,
+    # "b" = bool, n = float vector length (1 = scalar).
+    MAT_FIELDS = {
+        "baseColorFactor": ("pbrMetallicRoughness.baseColorFactor", 4),
+        "metallicFactor": ("pbrMetallicRoughness.metallicFactor", 1),
+        "roughnessFactor": ("pbrMetallicRoughness.roughnessFactor", 1),
+        "diffuseFactor": ("extensions.KHR_materials_pbrSpecularGlossiness.diffuseFactor", 4),
+        "specularGlossinessFactor": ("extensions.KHR_materials_pbrSpecularGlossiness.specularFactor", 3),
+        "glossinessFactor": ("extensions.KHR_materials_pbrSpecularGlossiness.glossinessFactor", 1),
+        "emissiveFactor": ("emissiveFactor", 3),
+        "alphaMode": ("alphaMode", "s"),
+        "alphaCutoff": ("alphaCutoff", 1),
+        "doubleSided": ("doubleSided", "b"),
+        "normalScale": ("normalTexture.scale", 1),
+        "occlusionStrength": ("occlusionTexture.strength", 1),
+        "clearcoatFactor": ("extensions.KHR_materials_clearcoat.clearcoatFactor", 1),
+        "clearcoatRoughnessFactor": ("extensions.KHR_materials_clearcoat.clearcoatRoughnessFactor", 1),
+        "transmissionFactor": ("extensions.KHR_materials_transmission.transmissionFactor", 1),
+        "ior": ("extensions.KHR_materials_ior.ior", 1),
+        "emissiveStrength": ("extensions.KHR_materials_emissive_strength.emissiveStrength", 1),
+        "iridescenceFactor": ("extensions.KHR_materials_iridescence.iridescenceFactor", 1),
+        "iridescenceIor": ("extensions.KHR_materials_iridescence.iridescenceIor", 1),
+        "iridescenceThicknessMinimum": ("extensions.KHR_materials_iridescence.iridescenceThicknessMinimum", 1),
+        "iridescenceThicknessMaximum": ("extensions.KHR_materials_iridescence.iridescenceThicknessMaximum", 1),
+        "sheenColorFactor": ("extensions.KHR_materials_sheen.sheenColorFactor", 3),
+        "sheenRoughnessFactor": ("extensions.KHR_materials_sheen.sheenRoughnessFactor", 1),
+        "specularFactor": ("extensions.KHR_materials_specular.specularFactor", 1),
+        "specularColorFactor": ("extensions.KHR_materials_specular.specularColorFactor", 3),
+        "thicknessFactor": ("extensions.KHR_materials_volume.thicknessFactor", 1),
+        "attenuationDistance": ("extensions.KHR_materials_volume.attenuationDistance", 1),
+        "attenuationColor": ("extensions.KHR_materials_volume.attenuationColor", 3),
+        "dispersion": ("extensions.KHR_materials_dispersion.dispersion", 1),
+        "anisotropyStrength": ("extensions.KHR_materials_anisotropy.anisotropyStrength", 1),
+        "anisotropyRotation": ("extensions.KHR_materials_anisotropy.anisotropyRotation", 1),
+        "diffuseTransmissionFactor": ("extensions.KHR_materials_diffuse_transmission.diffuseTransmissionFactor", 1),
+        "diffuseTransmissionColorFactor": ("extensions.KHR_materials_diffuse_transmission.diffuseTransmissionColorFactor", 3),
+        "unlit": ("extensions.KHR_materials_unlit", "b"),
+    }
+
+    def cmd_matfields(self, *a):
+        """List every per-field material verb (inspector editable set)."""
+        for name, (path, arity) in sorted(self.MAT_FIELDS.items()):
+            kind = {"s": "string", "b": "bool"}.get(arity, f"float x{arity}")
+            print(f"{name:<32} {kind:<9} -> {path}")
+
     def cmd_matset(self, mat, key, *vals):
-        v = [float(x) for x in vals]
-        self.undo.execute(MaterialCommand(
-            material_id=int(mat),
-            updates={("pbrMetallicRoughness." + key if "Factor" in key and key != "emissiveFactor" else key):
-                     (v if len(v) > 1 else v[0])},
-        ))
+        spec = self.MAT_FIELDS.get(key)
+        if spec is None:
+            # raw dotted-path escape hatch (all floats), e.g.
+            # matset 0 pbrMetallicRoughness.baseColorFactor 1 0 0 1
+            v = [float(x) for x in vals]
+            path, val = key, (v if len(v) > 1 else v[0])
+        else:
+            path, arity = spec
+            if arity == "s":
+                val = vals[0]
+            elif arity == "b":
+                val = vals[0].lower() in ("1", "true", "yes", "on")
+                if key == "unlit":
+                    val = {} if val else None  # presence-only extension
+            else:
+                v = [float(x) for x in vals]
+                if len(v) != arity:
+                    raise ValueError(f"{key} takes {arity} value(s), got {len(v)}")
+                val = v if arity > 1 else v[0]
+        if val is None:  # remove (presence-only extension switched off)
+            def act(scene):
+                obj = scene.model.materials[int(mat)]
+                keys = path.split(".")
+                for k in keys[:-1]:
+                    obj = obj.get(k, {})
+                obj.pop(keys[-1], None)
+                from .models.scene import DirtyFlags
+
+                scene.mark_dirty(DirtyFlags.MATERIALS)
+
+            self.undo.execute(SnapshotCommand(action=act, label=f"matset {key} off"))
+        else:
+            self.undo.execute(MaterialCommand(material_id=int(mat), updates={path: val}))
 
     def cmd_add(self, kind, parent=None):
         p = int(parent) if parent is not None else None

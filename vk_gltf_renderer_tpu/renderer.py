@@ -149,7 +149,9 @@ class GltfRenderer:
         self.accum = None
         self._render_fn = None
         self._cfg = None
-        self.packet_tiles = 8  # traversal stack width (1024-lane tiles; in-frame optimum — 16 wins on pure primaries but loses on bounce unions)
+        # traversal stack width (1024-lane tiles; in-frame optimum — 16 wins
+        # on pure primaries but loses on bounce unions); env override for A/B
+        self.packet_tiles = int(os.environ.get("VKGR_PACKET_TILES", "8"))
         # full denoiser guide set (specular albedo + hit distance); off by
         # default — enable before rendering when a denoiser will consume
         # the aux buffers (shaderio.h:54-65 contract)

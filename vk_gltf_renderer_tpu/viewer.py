@@ -14,11 +14,19 @@ Keys:
   n          toggle denoised display
   v          cycle material variants
   r          re-fit camera to scene bounds
+  t          toggle the scene-browser tree pane (ui_scene_browser role)
+  ] / [      tree: select next / previous node (silhouette-highlighted)
+  x          tree: toggle selected node's visibility
+  G          toggle the reference grid overlay (gizmo grid role)
+  :CMD;      run any edit-shell verb on the live scene (rename, reparent,
+             matset, lightset, translate, undo, ... — see edit_cli);
+             terminated by ';', e.g.  :rename 2 Hood;  :reparent 4 0;
   q / Esc    quit
 
 Scripted mode (CI / no TTY): --keys "aadw+p q" replays a key sequence,
 rendering between keys, then writes --output and exits — the same loop the
-interactive path runs, minus the TTY.
+interactive path runs, minus the TTY. ':' commands work there too, so a
+--keys script can reproduce full browser/inspector workflows headlessly.
 
 Usage:
   python -m vk_gltf_renderer_tpu.viewer --scenefile scene.glb [--hdr e.hdr]
@@ -32,6 +40,10 @@ import sys
 import time
 
 import numpy as np
+
+
+def _node_visible(n: dict) -> bool:
+    return n.get("extensions", {}).get("KHR_node_visibility", {}).get("visible", True)
 
 
 def _halfblocks(img: np.ndarray) -> str:
@@ -64,6 +76,11 @@ class TerminalViewer:
         if hdr_path:
             self.r.create_hdr(hdr_path)
         self.denoised = False
+        self.grid = False
+        self.tree = False
+        self._tree_sel = 0  # index into the DFS node list
+        self._cmdbuf = None  # ':' command-mode accumulator
+        self._shell = None  # lazy EditShell over the live scene
         self._orbit = [0.0, 0.3]  # azimuth, elevation offsets
         self._fit = None
         self._refresh_camera(reset=True)
@@ -87,10 +104,98 @@ class TerminalViewer:
                                     up=np.array([0, 1, 0], np.float32), yfov=base.yfov)
         self.r.reset_frame()
 
+    # ------------------------------------------------------ scene browser
+    def _dfs_nodes(self):
+        """[(node_id, depth)] in tree order — the browser pane's rows."""
+        model = self.r.scene.model
+        out = []
+
+        def walk(nid, depth):
+            out.append((nid, depth))
+            for c in model.nodes[nid].get("children", []):
+                walk(c, depth + 1)
+
+        scene_idx = model.gltf.get("scene", 0)
+        for root in model.gltf["scenes"][scene_idx].get("nodes", []):
+            walk(root, 0)
+        return out
+
+    def tree_pane(self) -> str:
+        """Scene-browser tree with the selection cursor (ui_scene_browser)."""
+        rows = []
+        for i, (nid, depth) in enumerate(self._dfs_nodes()):
+            n = self.r.scene.model.nodes[nid]
+            cur = ">" if i == self._tree_sel else " "
+            vis = "" if _node_visible(n) else " [hidden]"
+            mesh = f" mesh={n['mesh']}" if "mesh" in n else ""
+            rows.append(f"{cur} {'  ' * depth}[{nid}] {n.get('name', '') or '(unnamed)'}{mesh}{vis}")
+        return "\n".join(rows)
+
+    def _select(self, delta: int):
+        nodes = self._dfs_nodes()
+        if not nodes:
+            return
+        self._tree_sel = (self._tree_sel + delta) % len(nodes)
+        nid = nodes[self._tree_sel][0]
+        model = self.r.scene.model
+        rns = self.r.scene.registry.render_nodes_for_subtree(
+            nid, lambda n: model.nodes[n].get("children", []))
+        self.r.selection = set(rns)
+
+    def shell(self):
+        if self._shell is None:
+            from .edit_cli import EditShell
+
+            self._shell = EditShell(self.r.scene)
+        return self._shell
+
+    def run_command(self, line: str):
+        """One edit-shell verb against the live scene, then device resync."""
+        self.shell().run_line(line)
+        try:
+            self.r.sync_scene_changes()
+        except Exception as e:
+            print(f"resync failed: {type(e).__name__}: {e}")
+        self.r.reset_frame()
+
     # ---------------------------------------------------------- input
     def handle_key(self, k: str) -> bool:
         """Apply one interaction verb; False = quit."""
         step = 0.15
+        if self._cmdbuf is not None:  # ':' command mode until ';' or newline
+            if k in (";", "\n", "\r"):
+                line, self._cmdbuf = self._cmdbuf, None
+                if line:
+                    self.run_command(line)
+            elif k == "\x1b":
+                self._cmdbuf = None  # cancel
+            else:
+                self._cmdbuf += k
+            return True
+        if k == ":":
+            self._cmdbuf = ""
+            return True
+        if k == "t":
+            self.tree = not self.tree
+            if self.tree:
+                self._select(0)
+            return True
+        if k == "]":
+            self._select(+1)
+            return True
+        if k == "[":
+            self._select(-1)
+            return True
+        if k == "x":
+            nodes = self._dfs_nodes()
+            if nodes:
+                nid = nodes[self._tree_sel][0]
+                n = self.r.scene.model.nodes[nid]
+                self.run_command(f"visible {nid} {0 if _node_visible(n) else 1}")
+            return True
+        if k == "G":
+            self.grid = not self.grid
+            return True
         if k in ("q", "\x1b"):
             return False
         if k == "a":
@@ -144,12 +249,30 @@ class TerminalViewer:
     def frame_u8(self) -> np.ndarray:
         self.r.on_render()
         img = self.r.image_denoised() if self.denoised else self.r.image_tonemapped()
-        return np.asarray(np.clip(np.asarray(img) * 255.0, 0, 255), np.uint8)
+        img = np.asarray(img, np.float32)
+        if self.grid:
+            from .ops.grid import grid_overlay
+
+            cam = self.r.camera
+            depth = None
+            aux = getattr(self.r, "_last_aux", None)
+            if aux is not None and "first_pos" in aux:
+                pos = np.asarray(aux["first_pos"]).reshape(-1, 3)
+                solid = np.asarray(aux["solid"]).reshape(-1) > 0.5
+                d = np.linalg.norm(pos - np.asarray(cam.eye)[None, :], axis=-1)
+                depth = np.where(solid, d, np.inf)
+            img = grid_overlay(img, cam.eye, cam.center, cam.up, cam.yfov,
+                               scene_depth=depth)
+        return np.asarray(np.clip(img * 255.0, 0, 255), np.uint8)
 
     def status(self) -> str:
         mode = "preview" if self.r.render_system == 1 else "pathtrace"
         dn = " +denoise" if self.denoised else ""
-        return f"[{mode}{dn}] frame {self.r.frame_idx} | a/d w/s orbit  +/- dolly  p renderer  n denoise  r refit  q quit"
+        gr = " +grid" if self.grid else ""
+        if self._cmdbuf is not None:
+            return f":{self._cmdbuf}"
+        return (f"[{mode}{dn}{gr}] frame {self.r.frame_idx} | a/d w/s orbit  +/- dolly  "
+                f"p renderer  n denoise  t tree  G grid  :cmd;  r refit  q quit")
 
 
 def run_interactive(v: TerminalViewer):
@@ -164,7 +287,8 @@ def run_interactive(v: TerminalViewer):
         sys.stdout.write("\x1b[2J")  # clear
         while True:
             img = v.frame_u8()
-            sys.stdout.write("\x1b[H" + _halfblocks(img) + "\n" + v.status() + "\x1b[K\n")
+            pane = ("\n" + v.tree_pane() + "\x1b[0J") if v.tree else "\x1b[0J"
+            sys.stdout.write("\x1b[H" + _halfblocks(img) + "\n" + v.status() + "\x1b[K" + pane + "\n")
             sys.stdout.flush()
             if select.select([sys.stdin], [], [], 0.01)[0]:
                 k = sys.stdin.read(1)
@@ -187,7 +311,8 @@ def run_scripted(v: TerminalViewer, keys: str, output: str | None):
     """Replay keys (space = just render a frame), write final image."""
     alive = True
     for k in keys:
-        v.frame_u8()
+        if v._cmdbuf is None:  # don't render between ':' command characters
+            v.frame_u8()
         alive = v.handle_key(k)
         if not alive:
             break
@@ -201,6 +326,8 @@ def run_scripted(v: TerminalViewer, keys: str, output: str | None):
     small = img[:: max(1, img.shape[0] // 16), :: max(1, img.shape[1] // 16)]
     print(_halfblocks(small))
     print(v.status())
+    if v.tree:
+        print(v.tree_pane())
 
 
 def main(argv=None) -> int:
