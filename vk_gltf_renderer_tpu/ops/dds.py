@@ -7,9 +7,9 @@ formats for the TPU build in pure numpy:
   DDS:  uncompressed BGRA/RGBA8, BC1 (DXT1), BC2 (DXT3), BC3 (DXT5) —
         block decompression fully vectorized over blocks.
   KTX2: header + level index parse; uncompressed R8G8B8A8_{UNORM,SRGB},
-        zlib/zstd supercompression, and BasisLZ/ETC1S via the in-repo
-        transcoder (ops/basisu.py). UASTC raises a typed error naming the
-        missing codec (same policy as Draco in the scene loader).
+        zlib/zstd supercompression, BasisLZ/ETC1S via the in-repo
+        transcoder (ops/basisu.py), UASTC (DFD color model 166 — bit-valid
+        ASTC 4x4 blocks, ops/astc.py) and plain ASTC LDR 4x4..12x12.
 
 Returned images are float32 RGBA [H,W,4] in [0,1], matching decode_image.
 """
@@ -218,8 +218,23 @@ def decode_ktx2(data: bytes) -> np.ndarray:
     elif vk_format in (VK_BC3_UNORM, VK_BC3_SRGB):
         img = decode_bc(payload, w, h, "BC3")
     elif vk_format == 0:
-        # vkFormat 0 + scheme!=1 means UASTC (possibly zstd-wrapped)
-        raise UnsupportedCodec("KTX2 UASTC payloads are not supported yet (ETC1S/BasisLZ is)")
+        # vkFormat 0 + scheme!=1: UASTC (KHR_DF_MODEL_UASTC=166), whose LDR
+        # 4x4 payload is a stream of bit-valid ASTC blocks (ops/astc.py)
+        from .astc import decode_astc, uastc_structural_check
+
+        color_model = data[dfd_off + 12] if dfd_len >= 13 else 0
+        if color_model != 166:
+            raise UnsupportedCodec(
+                f"KTX2 vkFormat 0 with DFD color model {color_model} (UASTC=166)")
+        uastc_structural_check(payload, w, h)
+        img = decode_astc(payload, w, h)
+    elif 157 <= vk_format <= 184:  # VK_FORMAT_ASTC_*_{UNORM,SRGB}_BLOCK
+        from .astc import decode_astc
+
+        dims = [(4, 4), (5, 4), (5, 5), (6, 5), (6, 6), (8, 5), (8, 6),
+                (8, 8), (10, 5), (10, 6), (10, 8), (10, 10), (12, 10), (12, 12)]
+        bw, bh = dims[(vk_format - 157) // 2]
+        img = decode_astc(payload, w, h, bw, bh)
     else:
         raise UnsupportedCodec(f"KTX2 vkFormat {vk_format} not supported")
     return img.astype(np.float32) / 255.0
