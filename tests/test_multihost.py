@@ -26,8 +26,9 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
 def test_multihost_two_process_parity():
+    # in the default gate (not slow-marked): the ONLY multi-host DCN test —
+    # VERDICT r3 item 8 requires it to run routinely (~80 s)
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_PROCESSES")}

@@ -72,4 +72,20 @@ def test_graft_entry_points(eight_devices):
     out = jax.jit(fn)(*args)
     accum = out[0]
     assert np.isfinite(np.asarray(accum)).all()
+    # tiny-shapes parity phase only: the driver itself runs the full
+    # dryrun (including the production-shapes phase) every round and
+    # archives the result as MULTICHIP_r{N}.json, so the expensive phase
+    # is exercised routinely outside this suite (suite budget: VERDICT r3
+    # weak #4 / next #8)
+    g.dryrun_multichip(8, production=False)
+
+
+@pytest.mark.slow
+def test_graft_entry_production_shapes(eight_devices):
+    """Full production-shapes dryrun (textured+multi-material+alpha scene,
+    128x128 depth 4, compact-frame engaged, psum'd adaptive parity) — the
+    exact call the driver makes; slow-marked because the driver runs it
+    every round anyway."""
+    import __graft_entry__ as g
+
     g.dryrun_multichip(8)
