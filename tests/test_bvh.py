@@ -224,6 +224,23 @@ def test_lane_traversal_matches_brute_oracle():
     # any-hit mode: identical OCCLUSION answer (not necessarily closest)
     ha = intersect_rays_lane(as_device(wb), jnp.asarray(ro), jnp.asarray(rd), interpret=True, anyhit=True)
     assert ((np.asarray(ha["tri"]) >= 0) == m).all()
+    # SoA ladder dispatch (the production entry the renderer's beyond-v6
+    # rung uses): kernel="lane" and kernel="lane_stream" through
+    # intersect_rays_packet_soa must agree with the brute oracle too
+    from vk_gltf_renderer_tpu.ops.pallas_traverse import intersect_rays_packet_soa
+
+    comps = [jnp.asarray(ro[:, k]) for k in range(3)] + [jnp.asarray(rd[:, k]) for k in range(3)]
+    tmin = jnp.zeros(n)
+    tmax = jnp.full((n,), 1e32)
+    for kname in ("lane", "lane_stream"):
+        hs = intersect_rays_packet_soa(
+            as_device(wb), comps[0], comps[1], comps[2], comps[3], comps[4],
+            comps[5], tmin, tmax, interpret=True, kernel=kname,
+        )
+        ts = np.asarray(hs["t"])
+        assert ((ts < 1e30) == (tb < 1e30)).all(), kname
+        assert np.allclose(ts[m], tb[m], atol=1e-4), kname
+        assert (np.asarray(hs["tri"])[m] == np.asarray(hb["tri"])[m]).all(), kname
 
 
 def test_packet_v2_anyhit_matches_occlusion_oracle():

@@ -36,6 +36,7 @@ import numpy as np
 from .bvh import _build_radix_tree, morton3d
 
 LEAF_SIZE = 8
+LANE_FIELDS = 12  # ops/lane_traverse.FIELDS (page layout, kept in sync)
 
 
 def _lane_tables(nodes_i, nodes_self, tris16):
@@ -1053,6 +1054,12 @@ def vmem_bytes(wb: WorldBvh, kernel: str = "v2") -> int:
     if kernel == "v6":
         # BVH16 rows are exactly 128 floats — zero Mosaic padding waste
         return wb.nodes16_fi.nbytes + wb.tris128.nbytes
+    if kernel == "lane":
+        # skip-DFS page table is already 128-wide (no padding waste)
+        return wb.lane_pages.nbytes
+    if kernel == "lane_stream":
+        # pages stay in HBM; resident footprint is ONE 6 KB page scratch
+        return LANE_FIELDS * 128 * 4
     rows = wb.nodes4_fi.shape[0] if kernel in ("v3", "v5", "v7") else wb.nodes_fi.shape[0]
     return rows * 128 * 4 + wb.tris128.nbytes
 

@@ -407,6 +407,45 @@ def traverse_lanes(pages, rays_ro, rays_rd, n_pages, interpret=False, tiles=1, a
     )(pages, rays_ro, rays_rd)
 
 
+def intersect_rays_lane_soa(
+    wb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
+    interpret=False, anyhit=False, tiles=8, stream=False, inner_steps=4,
+):
+    """SoA-component lane-kernel dispatch, contract-compatible with
+    pallas_traverse.intersect_rays_packet_soa: takes 8 [N] vectors, returns
+    dict(t, rnode, tri, u, v) with misses t=INFINITE / ids -1. This is the
+    production entry the renderer's kernel ladder uses to reach the
+    HBM-resident page table (stream=True) for scenes beyond the v6 VMEM
+    ceiling — the packet-class answer to the reference's budgeted BLAS
+    passes (renderer.cpp:1699-1721: bounded device memory at any size)."""
+    from .pallas_traverse import _pack_soa
+
+    n = rox.shape[0]
+    tiles = max(1, min(tiles, max(n // PACKET, 1)))
+    ro_p, _ = _pack_soa([rox, roy, roz, tmax], PACKET * tiles)
+    rd_p, _ = _pack_soa([rdx, rdy, rdz, tmin], PACKET * tiles)
+    fn = traverse_lanes_stream if stream else traverse_lanes
+    out = fn(
+        wb.lane_pages, ro_p, rd_p, wb.lane_pages.shape[0] // FIELDS,
+        interpret=interpret, tiles=tiles, anyhit=anyhit, inner_steps=inner_steps,
+    )
+
+    def chan(k):
+        return out[:, k].reshape(-1)[:n]
+
+    t = chan(0)
+    wtri = chan(1).astype(jnp.int32)
+    valid = wtri >= 0
+    safe = jnp.maximum(wtri, 0)
+    return {
+        "t": jnp.where(valid, 0.0 if anyhit else t, INFINITE),
+        "rnode": jnp.where(valid, wb.wtri_rnode[safe], -1),
+        "tri": jnp.where(valid, wb.wtri_tri[safe], -1),
+        "u": chan(2),
+        "v": chan(3),
+    }
+
+
 def intersect_rays_lane(wb, ro, rd, tmin=0.0, tmax=None, interpret=False, coherent=False, anyhit=False, max_tiles=None, inner_steps=4, stream=False):
     """intersect_rays-compatible API over the lane-traversal page table.
 

@@ -1320,6 +1320,17 @@ def intersect_rays_packet_soa(
     bounding node (packet_entry_stacks) — profitable for surface-origin
     bounce/shadow packets, a no-op-cost root fallback for camera packets."""
     n = rox.shape[0]
+    if kernel in ("lane", "lane_stream"):
+        # per-lane skip-pointer kernel (ops/lane_traverse.py): VMEM pages
+        # ("lane") or HBM-resident pages DMA-streamed one 6 KB page at a
+        # time ("lane_stream" — unbounded scene size, the beyond-v6 rung)
+        from .lane_traverse import intersect_rays_lane_soa
+
+        return intersect_rays_lane_soa(
+            wb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
+            interpret=interpret, anyhit=anyhit, tiles=tiles,
+            stream=kernel == "lane_stream",
+        )
     tiles = max(1, min(tiles, max(n // PACKET, 1), MAX_TILES))
     ro_p, _ = _pack_soa([rox, roy, roz, tmax], PACKET * tiles)
     rd_p, _ = _pack_soa([rdx, rdy, rdz, tmin], PACKET * tiles)

@@ -467,7 +467,16 @@ class GltfRenderer:
                 primary_default = "v6"
                 loop_default = "v6"
             if not fits_vmem(self.bvh, "v6"):
-                default = "wavefront"
+                if os.environ.get("VKGR_LANE_STREAM", "0") != "0":
+                    # beyond-v6 rung: HBM-resident lane pages DMA-streamed
+                    # one page at a time (ops/lane_traverse.py) — packet-
+                    # class traversal at unbounded scene size. Opt-in until
+                    # the stream kernel's dynamic-offset DMA is validated
+                    # on the live tunnel (tools/exp_stream_dma.py).
+                    primary_default = "lane_stream"
+                    loop_default = "lane_stream"
+                else:
+                    default = "wavefront"
         traversal = os.environ.get("VKGR_TRAVERSAL", default)
         return RenderConfig(
             traversal=traversal,
