@@ -295,7 +295,8 @@ def test_lane_refit_pages_matches_rebuild():
     tris2[:, 0:9] += 0.25
     ns2 = np.asarray(wb.nodes_self).copy()
     ns2[:, 0:6] += 0.25
-    fresh, _, _ = build_lane_tree(wb.nodes_i, ns2, tris2, None)
+    fresh, _, _ = build_lane_tree(wb.nodes_i, ns2, tris2, None,
+                                  wtri_rnode=wb.wtri_rnode, wtri_tri=wb.wtri_tri)
     refit = refit_lane_pages(
         jnp.asarray(wb.lane_pages), jnp.asarray(wb.lane_geo_idx),
         jnp.asarray(ns2), jnp.asarray(tris2),

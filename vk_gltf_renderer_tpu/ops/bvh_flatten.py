@@ -36,13 +36,14 @@ import numpy as np
 from .bvh import _build_radix_tree, morton3d
 
 LEAF_SIZE = 8
-LANE_FIELDS = 12  # ops/lane_traverse.FIELDS (page layout, kept in sync)
+LANE_FIELDS = 14  # ops/lane_traverse.FIELDS (page layout, kept in sync)
 
 
-def _lane_tables(nodes_i, nodes_self, tris16):
+def _lane_tables(nodes_i, nodes_self, tris16, wtri_rnode=None, wtri_tri=None):
     from .lane_traverse import build_lane_tree
 
-    return build_lane_tree(nodes_i, nodes_self, tris16, None)
+    return build_lane_tree(nodes_i, nodes_self, tris16, None,
+                           wtri_rnode=wtri_rnode, wtri_tri=wtri_tri)
 
 
 def _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri):
@@ -744,7 +745,7 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
         wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
         wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
         n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
-        lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16)
+        lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16, wtri_rnode, wtri_tri)
         nfi, t128, w8r, w8t, t8s, rcode = _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri)
         nfi4, r4 = _packet3_tables(nodes_i, n4i, n4f)
         nfi16, m16 = _packet6_tables(nodes_i, nodes_self)
@@ -794,7 +795,7 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
         wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
         wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
         n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
-        lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16)
+        lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16, wtri_rnode, wtri_tri)
         nfi, t128, w8r, w8t, t8s, rcode = _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri)
         nfi4, r4 = _packet3_tables(nodes_i, n4i, n4f)
         nfi16, m16 = _packet6_tables(nodes_i, nodes_self)
@@ -1011,7 +1012,7 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
     wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
     wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
     n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
-    lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16)
+    lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16, wtri_rnode, wtri_tri)
     nfi, t128, w8r, w8t, t8s, rcode = _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri)
     nfi4, r4 = _packet3_tables(nodes_i, n4i, n4f)
     nfi16, m16 = _packet6_tables(nodes_i, nodes_self)

@@ -20,18 +20,22 @@ visits. This kernel removes both:
 
 Leaves are expanded to ONE TRIANGLE PER ENTRY with precomputed edge
 vectors, so a step evaluates either a slab test or a Möller-Trumbore test
-(both masked; fields overlap in a 12-float union layout).
+(both masked; fields overlap in a 14-float union layout). Triangle entries
+carry their (render-node, global-tri) ids IN the page, so hits resolve
+in-kernel — the post-trace XLA id gathers the v2 packet kernel eliminated
+(measured ~34 ns/element, i.e. ~68 ms per 2M rays) never happen here
+either.
 
 This is the TPU replacement for the per-thread RT-core traversal the
 reference gets from Vulkan (raytracer_interface.h.slang:69-228): the role
 of SER ReorderThread is played by the caller's Morton sort, and the role
 of the per-thread stack by the skip-pointer threading.
 
-Entry layout (12 f32 fields per entry, page-major [P*12, 128]):
-  internal: [lo.xyz, hi.xyz,  0, 0, 0,        miss, 0,      0]
-  triangle: [v0.xyz, e1.xyz,  e2.xyz,         next, triRow, 1]
-with `miss`/`next`/`triRow` stored as exact f32 integers (< 2^24 —
-capping the kernel at 16M entries, ~14M world triangles).
+Entry layout (14 f32 fields per entry, page-major [P*14, 128]):
+  internal: [lo.xyz, hi.xyz,  0, 0, 0,        miss, 0,      0, 0,     0  ]
+  triangle: [v0.xyz, e1.xyz,  e2.xyz,         next, triRow, 1, rnode, tri]
+with `miss`/`next`/`triRow`/`rnode`/`tri` stored as exact f32 integers
+(< 2^24 — capping the kernel at 16M entries, ~14M world triangles).
 """
 
 from __future__ import annotations
@@ -44,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-FIELDS = 12
+FIELDS = 14
 PAGE = 128
 SUB, LANE = 8, 128
 PACKET = SUB * LANE
@@ -52,13 +56,17 @@ INFINITE = jnp.float32(1e32)
 _BIG = 3e37
 
 
-def build_lane_tree(nodes_i, nodes_self, tris16, num_tris):
+def build_lane_tree(nodes_i, nodes_self, tris16, num_tris,
+                    wtri_rnode=None, wtri_tri=None):
     """DFS skip-pointer layout of the collapsed binary BVH.
 
     nodes_i: [N,8] i32 (left,right,first,count,parent,axis,...)
     nodes_self: [N,8] f32 (own lo.xyz, hi.xyz, pad) per node
     tris16: [T+pad,16] f32 (v0.xyz, v1.xyz, v2.xyz, pad) in BVH tri order
-    Returns (pages [P*12,128] f32, geo_idx [P*12,128] i32, n_entries int).
+    wtri_rnode/wtri_tri: optional [T'] i32 per-tri-row (render-node,
+    global-tri) id tables — baked into triangle entries (fields 12/13) so
+    hits resolve in-kernel; zeros when omitted.
+    Returns (pages [P*14,128] f32, geo_idx [P*14,128] i32, n_entries int).
 
     geo_idx maps each page element to the flattened *geometry source*
     vector  concat(nodes_self[:, :6].ravel(), tri_geo.ravel())  with -1 for
@@ -134,6 +142,9 @@ def build_lane_tree(nodes_i, nodes_self, tris16, num_tris):
         ent[s, 9] = nxt.astype(np.float32)
         ent[s, 10] = rows.astype(np.float32)
         ent[s, 11] = 1.0
+        if wtri_rnode is not None:
+            ent[s, 12] = np.asarray(wtri_rnode)[rows].astype(np.float32)
+            ent[s, 13] = np.asarray(wtri_tri)[rows].astype(np.float32)
         nsrc = nn * 6
         geo[s, 0:9] = nsrc + rows[:, None] * 9 + np.arange(9)[None, :]
 
@@ -167,7 +178,7 @@ def _make_step(rox, roy, roz, rdx, rdy, rdz, ix, iy, iz, tmin, end, anyhit):
     the resident page, evaluate BOTH the slab test (internal union layout)
     and Möller-Trumbore (triangle layout), advance each in-page lane."""
 
-    def step(cur, page, fld, t_best, tri_best, u_best, v_best):
+    def step(cur, page, fld, t_best, rn_best, tri_best, u_best, v_best):
         in_pg = (cur >> 7) == page
         loc = cur & 127
 
@@ -178,8 +189,9 @@ def _make_step(rox, roy, roz, rdx, rdy, rdz, ix, iy, iz, tmin, end, anyhit):
         f3, f4, f5 = g(3), g(4), g(5)
         f6, f7, f8 = g(6), g(7), g(8)
         nxt_skip = g(9).astype(jnp.int32)
-        trirow = g(10)
         leaf = g(11) > 0.5
+        rnode_id = g(12)
+        tri_id = g(13)
 
         # ---- internal: slab test (f0..2 = lo, f3..5 = hi)
         t0x = (f0 - rox) * ix
@@ -218,7 +230,8 @@ def _make_step(rox, roy, roz, rdx, rdy, rdz, ix, iy, iz, tmin, end, anyhit):
             & (tt > tmin) & (tt < t_best)
         )
         t_best = jnp.where(thit, tt, t_best)
-        tri_best = jnp.where(thit, trirow, tri_best)
+        rn_best = jnp.where(thit, rnode_id, rn_best)
+        tri_best = jnp.where(thit, tri_id, tri_best)
         u_best = jnp.where(thit, uu, u_best)
         v_best = jnp.where(thit, vv, v_best)
 
@@ -226,7 +239,7 @@ def _make_step(rox, roy, roz, rdx, rdy, rdz, ix, iy, iz, tmin, end, anyhit):
         if anyhit:
             nxt = jnp.where(thit, end, nxt)
         cur = jnp.where(in_pg, nxt, cur)
-        return cur, t_best, tri_best, u_best, v_best
+        return cur, t_best, rn_best, tri_best, u_best, v_best
 
     return step
 
@@ -253,32 +266,34 @@ def _lane_kernel_body(pages_ref, ro_ref, rd_ref, out_ref, *, n_pages, inner_step
     step = _make_step(rox, roy, roz, rdx, rdy, rdz, ix, iy, iz, tmin, end, anyhit)
 
     def outer(state):
-        page, cur, t_best, tri_best, u_best, v_best = state
-        rows = pages_ref[pl.ds(page * FIELDS, FIELDS), :]  # [12,128]
+        page, cur, t_best, rn_best, tri_best, u_best, v_best = state
+        rows = pages_ref[pl.ds(page * FIELDS, FIELDS), :]  # [14,128]
         fld = [jnp.broadcast_to(rows[f : f + 1, :], (sub, LANE)) for f in range(FIELDS)]
         for _ in range(inner_steps):
-            cur, t_best, tri_best, u_best, v_best = step(
-                cur, page, fld, t_best, tri_best, u_best, v_best
+            cur, t_best, rn_best, tri_best, u_best, v_best = step(
+                cur, page, fld, t_best, rn_best, tri_best, u_best, v_best
             )
         # ONE reduction per outer iteration: the next page any lane needs
         # (monotone — lane entry indices only increase)
         page = jnp.min(cur) >> 7
-        return page, cur, t_best, tri_best, u_best, v_best
+        return page, cur, t_best, rn_best, tri_best, u_best, v_best
 
     state = (
         jnp.min(cur0) >> 7,
         cur0,
         tmax,
         jnp.full((sub, LANE), -1.0),
+        jnp.full((sub, LANE), -1.0),
         jnp.zeros((sub, LANE)),
         jnp.zeros((sub, LANE)),
     )
     state = jax.lax.while_loop(lambda s: s[0] < n_pages, outer, state)
-    _, _, t_best, tri_best, u_best, v_best = state
+    _, _, t_best, rn_best, tri_best, u_best, v_best = state
     out_ref[0, 0] = t_best
-    out_ref[0, 1] = tri_best
-    out_ref[0, 2] = u_best
-    out_ref[0, 3] = v_best
+    out_ref[0, 1] = rn_best
+    out_ref[0, 2] = tri_best
+    out_ref[0, 3] = u_best
+    out_ref[0, 4] = v_best
 
 
 def _lane_kernel_stream(pages_ref, ro_ref, rd_ref, out_ref, scratch_ref, sem, *, n_pages, inner_steps, anyhit):
@@ -315,7 +330,7 @@ def _lane_kernel_stream(pages_ref, ro_ref, rd_ref, out_ref, scratch_ref, sem, *,
     )
 
     def outer(state):
-        page, cur, t_best, tri_best, u_best, v_best = state
+        page, cur, t_best, rn_best, tri_best, u_best, v_best = state
         dma = pltpu.make_async_copy(
             pages_ref.at[pl.ds(page * FIELDS, FIELDS), :], scratch_ref, sem
         )
@@ -325,26 +340,28 @@ def _lane_kernel_stream(pages_ref, ro_ref, rd_ref, out_ref, scratch_ref, sem, *,
             jnp.broadcast_to(scratch_ref[f : f + 1, :], (sub, LANE)) for f in range(FIELDS)
         ]
         for _ in range(inner_steps):
-            cur, t_best, tri_best, u_best, v_best = step(
-                cur, page, fld, t_best, tri_best, u_best, v_best
+            cur, t_best, rn_best, tri_best, u_best, v_best = step(
+                cur, page, fld, t_best, rn_best, tri_best, u_best, v_best
             )
         page = jnp.min(cur) >> 7
-        return page, cur, t_best, tri_best, u_best, v_best
+        return page, cur, t_best, rn_best, tri_best, u_best, v_best
 
     state = (
         jnp.min(cur0) >> 7,
         cur0,
         tmax,
         jnp.full((sub, LANE), -1.0),
+        jnp.full((sub, LANE), -1.0),
         jnp.zeros((sub, LANE)),
         jnp.zeros((sub, LANE)),
     )
     state = jax.lax.while_loop(lambda s: s[0] < n_pages, outer, state)
-    _, _, t_best, tri_best, u_best, v_best = state
+    _, _, t_best, rn_best, tri_best, u_best, v_best = state
     out_ref[0, 0] = t_best
-    out_ref[0, 1] = tri_best
-    out_ref[0, 2] = u_best
-    out_ref[0, 3] = v_best
+    out_ref[0, 1] = rn_best
+    out_ref[0, 2] = tri_best
+    out_ref[0, 3] = u_best
+    out_ref[0, 4] = v_best
 
 
 @functools.partial(
@@ -365,8 +382,8 @@ def traverse_lanes_stream(pages, rays_ro, rays_rd, n_pages, interpret=False, til
             pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, 4, sub, LANE), jnp.float32),
+        out_specs=pl.BlockSpec((1, 5, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 5, sub, LANE), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((FIELDS, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -383,7 +400,7 @@ def traverse_lanes_stream(pages, rays_ro, rays_rd, n_pages, interpret=False, til
 )
 def traverse_lanes(pages, rays_ro, rays_rd, n_pages, interpret=False, tiles=1, anyhit=False, inner_steps=4):
     """rays packed [G, 4, tiles*8, 128] like traverse_packets; returns
-    [G, 4, tiles*8, 128] (t, triRow, u, v)."""
+    [G, 5, tiles*8, 128] (t, rnode, tri, u, v) — ids resolved in-kernel."""
     g = rays_ro.shape[0]
     sub = tiles * SUB
     kernel = functools.partial(
@@ -397,8 +414,8 @@ def traverse_lanes(pages, rays_ro, rays_rd, n_pages, interpret=False, tiles=1, a
             pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, 4, sub, LANE), jnp.float32),
+        out_specs=pl.BlockSpec((1, 5, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 5, sub, LANE), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -434,15 +451,14 @@ def intersect_rays_lane_soa(
         return out[:, k].reshape(-1)[:n]
 
     t = chan(0)
-    wtri = chan(1).astype(jnp.int32)
-    valid = wtri >= 0
-    safe = jnp.maximum(wtri, 0)
+    tri = chan(2).astype(jnp.int32)
+    valid = tri >= 0
     return {
         "t": jnp.where(valid, 0.0 if anyhit else t, INFINITE),
-        "rnode": jnp.where(valid, wb.wtri_rnode[safe], -1),
-        "tri": jnp.where(valid, wb.wtri_tri[safe], -1),
-        "u": chan(2),
-        "v": chan(3),
+        "rnode": jnp.where(valid, chan(1).astype(jnp.int32), -1),
+        "tri": jnp.where(valid, tri, -1),
+        "u": chan(3),
+        "v": chan(4),
     }
 
 
@@ -468,15 +484,14 @@ def intersect_rays_lane(wb, ro, rd, tmin=0.0, tmax=None, interpret=False, cohere
         wb.lane_pages, ro_p, rd_p, wb.lane_pages.shape[0] // FIELDS,
         interpret=interpret, tiles=tiles, anyhit=anyhit, inner_steps=inner_steps,
     )
-    flatd = out.transpose(0, 2, 3, 1).reshape(-1, 4)[:n0]
+    flatd = out.transpose(0, 2, 3, 1).reshape(-1, 5)[:n0]
     t = flatd[:, 0]
-    wtri = flatd[:, 1].astype(jnp.int32)
-    valid = wtri >= 0
-    safe = jnp.maximum(wtri, 0)
+    tri = flatd[:, 2].astype(jnp.int32)
+    valid = tri >= 0
     return {
         "t": jnp.where(valid, t, INFINITE),
-        "rnode": jnp.where(valid, wb.wtri_rnode[safe], -1),
-        "tri": jnp.where(valid, wb.wtri_tri[safe], -1),
-        "u": flatd[:, 2],
-        "v": flatd[:, 3],
+        "rnode": jnp.where(valid, flatd[:, 1].astype(jnp.int32), -1),
+        "tri": jnp.where(valid, tri, -1),
+        "u": flatd[:, 3],
+        "v": flatd[:, 4],
     }
