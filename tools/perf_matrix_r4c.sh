@@ -15,13 +15,12 @@ run() { # run NAME [ENV=V ...]
   log "rc=$? $name done"
 }
 
-run combo_f0_v7_e1      VKGR_FUSED_HITSTATE=0 VKGR_PACKET_KERNEL=v7 VKGR_ENTRY_POINTS=1
-run combo_f0_e1         VKGR_FUSED_HITSTATE=0 VKGR_ENTRY_POINTS=1
-run combo_f0_v7_e1_p3   VKGR_FUSED_HITSTATE=0 VKGR_PACKET_KERNEL=v7 VKGR_ENTRY_POINTS=1 VKGR_PRIMARY_KERNEL=v3
-run combo_v7_e1         VKGR_PACKET_KERNEL=v7 VKGR_ENTRY_POINTS=1
-
 run null                VKGR_TRAVERSAL=null
 run wavefront           VKGR_TRAVERSAL=wavefront
+
+log "stream-dma probe $(date -u +%H:%M:%S)"
+timeout 1200 python tools/exp_stream_dma.py --timeout 240 >> "$OUT" 2>&1
+log "rc=$? stream-dma done"
 
 log "exp_visit $(date -u +%H:%M:%S)"
 timeout 1200 python tools/exp_visit.py --visits 4096 >> "$OUT" 2>&1
@@ -31,9 +30,5 @@ log "kbench lane vs p3 (bounce sorted + random) $(date -u +%H:%M:%S)"
 timeout 1500 python tools/kbench.py --rays 262144 --kinds bounce,random --sort \
   --variants p3,lane --tiles 8 >> "$OUT" 2>&1
 log "rc=$? kbench done"
-
-log "stream-dma probe $(date -u +%H:%M:%S)"
-timeout 1200 python tools/exp_stream_dma.py --timeout 240 >> "$OUT" 2>&1
-log "rc=$? stream-dma done"
 
 log "done $(date -u +%H:%M:%S)"

@@ -736,7 +736,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         rays=jnp.zeros((), jnp.float32),
     )
 
-    def bounce(state, depth, cfg_t=cfg_t, seed_hits=None):
+    def bounce(state, depth, cfg_t=cfg_t, seed_hits=None, peel=False):
         ro, rd = state["ro"], state["rd"]
         alive = state["alive"]
         seed = state["seed"]
@@ -751,6 +751,13 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         # directions (toward env/light samples) are divergent even when the
         # closest-trace origins are tile-coherent, so wider packets lose
         cfg_s = replace(cfg_t, packet_tiles=cfg.packet_tiles)
+        if peel and os.environ.get("VKGR_PEEL_SORT_SHADOW", "0") != "0":
+            # peeled-bounce shadow rays run at FULL frame width with only
+            # the hit fraction live, scattered through every packet (the
+            # compact sort hasn't happened yet) — route them through the
+            # sorted/bucketed trace path instead: liveness+octant co-sort
+            # clusters the live lanes into few, direction-coherent packets
+            cfg_s = replace(cfg, trace_width=0, packet_kernel=cfg.packet_kernel)
         if seed_hits is None:
             hits, seed = _trace_with_alpha(flat, bvh, ro, rd, seed, cfg_t, alive=alive)
         else:
@@ -1104,7 +1111,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
             state, jnp.zeros((), jnp.int32),
             cfg_t=replace(cfg_t, packet_tiles=cfg.primary_tiles,
                           packet_kernel=cfg.primary_kernel),
-            seed_hits=seed_hits,
+            seed_hits=seed_hits, peel=True,
         )
 
         # background fix-up MUST happen here, right after the peel: solid /
