@@ -1147,11 +1147,22 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         # valid (bounce 0 left live lanes scattered in pixel order)
         state = _compact_sort(state, n)
 
+        # native-width bucket traces (VKGR_TRACE_NATIVE=1): trace each
+        # bucket at its own width instead of dead-padding every launch
+        # back to n. Padding shares ONE compiled kernel grid across the
+        # ladder (cheapest compile); native widths pay a per-bucket grid
+        # compile once but skip the full-width pack + dead-packet
+        # launches every bounce. Default off pending the TPU A/B.
+        trace_native = os.environ.get("VKGR_TRACE_NATIVE", "0") != "0"
+
         def _make_branch(p):
             def br(args):
                 st, depth = args
                 pre = {k: (v if k == "rays" else v[:p]) for k, v in st.items()}
-                pre, _ = bounce(pre, depth)
+                pre, _ = bounce(
+                    pre, depth,
+                    cfg_t=replace(cfg_t, trace_width=0) if trace_native else cfg_t,
+                )
                 if p < n:
                     pre = {
                         k: (v if k == "rays" else jnp.concatenate([v, st[k][p:]]))
