@@ -450,19 +450,17 @@ class GltfRenderer:
         alpha_any = any(m.get("alphaMode", "OPAQUE") != "OPAQUE" for m in self.scene.model.materials)
         on_tpu = jax.devices()[0].platform != "cpu"
         default = "packet" if on_tpu else "wavefront"
-        # kernel ladder: v2 primaries + v3 loop (fastest) while the larger
-        # v2 table fits VMEM; v3-everywhere (half the node footprint, ~1.5x
-        # the tri ceiling) while only v3 fits; v6-everywhere (dense BVH16
+        # kernel ladder: v3-everywhere (fastest measured: round-4 matrix,
+        # NEXT.md §0 — primary v3 beat v2 303.3 vs 326.1 ms once fused
+        # hit-state landed) while v3 fits VMEM; v6-everywhere (dense BVH16
         # rows, zero Mosaic padding — ~4x the v3 ceiling) while only v6
         # fits; HBM wavefront beyond (the budgeted-BLAS analog,
         # renderer.cpp:1699-1721) — automatic
-        primary_default = "v2"
+        primary_default = "v3"
         loop_default = "v3"
         if on_tpu and self.bvh is not None:
             from .ops.bvh_flatten import fits_vmem
 
-            if not fits_vmem(self.bvh, "v2"):
-                primary_default = "v3"
             if not fits_vmem(self.bvh, "v3"):
                 primary_default = "v6"
                 loop_default = "v6"
