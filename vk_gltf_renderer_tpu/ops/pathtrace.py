@@ -1126,6 +1126,11 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         spec = _state_columns_spec(cfg)
         buckets = _bucket_ladder(n)
 
+        # `alive` rides the sort for free: the key's dead bit IS the alive
+        # flag, so the column is recomputed from the sorted keys instead of
+        # being dragged through every merge pass as a payload operand
+        spec_nl = [kv for kv in spec if kv[0] != "alive"]
+
         def _compact_sort(st, p):
             """Co-sort the first p lanes dead-last + Morton-coherent.
             INVARIANT this maintains: after the sort, every live lane sits
@@ -1133,9 +1138,10 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
             lossless for any bucket >= live."""
             pre = {k: (v if k == "rays" else v[:p]) for k, v in st.items()}
             keys = _sort_keys(bvh, pre["ro"], pre["rd"], pre["alive"])
-            cols = _state_to_columns(pre, spec)
-            sorted_cols = jax.lax.sort((keys, *cols), num_keys=1)[1:]
-            pre = _columns_to_state(list(sorted_cols), spec, pre)
+            cols = _state_to_columns(pre, spec_nl)
+            out = jax.lax.sort((keys, *cols), num_keys=1)
+            pre = _columns_to_state(list(out[1:]), spec_nl, pre)
+            pre["alive"] = (out[0] >> jnp.uint32(27)) == 0
             if p == n:
                 return pre
             return {
