@@ -186,6 +186,16 @@ class RenderConfig:
     # (placement-independent, like the reference's per-frame seeds,
     # gltf_pathtrace.slang:560). Offline lever — NEXT.md #6.
     spp_batch: bool = False
+    # peeled-bounce shadow rays through the sorted/bucketed trace path:
+    # liveness+octant co-sort clusters the live lanes into few, direction-
+    # coherent packets instead of a full-width launch with scattered live
+    # lanes (the compact sort hasn't happened yet at bounce 0)
+    peel_sort_shadow: bool = False
+    # native-width bucket traces in the compact loop: trace each occupancy
+    # bucket at its own width instead of dead-padding every launch back to
+    # full frame width (pays per-bucket grid compiles once, skips the
+    # full-width pack + dead-packet launches every bounce)
+    trace_native: bool = False
 
 
 def _hit_state(flat, bvh, hits, rd, cfg):
@@ -751,7 +761,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         # directions (toward env/light samples) are divergent even when the
         # closest-trace origins are tile-coherent, so wider packets lose
         cfg_s = replace(cfg_t, packet_tiles=cfg.packet_tiles)
-        if peel and os.environ.get("VKGR_PEEL_SORT_SHADOW", "0") != "0":
+        if peel and cfg.peel_sort_shadow:
             # peeled-bounce shadow rays run at FULL frame width with only
             # the hit fraction live, scattered through every packet (the
             # compact sort hasn't happened yet) — route them through the
@@ -1153,13 +1163,13 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         # valid (bounce 0 left live lanes scattered in pixel order)
         state = _compact_sort(state, n)
 
-        # native-width bucket traces (VKGR_TRACE_NATIVE=1): trace each
+        # native-width bucket traces (cfg.trace_native): trace each
         # bucket at its own width instead of dead-padding every launch
         # back to n. Padding shares ONE compiled kernel grid across the
         # ladder (cheapest compile); native widths pay a per-bucket grid
         # compile once but skip the full-width pack + dead-packet
-        # launches every bounce. Default off pending the TPU A/B.
-        trace_native = os.environ.get("VKGR_TRACE_NATIVE", "0") != "0"
+        # launches every bounce.
+        trace_native = cfg.trace_native
 
         def _make_branch(p):
             def br(args):

@@ -485,6 +485,8 @@ class GltfRenderer:
             primary_seed=(os.environ.get("VKGR_PRIMARY_SEED", "0") != "0"
                           and not alpha_any),
             spp_batch=os.environ.get("VKGR_SPP_BATCH", "0") != "0",
+            peel_sort_shadow=os.environ.get("VKGR_PEEL_SORT_SHADOW", "0") != "0",
+            trace_native=os.environ.get("VKGR_TRACE_NATIVE", "0") != "0",
             width=self.width,
             height=self.height,
             spp=self.spp,
