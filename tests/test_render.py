@@ -187,12 +187,13 @@ def test_compact_frame_matches_wavefront(monkeypatch):
         assert (np.asarray(aux[k]) == np.asarray(ref_aux[k])).all()
     assert np.abs(np.asarray(aux["first_pos"]) - np.asarray(ref_aux["first_pos"])).max() < 1e-4
 
-    # both round-4 levers on (cfg.peel_sort_shadow routes the peel's shadow
-    # rays through the sorted/bucketed path; cfg.trace_native traces each
-    # occupancy bucket at its own width): pure scheduling changes, so the
-    # image must still be bit-comparable to the wavefront baseline
+    # all round-4 levers on (cfg.peel_sort_shadow/loop_sort_shadow route
+    # shadow rays through the sorted/bucketed path; cfg.trace_native traces
+    # each occupancy bucket at its own width): pure scheduling changes, so
+    # the image must still be bit-comparable to the wavefront baseline
     monkeypatch.setenv("VKGR_PEEL_SORT_SHADOW", "1")
     monkeypatch.setenv("VKGR_TRACE_NATIVE", "1")
+    monkeypatch.setenv("VKGR_LOOP_SORT_SHADOW", "1")
     img2, aux2 = render("packet")
     assert np.abs(img2 - ref_img).max() < 1e-4
     assert (np.asarray(aux2["first_rnode"]) == np.asarray(ref_aux["first_rnode"])).all()

@@ -196,6 +196,13 @@ class RenderConfig:
     # full frame width (pays per-bucket grid compiles once, skips the
     # full-width pack + dead-packet launches every bounce)
     trace_native: bool = False
+    # loop-bounce shadow rays through the sorted/bucketed trace path: the
+    # compact sort keys on the PATH ray (origin Morton + path direction
+    # octant), so loop shadow packets have coherent origins but random
+    # directions (env/light samples) — near union-of-nodes traversal. This
+    # lever re-sorts each bounce's shadow rays by THEIR direction octant
+    # (exp_glue: direction-mixed packets measured ~2x slower)
+    loop_sort_shadow: bool = False
 
 
 def _hit_state(flat, bvh, hits, rd, cfg):
@@ -761,12 +768,15 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
         # directions (toward env/light samples) are divergent even when the
         # closest-trace origins are tile-coherent, so wider packets lose
         cfg_s = replace(cfg_t, packet_tiles=cfg.packet_tiles)
-        if peel and cfg.peel_sort_shadow:
+        if (peel and cfg.peel_sort_shadow) or (not peel and cfg.loop_sort_shadow):
             # peeled-bounce shadow rays run at FULL frame width with only
             # the hit fraction live, scattered through every packet (the
             # compact sort hasn't happened yet) — route them through the
             # sorted/bucketed trace path instead: liveness+octant co-sort
-            # clusters the live lanes into few, direction-coherent packets
+            # clusters the live lanes into few, direction-coherent packets.
+            # Loop bounces (cfg.loop_sort_shadow) benefit for a different
+            # reason: the compact sort keyed on the PATH ray, so shadow
+            # directions are octant-mixed within every packet.
             cfg_s = replace(cfg, trace_width=0, packet_kernel=cfg.packet_kernel)
         if seed_hits is None:
             hits, seed = _trace_with_alpha(flat, bvh, ro, rd, seed, cfg_t, alive=alive)

@@ -487,6 +487,7 @@ class GltfRenderer:
             spp_batch=os.environ.get("VKGR_SPP_BATCH", "0") != "0",
             peel_sort_shadow=os.environ.get("VKGR_PEEL_SORT_SHADOW", "0") != "0",
             trace_native=os.environ.get("VKGR_TRACE_NATIVE", "0") != "0",
+            loop_sort_shadow=os.environ.get("VKGR_LOOP_SORT_SHADOW", "0") != "0",
             width=self.width,
             height=self.height,
             spp=self.spp,
