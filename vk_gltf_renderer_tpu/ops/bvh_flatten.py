@@ -1061,7 +1061,7 @@ def vmem_bytes(wb: WorldBvh, kernel: str = "v2") -> int:
     if kernel == "lane_stream":
         # pages stay in HBM; resident footprint is ONE 6 KB page scratch
         return LANE_FIELDS * 128 * 4
-    rows = wb.nodes4_fi.shape[0] if kernel in ("v3", "v5", "v7") else wb.nodes_fi.shape[0]
+    rows = wb.nodes4_fi.shape[0] if kernel in ("v3", "v5", "v7", "v8") else wb.nodes_fi.shape[0]
     return rows * 128 * 4 + wb.tris128.nbytes
 
 

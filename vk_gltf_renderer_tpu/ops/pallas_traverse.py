@@ -981,6 +981,242 @@ def traverse_packets3(nodes4_fi, tris128, rays_ro, rays_rd, root_code, interpret
     )(*operands)
 
 
+LQ_CAP = 512       # leaf-queue capacity (v8); SMEM cost 2 KB
+LQ_HIGH = LQ_CAP - 4  # producer gate: an internal visit adds <= 4 leaves
+
+
+def _traverse8_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref,
+                    stack_ref, lq_ref, root_code=0, anyhit=False):
+    """v8 leaf-queue packet traversal (branchless dual-pop over BVH4 rows).
+
+    The v3 kernel's measured per-visit floor is the SCALAR chain: pop ->
+    `lax.cond(leaf, internal)` -> (internal) vector slab tests -> packed
+    any() reduction (vector->scalar round trip, ~0.35 us) -> pushes. Leaf
+    visits are the opposite: almost pure VPU work (8 Moeller-Trumbore
+    tests) behind a trivial scalar decode. v8 stops alternating between
+    the two regimes: the traversal stack holds ONLY internal codes, leaf
+    children are diverted to a separate SMEM queue, and every iteration
+    pops one of EACH (masked, no lax.cond) — one internal row (slab tests
+    + reduction + pushes) and one queued leaf (tri tests). The leaf's VPU
+    work is independent of the internal's reduction, so the scalar
+    latency hides under it, and total iterations drop from
+    internal+leaf visits to ~max(internal, leaf).
+
+    Deferring leaves means tri tests see a slightly stale t_best — purely
+    conservative (t_best only shrinks; every queued leaf is still
+    drained), so hits are identical to v2/v3. The producer side is gated
+    when the queue nears capacity (lq >= LQ_HIGH pauses internal pops),
+    which bounds the queue without drops. anyhit poisoning is v2's
+    (t_best = -1 kills all future box tests for the lane).
+
+    Reference role: the RTX traversal loop raytracer_interface.h.slang:
+    69-228 — hardware interleaves node and triangle stages per ray; this
+    is the packet-level analog of that stage overlap.
+    """
+    rox = ro_ref[0, 0]
+    roy = ro_ref[0, 1]
+    roz = ro_ref[0, 2]
+    tmax = ro_ref[0, 3]
+    rdx = rd_ref[0, 0]
+    rdy = rd_ref[0, 1]
+    rdz = rd_ref[0, 2]
+    tmin = rd_ref[0, 3]
+    sub = rox.shape[0]
+
+    def inv(d):
+        return jnp.where(jnp.abs(d) < 1e-20, jnp.where(d >= 0, 1e30, -1e30), 1.0 / d)
+
+    ix, iy, iz = inv(rdx), inv(rdy), inv(rdz)
+
+    sx = jnp.sum(jnp.where(rdx >= 0, 1, -1)) >= 0
+    sy = jnp.sum(jnp.where(rdy >= 0, 1, -1)) >= 0
+    sz = jnp.sum(jnp.where(rdz >= 0, 1, -1)) >= 0
+
+    def sign_of(axis):
+        return jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+
+    # Both scratch slot-0s are written so masked-off pops read in-bounds
+    # codes: a stale stack read fetches node row 0, a stale queue read
+    # decodes to (row 0, count 0) and every tri test is masked by c<cnt.
+    stack_ref[0] = max(root_code, 0)
+    lq_ref[0] = min(root_code, -1)
+    if root_code >= 0:
+        sp0, lq0 = jnp.int32(1), jnp.int32(0)
+    else:  # degenerate single-leaf scene: seed the queue instead
+        sp0, lq0 = jnp.int32(0), jnp.int32(1)
+
+    def tri_tests(row, t_best, rn_best, tri_best, u_best, v_best, count):
+        tv = tris128_ref[pl.ds(row, 1), :]  # [1,128] = 8 tris
+        for c in range(LEAF_SIZE):
+            o = c * 16
+            v0x, v0y, v0z = tv[0, o + 0], tv[0, o + 1], tv[0, o + 2]
+            e1x, e1y, e1z = tv[0, o + 3] - v0x, tv[0, o + 4] - v0y, tv[0, o + 5] - v0z
+            e2x, e2y, e2z = tv[0, o + 6] - v0x, tv[0, o + 7] - v0y, tv[0, o + 8] - v0z
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = (c < count) & (jnp.abs(det) >= 1e-12)
+            inv_det = 1.0 / jnp.where(jnp.abs(det) >= 1e-12, det, 1.0)
+            tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+            uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hit = ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) & (tt > tmin) & (tt < t_best)
+            t_best = jnp.where(hit, jnp.float32(-1.0) if anyhit else tt, t_best)
+            rn_best = jnp.where(hit, tv[0, o + 9], rn_best)
+            tri_best = jnp.where(hit, tv[0, o + 10], tri_best)
+            u_best = jnp.where(hit, uu, u_best)
+            v_best = jnp.where(hit, vv, v_best)
+        return t_best, rn_best, tri_best, u_best, v_best
+
+    def body(state):
+        sp, lq, t_best, rn_best, tri_best, u_best, v_best = state
+
+        # -- dual pop (masked; indices clamped into written slots) -------
+        take_i = (sp > 0) & (lq < LQ_HIGH)
+        # clamp: dead slots above the top can hold leaf codes (<0) written
+        # by the dual-target push; a masked-off pop must still fetch a
+        # real row index
+        e = jnp.maximum(stack_ref[jnp.maximum(sp - 1, 0)], 0)
+        sp = sp - jnp.where(take_i, 1, 0)
+        take_l = lq > 0
+        le = lq_ref[jnp.maximum(lq - 1, 0)]
+        lq = lq - jnp.where(take_l, 1, 0)
+
+        # -- internal half: one [1,32] BVH4 row ---------------------------
+        f = nodes4_fi_ref[pl.ds(e, 1), :]
+
+        def slab(o):
+            t0x = (f[0, o + 0] - rox) * ix
+            t1x = (f[0, o + 3] - rox) * ix
+            t0y = (f[0, o + 1] - roy) * iy
+            t1y = (f[0, o + 4] - roy) * iy
+            t0z = (f[0, o + 2] - roz) * iz
+            t1z = (f[0, o + 5] - roz) * iz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), t_best),
+            )
+            return tnear <= tfar
+
+        h0 = slab(0)
+        h1 = slab(6)
+        h2 = slab(12)
+        h3 = slab(18)
+
+        # -- leaf half: one queued [1,128] tri block (pure VPU work,
+        #    independent of the reduction below -> overlaps it) ----------
+        code = -le - 1
+        # clamp mirrors the stack side: dead queue slots can hold internal
+        # codes (>= 0) -> code < 0 -> a negative row on a masked-off pop
+        row = jnp.maximum(code // 16, 0)
+        cnt = jnp.where(take_l, code - row * 16, 0)
+        t_best, rn_best, tri_best, u_best, v_best = tri_tests(
+            row, t_best, rn_best, tri_best, u_best, v_best, cnt
+        )
+
+        # -- packed any() reductions + dual-target pushes -----------------
+        p01 = jnp.sum(h0.astype(jnp.int32) * 65536 + h1.astype(jnp.int32))
+        p23 = jnp.sum(h2.astype(jnp.int32) * 65536 + h3.astype(jnp.int32))
+        a0 = (p01 >= 65536) & take_i
+        a1 = ((p01 & 65535) > 0) & take_i
+        a2 = (p23 >= 65536) & take_i
+        a3 = ((p23 & 65535) > 0) & take_i
+        c0 = f[0, 24].astype(jnp.int32)
+        c1 = f[0, 25].astype(jnp.int32)
+        c2 = f[0, 26].astype(jnp.int32)
+        c3 = f[0, 27].astype(jnp.int32)
+        ax0, ax1, ax2 = (f[0, 28].astype(jnp.int32),
+                         f[0, 29].astype(jnp.int32),
+                         f[0, 30].astype(jnp.int32))
+        s0 = sign_of(ax0)
+        s1 = sign_of(ax1)
+        s2 = sign_of(ax2)
+
+        ln_id = jnp.where(s1, c0, c1)
+        lf_id = jnp.where(s1, c1, c0)
+        ln_a = jnp.where(s1, a0, a1)
+        lf_a = jnp.where(s1, a1, a0)
+        rn_id = jnp.where(s2, c2, c3)
+        rf_id = jnp.where(s2, c3, c2)
+        rn_a = jnp.where(s2, a2, a3)
+        rf_a = jnp.where(s2, a3, a2)
+
+        p1_id = jnp.where(s0, rf_id, lf_id)
+        p1_a = jnp.where(s0, rf_a, lf_a)
+        p2_id = jnp.where(s0, rn_id, ln_id)
+        p2_a = jnp.where(s0, rn_a, ln_a)
+        p3_id = jnp.where(s0, lf_id, rf_id)
+        p3_a = jnp.where(s0, lf_a, rf_a)
+        p4_id = jnp.where(s0, ln_id, rn_id)
+        p4_a = jnp.where(s0, ln_a, rn_a)
+
+        for pid, pa in ((p1_id, p1_a), (p2_id, p2_a), (p3_id, p3_a), (p4_id, p4_a)):
+            is_leaf = pid < 0
+            stack_ref[sp] = pid
+            sp = sp + jnp.where(pa & (~is_leaf), 1, 0)
+            lq_ref[lq] = pid
+            lq = lq + jnp.where(pa & is_leaf, 1, 0)
+
+        return sp, lq, t_best, rn_best, tri_best, u_best, v_best
+
+    state = (
+        sp0,
+        lq0,
+        tmax,
+        jnp.full((sub, LANE), -1.0),
+        jnp.full((sub, LANE), -1.0),
+        jnp.zeros((sub, LANE)),
+        jnp.zeros((sub, LANE)),
+    )
+    _, _, t_best, rn_best, tri_best, u_best, v_best = jax.lax.while_loop(
+        lambda s: (s[0] > 0) | (s[1] > 0), body, state
+    )
+
+    out_ref[0, 0] = t_best
+    out_ref[0, 1] = rn_best
+    out_ref[0, 2] = tri_best
+    out_ref[0, 3] = u_best
+    out_ref[0, 4] = v_best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tiles", "anyhit", "root_code"))
+def traverse_packets8(nodes4_fi, tris128, rays_ro, rays_rd, root_code, interpret=False,
+                      tiles=1, anyhit=False):
+    """v8 kernel dispatch (leaf-queue dual-pop over BVH4 fused rows); same
+    I/O as traverse_packets3 (5-channel, ids resolved in-kernel)."""
+    g = rays_ro.shape[0]
+    sub = tiles * SUB
+    kernel = functools.partial(_traverse8_body, root_code=root_code, anyhit=anyhit)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(nodes4_fi.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris128.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 5, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 5, sub, LANE), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32),
+                        pltpu.SMEM((LQ_CAP,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(nodes4_fi, tris128, rays_ro, rays_rd)
+
+
 def _traverse6_body(nodes16_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_ref,
                     anyhit=False):
     """v6 packet traversal: dense BVH16 rows (bvh_flatten._packet6_tables).
@@ -1337,6 +1573,11 @@ def intersect_rays_packet_soa(
     if kernel == "v6":
         out = traverse_packets6(
             wb.nodes16_fi, wb.tris128, ro_p, rd_p,
+            interpret=interpret, tiles=tiles, anyhit=anyhit,
+        )
+    elif kernel == "v8":
+        out = traverse_packets8(
+            wb.nodes4_fi, wb.tris128, ro_p, rd_p, wb.root4_code,
             interpret=interpret, tiles=tiles, anyhit=anyhit,
         )
     elif kernel in ("v3", "v5", "v7"):
