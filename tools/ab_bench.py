@@ -81,11 +81,24 @@ def main():
     frame = jax.device_put(frame)
 
     fns = [make_render_fn(c) for c in cfgs]
-    # warmup: compile + settle each variant
-    for w in range(args.warmup):
-        for fn in fns:
-            accum, aux = fn(flat, bvh, env, frame)
-            float(aux["rays"])  # readback sync
+    # warmup: compile + settle each variant; a variant whose kernel dies on
+    # the live TPU (InvalidArgument etc.) is dropped instead of killing the
+    # whole matrix
+    alive = []
+    for spec, fn in zip(specs, fns):
+        try:
+            for w in range(args.warmup):
+                accum, aux = fn(flat, bvh, env, frame)
+                float(aux["rays"])  # readback sync
+            alive.append((spec, fn))
+        except Exception as e:  # noqa: BLE001
+            print(f"variant {spec!r} FAILED warmup: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+    if not alive:
+        print("all variants failed warmup", flush=True)
+        sys.exit(1)
+    specs = [s for s, _ in alive]
+    fns = [f for _, f in alive]
 
     times = [[] for _ in fns]
     rays = [0.0 for _ in fns]

@@ -720,9 +720,10 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
         wtri_tri = np.zeros(1, np.int32)
     nt = wv.shape[0]
 
-    from .hitstate import bake_hit_attrs_np
+    from .hitstate import bake_hit_attrs_np, narrow_attr_ok
 
-    hit_attr, attr_has_uv = bake_hit_attrs_np(flat, attr_rnode, attr_tri)
+    hit_attr, attr_has_uv = bake_hit_attrs_np(flat, attr_rnode, attr_tri,
+                                              narrow=narrow_attr_ok(flat))
     attr_alpha_class = (np.asarray(tri_class, np.int8) if tri_class is not None
                         else np.ones(attr_rnode.shape[0], np.int8))  # default MIXED
 

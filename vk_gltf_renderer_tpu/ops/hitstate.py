@@ -182,8 +182,24 @@ HIT_ATTR_COLS = 64
 #                   instances; multiply restores the object-space orientation
 #  54:64 pad
 
+# NARROW rows: the GLTF_USE-style data specialization of the row itself.
+# When the scene has NO textures (uv0/uv1/texel_density are provably
+# unconsumed: every sampling subgraph is compile-dropped, and tex_lod only
+# feeds those subgraphs) and NO vertex colors (the color columns are
+# constant 1), the row shrinks 64 -> 32 f32 — the get_hit_state_fused wide
+# gather is the single largest frame-glue item (~39 ms per 2M lanes on
+# v5e, tools/exp_glue.py), and its cost is linear in row bytes. Tangents
+# are KEPT so the bsdf sampling frame (and therefore every golden image)
+# is bit-identical to the wide path. Eligibility is decided from the flat
+# scene data at build time (bvh_flatten build_world_bvh).
+HIT_ATTR_COLS_NARROW = 32
+# narrow column layout:
+#  0:9   n0,n1,n2    9:18 t0,t1,t2    18 tan_w
+#  19:28 p0,p1,p2   28 geo_sign      29:32 pad
 
-def _bake_hit_attrs(xp, vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, attr_has_uv):
+
+def _bake_hit_attrs(xp, vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, attr_has_uv,
+                    narrow=False):
     """Shared np/jnp implementation (xp = numpy or jax.numpy)."""
     idx = tri_idx[attr_tri]  # [Ta,3]
     rn_row = rn_packed[attr_rnode]  # [Ta,32]
@@ -226,22 +242,51 @@ def _bake_hit_attrs(xp, vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, at
     )
     geo_sign = xp.where(det < 0, -1.0, 1.0)
 
-    cols = [
-        n0, n1, n2,                      # 0:9
-        t0, t1, t2,                      # 9:18
-        va[:, 9:10],                     # 18 tangent w
-        va[:, 10:12], vb[:, 10:12], vc[:, 10:12],  # 19:25 uv0
-        va[:, 12:14], vb[:, 12:14], vc[:, 12:14],  # 25:31 uv1
-        va[:, 14:18], vb[:, 14:18], vc[:, 14:18],  # 31:43 color
-        texel_density[:, None],          # 43
-        p0, p1, p2,                      # 44:53
-        geo_sign[:, None],               # 53
-        xp.zeros((va.shape[0], HIT_ATTR_COLS - 54), va.dtype),
-    ]
+    if narrow:
+        cols = [
+            n0, n1, n2,                  # 0:9
+            t0, t1, t2,                  # 9:18
+            va[:, 9:10],                 # 18 tangent w
+            p0, p1, p2,                  # 19:28
+            geo_sign[:, None],           # 28
+            xp.zeros((va.shape[0], HIT_ATTR_COLS_NARROW - 29), va.dtype),
+        ]
+    else:
+        cols = [
+            n0, n1, n2,                      # 0:9
+            t0, t1, t2,                      # 9:18
+            va[:, 9:10],                     # 18 tangent w
+            va[:, 10:12], vb[:, 10:12], vc[:, 10:12],  # 19:25 uv0
+            va[:, 12:14], vb[:, 12:14], vc[:, 12:14],  # 25:31 uv1
+            va[:, 14:18], vb[:, 14:18], vc[:, 14:18],  # 31:43 color
+            texel_density[:, None],          # 43
+            p0, p1, p2,                      # 44:53
+            geo_sign[:, None],               # 53
+            xp.zeros((va.shape[0], HIT_ATTR_COLS - 54), va.dtype),
+        ]
     return xp.concatenate(cols, axis=1).astype(xp.float32)
 
 
-def bake_hit_attrs_np(flat, attr_rnode, attr_tri):
+def narrow_attr_ok(flat) -> bool:
+    """Is the NARROW hit-attr row (HIT_ATTR_COLS_NARROW) image-identical for
+    this scene?  True iff the texture pool is the 1x1 white fallback (no
+    images -> every texture-sampling subgraph is compile-dropped, so
+    uv0/uv1/texel_density are unconsumed) and vertex colors are constant 1
+    (the color columns would gather a constant).  VKGR_WIDE_ATTR=1 forces
+    the wide row for A/B."""
+    import os
+
+    import numpy as np
+
+    if os.environ.get("VKGR_WIDE_ATTR", "0") != "0":
+        return False
+    td = np.asarray(flat.tex_desc)
+    untextured = td.shape[0] == 1 and int(td[0, 1]) == 1 and int(td[0, 2]) == 1
+    colors_const = bool((np.asarray(flat.vtx_packed)[:, 14:18] == 1.0).all())
+    return untextured and colors_const
+
+
+def bake_hit_attrs_np(flat, attr_rnode, attr_tri, narrow=False):
     """Build-time numpy bake (bvh_flatten.build_world_bvh)."""
     import numpy as np
 
@@ -250,13 +295,17 @@ def bake_hit_attrs_np(flat, attr_rnode, attr_tri):
     rn_packed = np.asarray(flat.rn_packed, np.float32)
     rn_prim = np.asarray(flat.rn_prim)
     has_uv = np.asarray(flat.prim_has_uv0)[rn_prim[attr_rnode]]
-    out = _bake_hit_attrs(np, vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, has_uv)
+    out = _bake_hit_attrs(np, vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, has_uv,
+                          narrow=narrow)
     return out.astype(np.float32), has_uv.astype(np.int32)
 
 
-def bake_hit_attrs(vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, attr_has_uv):
-    """Refit-time device bake (jit from renderer._refit_device)."""
-    return _bake_hit_attrs(jnp, vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, attr_has_uv)
+def bake_hit_attrs(vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, attr_has_uv,
+                   narrow=False):
+    """Refit-time device bake (jit from renderer._refit_device; `narrow`
+    must match the build-time table width and be static under jit)."""
+    return _bake_hit_attrs(jnp, vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri,
+                           attr_has_uv, narrow=narrow)
 
 
 def get_hit_state_fused(hit_attr, rn_attr_base, hit, ray_dir):
@@ -267,7 +316,8 @@ def get_hit_state_fused(hit_attr, rn_attr_base, hit, ray_dir):
     tri = jnp.maximum(hit["tri"], 0)
     rnode = jnp.maximum(hit["rnode"], 0)
     row_id = jnp.clip(rn_attr_base[rnode] + tri, 0, hit_attr.shape[0] - 1)
-    row = hit_attr[row_id]  # [...,64] — the one gather
+    row = hit_attr[row_id]  # [...,64|32] — the one gather
+    narrow = hit_attr.shape[-1] == HIT_ATTR_COLS_NARROW  # static under jit
 
     u = hit["u"][..., None]
     v = hit["v"][..., None]
@@ -275,8 +325,12 @@ def get_hit_state_fused(hit_attr, rn_attr_base, hit, ray_dir):
 
     n0, n1, n2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
     t0, t1, t2 = row[..., 9:12], row[..., 12:15], row[..., 15:18]
-    p0, p1, p2 = row[..., 44:47], row[..., 47:50], row[..., 50:53]
-    geo_sign = row[..., 53:54]
+    if narrow:
+        p0, p1, p2 = row[..., 19:22], row[..., 22:25], row[..., 25:28]
+        geo_sign = row[..., 28:29]
+    else:
+        p0, p1, p2 = row[..., 44:47], row[..., 47:50], row[..., 50:53]
+        geo_sign = row[..., 53:54]
 
     pos = p0 * w + p1 * u + p2 * v
     geonrm = _normalize(cross3(p1 - p0, p2 - p0)) * geo_sign
@@ -292,9 +346,15 @@ def get_hit_state_fused(hit_attr, rn_attr_base, hit, ray_dir):
     dw = jnp.minimum(0.0, dot3(pos - p2, n2h))[..., None] * n2h
     shadow_pos = pos - (w * du + u * dv + v * dw)
 
-    uv0 = row[..., 19:21] * w + row[..., 21:23] * u + row[..., 23:25] * v
-    uv1 = row[..., 25:27] * w + row[..., 27:29] * u + row[..., 29:31] * v
-    color = row[..., 31:35] * w + row[..., 35:39] * u + row[..., 39:43] * v
+    if narrow:
+        # provably-unconsumed / constant channels (see HIT_ATTR_COLS_NARROW)
+        uv0 = jnp.zeros(row.shape[:-1] + (2,), row.dtype)
+        uv1 = uv0
+        color = jnp.ones(row.shape[:-1] + (4,), row.dtype)
+    else:
+        uv0 = row[..., 19:21] * w + row[..., 21:23] * u + row[..., 23:25] * v
+        uv1 = row[..., 25:27] * w + row[..., 27:29] * u + row[..., 29:31] * v
+        color = row[..., 31:35] * w + row[..., 35:39] * u + row[..., 39:43] * v
 
     tangent = _normalize(t0 * w + t1 * u + t2 * v)
     tangent = _normalize(tangent - nrm * dot3(nrm, tangent)[..., None])
@@ -319,7 +379,7 @@ def get_hit_state_fused(hit_attr, rn_attr_base, hit, ray_dir):
         "uv0": uv0,
         "uv1": uv1,
         "color": color,
-        "texel_density": row[..., 43],
+        "texel_density": jnp.zeros(row.shape[:-1], row.dtype) if narrow else row[..., 43],
         "front_face": front_face,
     }
 

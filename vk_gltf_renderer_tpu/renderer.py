@@ -414,10 +414,13 @@ class GltfRenderer:
 
         from .ops.hitstate import bake_hit_attrs
 
-        hit_attr = jax.jit(bake_hit_attrs)(
+        from .ops.hitstate import HIT_ATTR_COLS_NARROW
+
+        narrow = self.bvh.hit_attr.shape[-1] == HIT_ATTR_COLS_NARROW
+        hit_attr = jax.jit(bake_hit_attrs, static_argnames=("narrow",))(
             vtx_packed, jnp.asarray(self.flat.tri_idx), jnp.asarray(rn_packed),
             jnp.asarray(self.bvh.attr_rnode), jnp.asarray(self.bvh.attr_tri),
-            jnp.asarray(self.bvh.attr_has_uv),
+            jnp.asarray(self.bvh.attr_has_uv), narrow=narrow,
         )
         self.bvh = dataclasses.replace(
             self.bvh, nodes_f=nodes_f, nodes_self=nodes_self, nodes4_f=nodes4_f, tris=tris,
