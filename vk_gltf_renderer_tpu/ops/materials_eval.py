@@ -18,13 +18,6 @@ from .textures import sample_texture
 MICROFACET_MIN_ROUGHNESS = 0.0014142
 
 
-_TEXTURED = True  # module-level gate set per-call via evaluate_material
-
-
-def _tex(flat, slot, hit, lod):
-    return sample_texture(flat, slot, hit["uv0"], hit["uv1"], lod)
-
-
 def _present(slot):
     return (slot > 0).astype(jnp.float32)
 
@@ -57,15 +50,14 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
     specialization of the reference, gltf_material_eval.h.slang:67-74) —
     a large compile-time and runtime win for untextured scenes.
     """
-    global _tex
+    # local closure (NOT a module global): two render fns with different
+    # texture specializations can trace concurrently without leaking state
     if "textured" not in features:
-        def _tex(flat, slot, hit, lod):  # noqa: F811 - local specialization
+        def _tex(flat, slot, hit, lod):
             return jnp.ones(slot.shape + (4,), jnp.float32)
     else:
-        from .textures import sample_texture as _st
-
-        def _tex(flat, slot, hit, lod):  # noqa: F811
-            return _st(flat, slot, hit["uv0"], hit["uv1"], lod)
+        def _tex(flat, slot, hit, lod):
+            return sample_texture(flat, slot, hit["uv0"], hit["uv1"], lod)
     m = _gather_materials(flat, mat_id)
     lod = jnp.zeros_like(hit["texel_density"]) if tex_lod is None else tex_lod
     if is_inside is None:

@@ -68,6 +68,11 @@ def _make_global(x, mesh, spec):
     from jax.sharding import NamedSharding
 
     sharding = NamedSharding(mesh, spec)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        # already a global array from a previous multihost frame (e.g. the
+        # accumulation buffer fed back as a frame input): numpy can't even
+        # read it — reshard device-side instead of round-tripping via host
+        return x if x.sharding == sharding else jax.device_put(x, sharding)
     x = np.asarray(x)
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
@@ -106,14 +111,27 @@ def render_multihost(renderer, mesh, axis: str = "tiles"):
     bvh_g = rep_tree(renderer.bvh)
     env_g = rep_tree(renderer._env_arrays())
 
+    import time
+
+    t0 = time.perf_counter()
     accum, aux = fn(flat_g, bvh_g, env_g, frame_g)
+    rays = float(aux["rays"])  # scalar readback = frame sync
+    wall_ms = (time.perf_counter() - t0) * 1000.0
     renderer.accum = accum
     renderer.total_samples += cfg.spp
     renderer.frame_idx += 1
     if renderer.adaptive is not None:
         # psum'd global ray counter -> every process computes the same spp
-        # bucket (SURVEY §2.7: adaptive stats ride psum; lock-step cadence)
-        renderer.adaptive.update_global(float(aux["rays"]), 1.0)
+        # bucket (SURVEY §2.7: adaptive stats ride psum; lock-step cadence).
+        # wall_ms is MEASURED on process 0 and broadcast so every process
+        # feeds the controller the same number (clocks differ across hosts;
+        # a per-process measurement would let spp buckets diverge).
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            wall_ms = float(multihost_utils.broadcast_one_to_all(
+                np.float32(wall_ms)))
+        renderer.adaptive.update_global(rays, wall_ms)
         renderer.spp = renderer.adaptive.spp
     local = []
     shard_rows = n // ndev
