@@ -111,12 +111,17 @@ def main() -> int:
     }
 
     helmet = _helmet_standin()
+    helmet_failed = False
     if helmet is not None:
         try:
             detail["helmet_standin"] = _measure(
                 helmet, width, height, spp, depth, warmup, timed_frames)
         except Exception as exc:
+            # a textured-scene failure is a BENCH failure (every BASELINE
+            # config is textured): nonzero exit routes it into bench.py's
+            # fresh-cache retry instead of burying it in the detail string
             detail["helmet_standin"] = {"error": str(exc)[:300]}
+            helmet_failed = True
 
     result = {
         "metric": "Mrays_per_sec",
@@ -126,7 +131,7 @@ def main() -> int:
         "detail": detail,
     }
     print(json.dumps(result))
-    return 0
+    return 2 if helmet_failed else 0
 
 
 if __name__ == "__main__":

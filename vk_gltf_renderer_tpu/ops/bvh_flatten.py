@@ -36,7 +36,6 @@ import numpy as np
 from .bvh import _build_radix_tree, morton3d
 
 LEAF_SIZE = 8
-LANE_FIELDS = 14  # ops/lane_traverse.FIELDS (page layout, kept in sync)
 
 
 def _lane_tables(nodes_i, nodes_self, tris16, wtri_rnode=None, wtri_tri=None):
@@ -136,8 +135,8 @@ class WorldBvh:
     nodes4_i: np.ndarray  # [M,8] BVH4: c0..c3 (see build_bvh4), axis0..2, pad
     nodes4_f: np.ndarray  # [M,32] BVH4: 4 child AABBs
     map4: np.ndarray  # [M,4] binary source node per child slot (refit)
-    lane_pages: np.ndarray  # [P*12,128] f32 skip-DFS page table (ops/lane_traverse.py)
-    lane_geo_idx: np.ndarray  # [P*12,128] i32 geometry-source map for device refit
+    lane_pages: np.ndarray  # [P*FIELDS,128] f32 skip-DFS page table (ops/lane_traverse.py)
+    lane_geo_idx: np.ndarray  # [P*FIELDS,128] i32 geometry-source map for device refit
     nodes_fi: np.ndarray  # [Nn,16] f32 fused v2 node rows (_packet2_tables)
     tris128: np.ndarray  # [L,128] f32 leaf-aligned tri blocks (8 tris/row)
     wtri8_rnode: np.ndarray  # [L*8] i32 render node per leaf slot (-1 pad)
@@ -1060,8 +1059,10 @@ def vmem_bytes(wb: WorldBvh, kernel: str = "v2") -> int:
         # skip-DFS page table is already 128-wide (no padding waste)
         return wb.lane_pages.nbytes
     if kernel == "lane_stream":
-        # pages stay in HBM; resident footprint is ONE 6 KB page scratch
-        return LANE_FIELDS * 128 * 4
+        # pages stay in HBM; resident footprint is ONE 8 KB page scratch
+        from .lane_traverse import FIELDS
+
+        return FIELDS * 128 * 4
     rows = wb.nodes4_fi.shape[0] if kernel in ("v3", "v5", "v7", "v8") else wb.nodes_fi.shape[0]
     return rows * 128 * 4 + wb.tris128.nbytes
 

@@ -31,11 +31,17 @@ reference gets from Vulkan (raytracer_interface.h.slang:69-228): the role
 of SER ReorderThread is played by the caller's Morton sort, and the role
 of the per-thread stack by the skip-pointer threading.
 
-Entry layout (14 f32 fields per entry, page-major [P*14, 128]):
-  internal: [lo.xyz, hi.xyz,  0, 0, 0,        miss, 0,      0, 0,     0  ]
-  triangle: [v0.xyz, e1.xyz,  e2.xyz,         next, triRow, 1, rnode, tri]
+Entry layout (16 f32 fields per entry, page-major [P*16, 128]):
+  internal: [lo.xyz, hi.xyz,  0, 0, 0,        miss, 0,      0, 0,     0,   0, 0]
+  triangle: [v0.xyz, e1.xyz,  e2.xyz,         next, triRow, 1, rnode, tri, 0, 0]
 with `miss`/`next`/`triRow`/`rnode`/`tri` stored as exact f32 integers
 (< 2^24 — capping the kernel at 16M entries, ~14M world triangles).
+
+FIELDS is padded 14 -> 16 so every page is EXACTLY two (8,128) f32 tiles:
+the stream kernel's dynamic-offset DMA (page*FIELDS rows) is then always
+sublane-aligned. tools/exp_stream_dma.py measured that mid-tile
+dynamic-offset DMAs (FIELDS=12/14) crash the v5e TPU worker, while all
+tile-aligned FIELDS=16 variants survive.
 """
 
 from __future__ import annotations
@@ -48,7 +54,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-FIELDS = 14
+FIELDS = 16  # 14 used + 2 pad: 2 exact (8,128) f32 tiles per page
 PAGE = 128
 SUB, LANE = 8, 128
 PACKET = SUB * LANE
