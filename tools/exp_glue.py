@@ -57,7 +57,17 @@ def main():
     frame = r._frame_inputs()
     # closure constants must be device arrays (the production path passes
     # these as jit ARGUMENTS, which converts numpy leaves automatically)
-    flat, bvh, env = jax.device_put((r.flat, r.bvh, r._env_arrays()))
+    for attempt in range(3):  # transient tunnel INVALID_ARGUMENT — retry
+        try:
+            flat, bvh, env = jax.device_put((r.flat, r.bvh, r._env_arrays()))
+            jax.block_until_ready((flat, bvh, env))
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            import time
+
+            time.sleep(5)
     w, h = args.width, args.height
     n = w * h
 
@@ -72,11 +82,18 @@ def main():
     res = {}
 
     def run(name, fn, *a):
-        try:
-            ms = timeit_device(jax.jit(fn), *a, iters=args.iters) * 1e3
-        except Exception as exc:  # keep the probe alive: report and move on
-            print(f"{name:14s}    ERROR {str(exc)[:120]}", flush=True)
-            return
+        ms = None
+        for attempt in range(3):  # the axon tunnel throws transient
+            try:                   # INVALID_ARGUMENT on host->device xfers
+                ms = timeit_device(jax.jit(fn), *a, iters=args.iters) * 1e3
+                break
+            except Exception as exc:
+                if "INVALID_ARGUMENT" not in str(exc) or attempt == 2:
+                    print(f"{name:14s}    ERROR {str(exc)[:120]}", flush=True)
+                    return
+                import time
+
+                time.sleep(5)
         res[name] = ms
         print(f"{name:14s} {ms:8.2f} ms", flush=True)
 

@@ -329,25 +329,46 @@ def detect_scene_features(model) -> frozenset:
         for e in mat.get("extensions", {}):
             if e in ext_map:
                 feats.add(ext_map[e])
-        for tex_holder in _iter_texture_refs(mat):
+        for name, tex_holder in _iter_texture_refs(mat):
             if "KHR_texture_transform" in tex_holder.get("extensions", {}):
                 feats.add("texture_transform")
+            # per-SLOT specialization flags (the GLTF_USE_* data half): a
+            # texture slot used by NO material in the scene compiles to a
+            # constant in evaluate_material — each dropped slot saves ~8
+            # full-width texel-pool gathers per bounce, the single largest
+            # textured-frame cost measured on v5e (tools/exp_glue.py:
+            # helmet mateval 1603 ms with 5 naive slots)
+            feats.add("tex:" + _camel_to_snake(name))
     return frozenset(feats)
 
 
+def _camel_to_snake(name: str) -> str:
+    """baseColorTexture -> base_color_texture (the ShadeMaterial field)."""
+    out = []
+    for ch in name:
+        if ch.isupper():
+            out.append("_")
+            out.append(ch.lower())
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def _iter_texture_refs(mat: dict):
+    """Yields (gltfFieldName, texture_info_dict) for every texture
+    reference on the material."""
     pbr = mat.get("pbrMetallicRoughness", {})
     for k in ("baseColorTexture", "metallicRoughnessTexture"):
         if k in pbr:
-            yield pbr[k]
+            yield k, pbr[k]
     for k in ("normalTexture", "occlusionTexture", "emissiveTexture"):
         if k in mat:
-            yield mat[k]
+            yield k, mat[k]
     for e in mat.get("extensions", {}).values():
         if isinstance(e, dict):
             for k, v in e.items():
                 if k.endswith("Texture") and isinstance(v, dict):
-                    yield v
+                    yield k, v
 
 
 # ---------------------------------------------------------------- utilities

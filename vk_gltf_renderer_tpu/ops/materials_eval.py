@@ -51,13 +51,21 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
     a large compile-time and runtime win for untextured scenes.
     """
     # local closure (NOT a module global): two render fns with different
-    # texture specializations can trace concurrently without leaking state
-    if "textured" not in features:
-        def _tex(flat, slot, hit, lod):
-            return jnp.ones(slot.shape + (4,), jnp.float32)
-    else:
-        def _tex(flat, slot, hit, lod):
-            return sample_texture(flat, slot, hit["uv0"], hit["uv1"], lod)
+    # texture specializations can trace concurrently without leaking state.
+    # Gating is per SLOT: a texture slot no material in the scene uses
+    # compiles to constant white (detect_scene_features emits "tex:<slot>"
+    # flags — the data half of the reference's GLTF_USE_* specialization,
+    # scene_shader_macros.cpp). Each dropped slot saves full-width texel
+    # gathers, the dominant textured-frame cost on TPU.
+    # "textured" alone (no slot flags) samples every slot — callers that
+    # predate per-slot detection keep their contract.
+    slot_gated = any(f.startswith("tex:") for f in features)
+
+    def _tex(flat, m, name, hit, lod):
+        off = "textured" not in features or (slot_gated and ("tex:" + name) not in features)
+        if off:
+            return jnp.ones(m[name].shape + (4,), jnp.float32)
+        return sample_texture(flat, m[name], hit["uv0"], hit["uv1"], lod)
     m = _gather_materials(flat, mat_id)
     lod = jnp.zeros_like(hit["texel_density"]) if tex_lod is None else tex_lod
     if is_inside is None:
@@ -68,12 +76,12 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
 
     # ---- base color / metallic-roughness (or spec-gloss conversion)
     base_color = m["base_color_factor"] * hit["color"]
-    bc_tex = _tex(flat, m["base_color_texture"], hit, lod)
+    bc_tex = _tex(flat, m, "base_color_texture", hit, lod)
     base_color = base_color * jnp.where((m["base_color_texture"] > 0)[..., None], bc_tex, 1.0)
 
     roughness = m["roughness_factor"]
     metallic = m["metallic_factor"]
-    mr_tex = _tex(flat, m["metallic_roughness_texture"], hit, lod)
+    mr_tex = _tex(flat, m, "metallic_roughness_texture", hit, lod)
     has_mr = m["metallic_roughness_texture"] > 0
     roughness = roughness * jnp.where(has_mr, mr_tex[..., 1], 1.0)
     metallic = metallic * jnp.where(has_mr, mr_tex[..., 2], 1.0)
@@ -81,11 +89,11 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
     if "specular_glossiness" in features:
         sg = m["pbr_model"] == 1
         diffuse = m["diffuse_factor"] * hit["color"]
-        d_tex = _tex(flat, m["diffuse_texture"], hit, lod)
+        d_tex = _tex(flat, m, "diffuse_texture", hit, lod)
         diffuse = diffuse * jnp.where((m["diffuse_texture"] > 0)[..., None], d_tex, 1.0)
         spec3 = m["specular_glossiness_factor"]
         gloss = m["glossiness_factor"]
-        sg_tex = _tex(flat, m["specular_glossiness_texture"], hit, lod)
+        sg_tex = _tex(flat, m, "specular_glossiness_texture", hit, lod)
         has_sg = m["specular_glossiness_texture"] > 0
         spec3 = spec3 * jnp.where(has_sg[..., None], sg_tex[..., :3], 1.0)
         gloss = gloss * jnp.where(has_sg, sg_tex[..., 3], 1.0)
@@ -110,14 +118,14 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
 
     # ---- occlusion
     occ = m["occlusion_strength"]
-    o_tex = _tex(flat, m["occlusion_texture"], hit, lod)
+    o_tex = _tex(flat, m, "occlusion_texture", hit, lod)
     pbr["occlusion"] = jnp.where(m["occlusion_texture"] > 0, 1.0 + occ * (o_tex[..., 0] - 1.0), occ)
 
     # ---- normal map + frame
     N, T, B = hit["nrm"], hit["tangent"], hit["bitangent"]
     needs_tb_update = jnp.zeros(shape, bool)
     has_nm = m["normal_texture"] > 0
-    n_tex = _tex(flat, m["normal_texture"], hit, lod)[..., :3] * 2.0 - 1.0
+    n_tex = _tex(flat, m, "normal_texture", hit, lod)[..., :3] * 2.0 - 1.0
     n_tex = n_tex * jnp.stack([m["normal_texture_scale"], m["normal_texture_scale"], jnp.ones(shape)], axis=-1)
     n_mapped = n_tex[..., 0:1] * T + n_tex[..., 1:2] * B + n_tex[..., 2:3] * N
     n_mapped = n_mapped / jnp.maximum(jnp.sqrt(dot3(n_mapped, n_mapped)), 1e-12)[..., None]
@@ -128,14 +136,14 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
 
     # ---- emissive
     emissive = m["emissive_factor"]
-    e_tex = _tex(flat, m["emissive_texture"], hit, lod)
+    e_tex = _tex(flat, m, "emissive_texture", hit, lod)
     emissive = emissive * jnp.where((m["emissive_texture"] > 0)[..., None], e_tex[..., :3], 1.0)
     pbr["emissive"] = jnp.maximum(emissive, 0.0)
 
     # ---- volume (BEFORE ior swap: thin-walled check needs thickness)
     if "volume" in features:
         thickness = m["thickness_factor"]
-        th_tex = _tex(flat, m["thickness_texture"], hit, lod)
+        th_tex = _tex(flat, m, "thickness_texture", hit, lod)
         thickness = thickness * jnp.where(m["thickness_texture"] > 0, th_tex[..., 1], 1.0)
         pbr["thickness"] = thickness
         pbr["attenuation_color"] = m["attenuation_color"]
@@ -148,10 +156,10 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
     # ---- specular (KHR_materials_specular)
     if "specular" in features:
         sc = m["specular_color_factor"]
-        sc_tex = _tex(flat, m["specular_color_texture"], hit, lod)
+        sc_tex = _tex(flat, m, "specular_color_texture", hit, lod)
         sc = sc * jnp.where((m["specular_color_texture"] > 0)[..., None], sc_tex[..., :3], 1.0)
         sf = m["specular_factor"]
-        sf_tex = _tex(flat, m["specular_texture"], hit, lod)
+        sf_tex = _tex(flat, m, "specular_texture", hit, lod)
         sf = sf * jnp.where(m["specular_texture"] > 0, sf_tex[..., 3], 1.0)
         pbr["specular_color"] = sc
         pbr["specular"] = sf
@@ -169,7 +177,7 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
     # ---- transmission
     if "transmission" in features:
         tr = m["transmission_factor"]
-        tr_tex = _tex(flat, m["transmission_texture"], hit, lod)
+        tr_tex = _tex(flat, m, "transmission_texture", hit, lod)
         tr = tr * jnp.where(m["transmission_texture"] > 0, tr_tex[..., 0], 1.0)
         pbr["transmission"] = tr
     else:
@@ -192,14 +200,14 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
     # ---- clearcoat
     if "clearcoat" in features:
         cc = m["clearcoat_factor"]
-        cc_tex = _tex(flat, m["clearcoat_texture"], hit, lod)
+        cc_tex = _tex(flat, m, "clearcoat_texture", hit, lod)
         cc = cc * jnp.where(m["clearcoat_texture"] > 0, cc_tex[..., 0], 1.0)
         ccr = m["clearcoat_roughness"]
-        ccr_tex = _tex(flat, m["clearcoat_roughness_texture"], hit, lod)
+        ccr_tex = _tex(flat, m, "clearcoat_roughness_texture", hit, lod)
         ccr = ccr * jnp.where(m["clearcoat_roughness_texture"] > 0, ccr_tex[..., 1], 1.0)
         Nc = pbr["N"]
         has_ccn = m["clearcoat_normal_texture"] > 0
-        ccn = _tex(flat, m["clearcoat_normal_texture"], hit, lod)[..., :3] * 2.0 - 1.0
+        ccn = _tex(flat, m, "clearcoat_normal_texture", hit, lod)[..., :3] * 2.0 - 1.0
         ncc = ccn[..., 0:1] * T + ccn[..., 1:2] * B + ccn[..., 2:3] * Nc
         ncc = ncc / jnp.maximum(jnp.sqrt(dot3(ncc, ncc)), 1e-12)[..., None]
         pbr["Nc"] = jnp.where(has_ccn[..., None], ncc, Nc)
@@ -213,10 +221,10 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
     # ---- iridescence
     if "iridescence" in features:
         ir = m["iridescence_factor"]
-        ir_tex = _tex(flat, m["iridescence_texture"], hit, lod)
+        ir_tex = _tex(flat, m, "iridescence_texture", hit, lod)
         ir = ir * jnp.where(m["iridescence_texture"] > 0, ir_tex[..., 0], 1.0)
         th_max = m["iridescence_thickness_maximum"]
-        th_tex = _tex(flat, m["iridescence_thickness_texture"], hit, lod)
+        th_tex = _tex(flat, m, "iridescence_thickness_texture", hit, lod)
         th = jnp.where(
             m["iridescence_thickness_texture"] > 0,
             m["iridescence_thickness_minimum"] + (th_max - m["iridescence_thickness_minimum"]) * th_tex[..., 1],
@@ -233,7 +241,7 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
     # ---- anisotropy (rotates T in tangent plane, widens roughness.x)
     if "anisotropy" in features:
         strength = m["anisotropy_strength"]
-        a_tex = _tex(flat, m["anisotropy_texture"], hit, lod)
+        a_tex = _tex(flat, m, "anisotropy_texture", hit, lod)
         has_at = m["anisotropy_texture"] > 0
         a_dir = jnp.where(
             has_at[..., None],
@@ -266,10 +274,10 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
     # ---- sheen
     if "sheen" in features:
         sc = m["sheen_color_factor"]
-        sc_tex = _tex(flat, m["sheen_color_texture"], hit, lod)
+        sc_tex = _tex(flat, m, "sheen_color_texture", hit, lod)
         sc = sc * jnp.where((m["sheen_color_texture"] > 0)[..., None], sc_tex[..., :3], 1.0)
         sr = m["sheen_roughness_factor"]
-        sr_tex = _tex(flat, m["sheen_roughness_texture"], hit, lod)
+        sr_tex = _tex(flat, m, "sheen_roughness_texture", hit, lod)
         sr = sr * jnp.where(m["sheen_roughness_texture"] > 0, sr_tex[..., 3], 1.0)
         pbr["sheen_color"] = sc
         pbr["sheen_roughness"] = jnp.maximum(sr, MICROFACET_MIN_ROUGHNESS)
@@ -286,7 +294,7 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
     # reference's path tracer likewise ignores it)
     if "retroreflection" in features:
         retro = m["retroreflection_factor"]
-        retro = retro * _tex(flat, m["retroreflection_texture"], hit, lod)[..., 0]
+        retro = retro * _tex(flat, m, "retroreflection_texture", hit, lod)[..., 0]
         pbr["retroreflection"] = retro
     else:
         pbr["retroreflection"] = jnp.zeros(shape)
@@ -294,10 +302,10 @@ def evaluate_material(flat, mat_id, hit, *, features: frozenset, is_inside=None,
     # ---- diffuse transmission
     if "diffuse_transmission" in features:
         dt = m["diffuse_transmission_factor"]
-        dt_tex = _tex(flat, m["diffuse_transmission_texture"], hit, lod)
+        dt_tex = _tex(flat, m, "diffuse_transmission_texture", hit, lod)
         dt = dt * jnp.where(m["diffuse_transmission_texture"] > 0, dt_tex[..., 3], 1.0)
         dtc = m["diffuse_transmission_color"]
-        dtc_tex = _tex(flat, m["diffuse_transmission_color_texture"], hit, lod)
+        dtc_tex = _tex(flat, m, "diffuse_transmission_color_texture", hit, lod)
         dtc = dtc * jnp.where((m["diffuse_transmission_color_texture"] > 0)[..., None], dtc_tex[..., :3], 1.0)
         pbr["diffuse_transmission"] = dt
         pbr["diffuse_transmission_color"] = dtc
