@@ -85,11 +85,22 @@ class SceneFlat:
     light_angular_or_invrange: np.ndarray  # [L] angular size (dir) / 1/range
     light_cone: np.ndarray  # [L,2] cos(outer), 1/(cos(inner)-cos(outer))
     num_lights: int  # static
-    # textures (filled by ops/textures.py; white 1x1 fallback)
-    tex_texels: np.ndarray  # [K,4] f32 flat pool
+    # textures (filled by ops/textures.py; white 1x1 fallback).
+    # QUAD-PACKED: row i holds the 4 bilinear taps anchored at texel i
+    # (self, right, down, diag; REPEAT wrap baked in at pack time) so one
+    # bilinear fetch is ONE row gather instead of four — TPU gathers cost
+    # per row, and texel-pool gathers dominate textured-frame time
+    # (helmet mateval 1603 ms naive, tools/exp_glue.py).
+    tex_quads: np.ndarray  # [K,16] f32 quad-packed pool
     tex_desc: np.ndarray  # [D,4] i32 (offset, width, height, _)
     tex_mip_table: np.ndarray  # [ntex, max_mips] i32 -> desc row (-1 pad)
     tex_num_mips: np.ndarray  # [ntex] i32
+
+    @property
+    def tex_texels(self):
+        """Plain [K,4] texel view (tap 0 of each quad row) for host-side
+        consumers (ops/omm.py alpha maps, codec conformance tests)."""
+        return self.tex_quads[..., :4]
 
     def tree_flatten(self):
         names = [f.name for f in dc_fields(self) if f.name not in ("num_lights",)]
@@ -315,7 +326,7 @@ def build_scene_flat(scene, *, with_textures: bool = True) -> SceneFlat:
         ti_texcoord=ti_texcoord,
         ti_uvxform=ti_uvxform,
         num_lights=len(scene.render_lights),
-        tex_texels=tex[0],
+        tex_quads=tex[0],
         tex_desc=tex[1],
         tex_mip_table=tex[2],
         tex_num_mips=tex[3],
@@ -324,11 +335,11 @@ def build_scene_flat(scene, *, with_textures: bool = True) -> SceneFlat:
 
 
 def _white_texture_pool():
-    texels = np.ones((1, 4), np.float32)
+    quads = np.ones((1, 16), np.float32)
     desc = np.array([[0, 1, 1, 0]], np.int32)
     mip_table = np.zeros((1, 1), np.int32)
     num_mips = np.ones(1, np.int32)
-    return texels, desc, mip_table, num_mips
+    return quads, desc, mip_table, num_mips
 
 
 def _build_lights(scene) -> dict:
@@ -402,7 +413,7 @@ def refresh_materials(flat: SceneFlat, scene) -> SceneFlat:
             tex = build_texture_pool(model, used_texinfos=ti)
         else:
             tex = _white_texture_pool()
-        extra = dict(tex_texels=tex[0], tex_desc=tex[1], tex_mip_table=tex[2], tex_num_mips=tex[3])
+        extra = dict(tex_quads=tex[0], tex_desc=tex[1], tex_mip_table=tex[2], tex_num_mips=tex[3])
     return dataclasses.replace(
         flat,
         materials=mat_soa,

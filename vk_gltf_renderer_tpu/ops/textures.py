@@ -3,9 +3,13 @@ trilinear sampling as gathers.
 
 TPU has no texture units, so the bindless Sampler2D array of the reference
 (gltf_scene_vk.cpp:951 createTextureImages) becomes one flat float32 texel
-pool plus a (texture, mip) -> (offset, w, h) descriptor table. Sampling is
-4 gathers + lerp per mip, 2 mips for trilinear (ray-cone LOD, the
-SampleGrad analog of gltf_material_eval.h.slang:76-110).
+pool plus a (texture, mip) -> (offset, w, h) descriptor table. The pool is
+QUAD-PACKED ([K,16]: each row carries all 4 bilinear taps anchored at its
+texel, wrap pre-applied), so sampling is ONE row gather + lerp per mip,
+2 mips for trilinear (ray-cone LOD, the SampleGrad analog of
+gltf_material_eval.h.slang:76-110). TPU gathers cost per row regardless of
+width, and texel-pool gathers dominate textured-frame time — quad packing
+cuts them 4x for 4x pool memory (textures are a small fraction of HBM).
 
 sRGB classification follows the reference (SceneVk::findSrgbImages
 gltf_scene_vk.hpp:176): images used by baseColor/emissive/sheenColor/
@@ -107,8 +111,18 @@ def _mip_chain(img: np.ndarray, max_mips: int = 16) -> list:
     return mips
 
 
+def _quad_pack(mip: np.ndarray) -> np.ndarray:
+    """[h,w,4] -> [h*w,16]: row (y,x) = taps (x,y),(x+1,y),(x,y+1),(x+1,y+1)
+    with REPEAT wrap, so bilinear = ONE row gather (TPU gathers cost per
+    row; the texel pool is the only large gather target in shading)."""
+    right = np.roll(mip, -1, axis=1)
+    down = np.roll(mip, -1, axis=0)
+    diag = np.roll(right, -1, axis=0)
+    return np.concatenate([mip, right, down, diag], axis=-1).reshape(-1, 16).astype(np.float32)
+
+
 def build_texture_pool(model, used_texinfos=None):
-    """Decode all images -> (texels [K,4], desc [D,4], mip_table [ntex,max],
+    """Decode all images -> (quads [K,16], desc [D,4], mip_table [ntex,max],
     num_mips [ntex])."""
     srgb = find_srgb_images(model)
     texel_chunks = []
@@ -127,12 +141,12 @@ def build_texture_pool(model, used_texinfos=None):
             h, w = mip.shape[:2]
             desc_rows.append([offset, w, h, 0])
             rows.append(len(desc_rows) - 1)
-            texel_chunks.append(mip.reshape(-1, 4))
+            texel_chunks.append(_quad_pack(mip))
             offset += h * w
         per_image_descs.append(rows)
 
     if not desc_rows:
-        texel_chunks = [np.ones((1, 4), np.float32)]
+        texel_chunks = [np.ones((1, 16), np.float32)]
         desc_rows = [[0, 1, 1, 0]]
         per_image_descs = [[0]]
 
@@ -146,12 +160,14 @@ def build_texture_pool(model, used_texinfos=None):
         # pad trailing entries with the coarsest mip so gathers stay in-range
         mip_table[i, len(rows) :] = rows[-1]
 
-    texels = np.concatenate(texel_chunks).astype(np.float32)
-    return texels, np.asarray(desc_rows, np.int32), mip_table, num_mips
+    quads = np.concatenate(texel_chunks).astype(np.float32)
+    return quads, np.asarray(desc_rows, np.int32), mip_table, num_mips
 
 
-def _fetch_bilinear(texels, desc, uv):
-    """One mip bilinear fetch. desc: [...,4] (offset,w,h). uv in [0,1) wrapped."""
+def _fetch_bilinear(quads, desc, uv):
+    """One mip bilinear fetch = ONE quad-row gather. desc: [...,4]
+    (offset,w,h). uv in [0,1) wrapped. quads rows carry all 4 taps
+    (wrap baked in by _quad_pack)."""
     w = desc[..., 1].astype(jnp.float32)
     h = desc[..., 2].astype(jnp.float32)
     x = uv[..., 0] * w - 0.5
@@ -167,14 +183,9 @@ def _fetch_bilinear(texels, desc, uv):
         return jnp.mod(v.astype(jnp.int32), jnp.maximum(n, 1))
 
     x0i = wrap(x0, wi)
-    x1i = wrap(x0 + 1, wi)
     y0i = wrap(y0, hi)
-    y1i = wrap(y0 + 1, hi)
-    base = desc[..., 0]
-    c00 = texels[base + y0i * wi + x0i]
-    c10 = texels[base + y0i * wi + x1i]
-    c01 = texels[base + y1i * wi + x0i]
-    c11 = texels[base + y1i * wi + x1i]
+    row = quads[desc[..., 0] + y0i * wi + x0i]  # [...,16]
+    c00, c10, c01, c11 = row[..., 0:4], row[..., 4:8], row[..., 8:12], row[..., 12:16]
     return (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
 
 
@@ -205,7 +216,7 @@ def sample_texture(flat, ti_slot, uv0, uv1, grad):
     fl = (lod - l0.astype(jnp.float32))[..., None]
     d0 = flat.tex_desc[flat.tex_mip_table[safe_idx, l0]]
     d1 = flat.tex_desc[flat.tex_mip_table[safe_idx, l1]]
-    c0 = _fetch_bilinear(flat.tex_texels, d0, uvt)
-    c1 = _fetch_bilinear(flat.tex_texels, d1, uvt)
+    c0 = _fetch_bilinear(flat.tex_quads, d0, uvt)
+    c1 = _fetch_bilinear(flat.tex_quads, d1, uvt)
     c = c0 * (1 - fl) + c1 * fl
     return jnp.where((idx >= 0)[..., None], c, jnp.ones_like(c))

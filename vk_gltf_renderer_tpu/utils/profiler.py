@@ -100,7 +100,7 @@ def scene_memory_breakdown(renderer) -> dict:
         f = renderer.flat
         out["geometry"] = nbytes([f.vtx_pos, f.vtx_nrm, f.vtx_tan, f.vtx_uv0, f.vtx_uv1, f.vtx_color, f.tri_idx])
         out["materials"] = nbytes(f.materials)
-        out["textures"] = nbytes([f.tex_texels, f.tex_desc])
+        out["textures"] = nbytes([f.tex_quads, f.tex_desc])
         out["lights+nodes"] = nbytes([f.rn_o2w, f.rn_w2o, f.light_pos])
     if renderer.bvh is not None:
         out["bvh"] = nbytes(renderer.bvh)
