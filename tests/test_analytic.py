@@ -334,6 +334,207 @@ def _ggx_albedo_quadrature(ax, ay):
     return float((integrand * w_mu[:, None]).sum() * w_phi)
 
 
+_trapz = getattr(np, 'trapezoid', np.trapz)
+
+
+def _airy_exact_rgb(n_film, cos_theta1, thickness_nm, base_f0):
+    """Independent thin-film oracle: EXACT (untruncated) Airy interference
+    series integrated spectrally by brute-force quadrature.
+
+    The renderer's _eval_iridescence (ops/bsdf.py) is the Belcour-Barla
+    closed form: a cosine series in the optical path difference, TRUNCATED
+    at 2 interference orders, with each order's spectral integral evaluated
+    analytically through Gaussian fits of the CIE XYZ curves. This oracle
+    makes neither approximation the same way: per FREQUENCY nu it sums the
+    full geometric cosine series in closed form,
+
+        R(nu) = C0 + sum_{m>=1} 2 C_m cos(m phase),   C_m = (Rs-T12) q^m,
+              = C0 + (Rs-T12) (2 q cos(phase) - 2 q^2) / (1 - 2q cos + q^2)
+
+    (q = sqrt(R12 R23), the exact sum of the infinite series), then
+    integrates against the Gaussian spectral-sensitivity model S_k(nu) =
+    (val_k/sqrt(2)) exp(-(nu-pos_k)^2 / (4 var_k)) by trapezoid quadrature
+    on a dense nu grid — i.e. the spectral integral is NUMERIC here and
+    ANALYTIC there, and the series is EXACT here and truncated there.
+    Agreement therefore pins the interference math (phases, OPD, series
+    coefficients, spectral weighting, XYZ->RGB) end to end.
+    Conventions shared by construction (not under test): exact dielectric
+    R12, Schlick R23 via f0->equivalent-IOR (both exact at normal
+    incidence), <30nm film-IOR fade. Reference parameter source:
+    gltf_material_eval.h.slang:349-365."""
+    outside = 1.0
+    t01 = np.clip(thickness_nm / 30.0, 0.0, 1.0)
+    film_ior = outside + (n_film - outside) * (t01 * t01 * (3.0 - 2.0 * t01))
+    sin2_1 = max(0.0, 1.0 - cos_theta1 * cos_theta1)
+    sin2_2 = (outside / film_ior) ** 2 * sin2_1
+    if sin2_2 > 1.0:
+        return np.ones(3)
+    cos_theta2 = np.sqrt(1.0 - sin2_2)
+
+    # interface 1 (outside | film): exact unpolarized dielectric Fresnel
+    eta = film_ior / outside
+    cos_t = np.sqrt(max(0.0, 1.0 - sin2_1 / (eta * eta)))
+    rs_ = (cos_theta1 - eta * cos_t) / (cos_theta1 + eta * cos_t)
+    rp_ = (eta * cos_theta1 - cos_t) / (eta * cos_theta1 + cos_t)
+    r12 = 0.5 * (rs_ * rs_ + rp_ * rp_)
+    t121 = 1.0 - r12
+    phi21 = np.pi - (np.pi if film_ior < outside else 0.0)
+
+    # interface 2 (film | base): Schlick via f0 -> equivalent IOR
+    base_f0 = np.asarray(base_f0, np.float64) * np.ones(3)
+    base_ior = (1.0 + np.sqrt(base_f0)) / (1.0 - np.sqrt(base_f0))
+    f0_23 = ((base_ior - film_ior) / (base_ior + film_ior)) ** 2
+    r23 = f0_23 + (1.0 - f0_23) * (1.0 - cos_theta2) ** 5
+    phi23 = np.where(base_ior < film_ior, np.pi, 0.0)
+
+    opd_m = 2.0 * film_ior * thickness_nm * cos_theta2 * 1e-9  # meters
+    phi = phi21 + phi23  # [3] per base channel
+    q = np.sqrt(np.clip(r12 * r23, 0.0, 0.9999))
+    rs = (t121 ** 2) * r23 / np.maximum(1.0 - q * q, 1e-6)
+    c0 = r12 + rs
+    a1 = rs - t121  # series coefficient base
+
+    # spectral grid (1/m); the Gaussian CMF fits are ~zero outside it
+    nu = np.linspace(0.8e6, 3.6e6, 40001)
+    val = np.array([5.4856e-13, 4.4201e-13, 5.2481e-13])
+    pos = np.array([1.6810e06, 1.7953e06, 2.2084e06])
+    var = np.array([4.3278e09, 9.3046e09, 6.6121e09])
+    S = (val[:, None] / np.sqrt(2.0)) * np.exp(
+        -((nu[None, :] - pos[:, None]) ** 2) / (4.0 * var[:, None])
+    )
+    # the X curve's secondary lobe (x_extra in _eval_sensitivity)
+    S[0] += (9.7470e-14 / np.sqrt(2.0)) * np.exp(
+        -((nu - 2.2399e06) ** 2) / (4.0 * 4.5282e09)
+    )
+    M = np.array(
+        [
+            (3.2404542, -1.5371385, -0.4985314),
+            (-0.9692660, 1.8760108, 0.0415560),
+            (0.0556434, -0.2040259, 1.0572252),
+        ]
+    )
+
+    # Renderer structure being mirrored exactly: every order's
+    # _eval_sensitivity pairs XYZ curve k with BASE channel k's phase
+    # (shift is the [..,3] phi vector), applies M inside, and the result
+    # multiplies the per-RGB-channel series coefficient cm_c:
+    #   irid_c = C0_c + a1_c * sum_k M[c,k] * (1/N) *
+    #            int S_k(nu) * G_c(2 pi opd nu + phi_k) dnu
+    # with the EXACT series sum G_c(t) = sum_{m>=1} 2 q_c^m cos(m t)
+    #                                  = (2 q_c cos t - 2 q_c^2) / (1 - 2 q_c cos t + q_c^2).
+    out = np.zeros(3)
+    for c in range(3):
+        acc = 0.0
+        for k in range(3):
+            th = 2.0 * np.pi * opd_m * nu + phi[k]
+            cs = np.cos(th)
+            g = (2.0 * q[c] * cs - 2.0 * q[c] ** 2) / (
+                1.0 - 2.0 * q[c] * cs + q[c] ** 2
+            )
+            acc += M[c, k] * _trapz(S[k] * g, nu) / 1.0685e-7
+        out[c] = c0[c] + a1[c] * acc
+    return np.clip(out, 0.0, 1.0)
+
+
+def test_analytic_iridescence_airy_oracle():
+    """_eval_iridescence (2-order Belcour-Barla truncation + analytic
+    Gaussian-CMF integrals) vs the exact-series numeric-quadrature oracle
+    above, across film thickness / IOR / base-f0 / incidence. Dielectric
+    q = sqrt(R12 R23) ~ 0.03, so truncation error ~ q^3 < 1e-4 — the
+    tolerance pins phases, OPD scaling and series coefficients to ~1e-3."""
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.ops.bsdf import _eval_iridescence
+
+    cases = [
+        (1.8, 1.0, 400.0, 0.04),
+        (1.3, 1.0, 250.0, 0.04),
+        (2.2, 1.0, 550.0, 0.08),
+        (1.6, 1.0, 100.0, 0.02),
+        (1.8, 0.8, 400.0, 0.04),   # oblique: Schlick-vs-exact R12 still close
+        (1.5, 1.0, 30.0, 0.04),    # fade boundary
+        (1.8, 1.0, 1200.0, 0.04),  # thick film: fast spectral oscillation
+    ]
+    for n_film, ct, th, f0 in cases:
+        got = np.asarray(
+            _eval_iridescence(
+                jnp.asarray([n_film]), jnp.asarray([ct]), jnp.asarray([th]),
+                jnp.asarray([[f0, f0, f0]]),
+            )
+        )[0]
+        want = _airy_exact_rgb(n_film, ct, th, f0)
+        assert np.allclose(got, want, atol=2e-3), (n_film, ct, th, f0, got, want)
+
+
+def test_analytic_iridescence_furnace(tmp_path):
+    """Smooth iridescent plate (black diffuse, iridescenceFactor 1) in a
+    unit furnace at normal incidence: the on-axis pixel is exactly the
+    thin-film Airy reflectance — asserted against the independent
+    exact-series oracle, NOT against the renderer's own evaluator.
+    End-to-end pins the material plumbing (thickness fallback to
+    thicknessMaximum with no texture, factor mix) plus the BSDF path."""
+    n_film, th = 1.8, 400.0
+    mat = {
+        "pbrMetallicRoughness": {
+            "baseColorFactor": [0.0, 0.0, 0.0, 1.0],
+            "metallicFactor": 0.0, "roughnessFactor": 0.0,
+        },
+        "extensions": {
+            "KHR_materials_iridescence": {
+                "iridescenceFactor": 1.0,
+                "iridescenceIor": n_film,
+                "iridescenceThicknessMinimum": th,
+                "iridescenceThicknessMaximum": th,
+            },
+        },
+    }
+    p = _scene(tmp_path, material=mat)
+    got = _render(p, sky=_unit_sky(), spp=16, frames=32)
+    want = _airy_exact_rgb(n_film, 1.0, th, 0.04)
+    assert np.allclose(got, want, atol=1e-2), (got, want)
+
+
+def test_analytic_dispersion_fresnel(tmp_path):
+    """KHR_materials_dispersion closed form: the renderer samples one RGB
+    wavelength channel per dispersive path (throughput 3 x one_hot), each
+    with Cauchy-shifted IOR n_c = n + {-1,0,+1} * (n-1) * D / 40
+    (gltf_material_eval.h.slang:426-429 parameterization). A smooth
+    transmissive slab whose interior absorbs everything (attenuationColor
+    -> 0) reflects exactly the per-channel Fresnel at normal incidence:
+
+        E[L_c] = F0_c = ((n_c - 1) / (n_c + 1))^2
+
+    With n = 2, D = 10: F0 = (0.0744, 0.1111, 0.1479) — the channel spread
+    (>3.5 sigma of the test's MC tolerance) is the dispersion signature."""
+    n0, D, d = 2.0, 10.0, 0.2
+    mat = {
+        "pbrMetallicRoughness": {
+            "baseColorFactor": [1.0, 1.0, 1.0, 1.0],
+            "metallicFactor": 0.0, "roughnessFactor": 0.0,
+        },
+        "extensions": {
+            "KHR_materials_ior": {"ior": n0},
+            "KHR_materials_dispersion": {"dispersion": D},
+            "KHR_materials_transmission": {"transmissionFactor": 1.0},
+            "KHR_materials_volume": {
+                "thicknessFactor": d,
+                "attenuationDistance": d,
+                # evaluator clamps log(max(color, 0.001)): interior
+                # transmittance = 0.001 per thickness — black backstop
+                "attenuationColor": [0.0, 0.0, 0.0],
+            },
+        },
+    }
+    p = _scene(tmp_path, material=mat, slab=([-3.0, -3.0, -d], [3.0, 3.0, 0.0]))
+    got = _render(p, sky=_unit_sky(), spp=16, frames=48, max_depth=4)
+    half = (n0 - 1.0) * D / 40.0
+    n_c = np.array([n0 - half, n0, n0 + half])
+    want = ((n_c - 1.0) / (n_c + 1.0)) ** 2
+    assert np.allclose(got, want, atol=1.2e-2), (got, want)
+    # the spread itself must be resolved (B - R ~ 0.073)
+    assert got[2] - got[0] > 0.04, got
+
+
 def test_analytic_anisotropic_ggx_furnace(tmp_path):
     """White metal (F0 = 1, so Fresnel drops out) with KHR_materials_anisotropy
     in a unit furnace at normal incidence: the render must equal the
