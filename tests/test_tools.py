@@ -299,6 +299,67 @@ def test_terminal_viewer_browser_verbs():
     assert "> " in r.stdout                          # selection cursor shown
 
 
+def test_viewer_inspector_verbs_rerender():
+    """VERDICT r4 #8: the live viewer reaches inspector parity in function —
+    a ':' material edit must actually re-render (not just mutate the model),
+    camera get+set must drive the live view camera, and tab completion must
+    resolve verbs and matset field names (ui_inspector.cpp role)."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from vk_gltf_renderer_tpu.viewer import TerminalViewer
+
+    v = TerminalViewer("/root/reference/resources/Box.glb", size=24,
+                       render_system=1)
+    img0 = v.frame_u8().astype(float)
+
+    def type_cmd(line):
+        assert v.handle_key(":")
+        for ch in line:
+            assert v.handle_key(ch)
+        assert v.handle_key(";")
+
+    # material edit -> re-render: box turns red (base color was ~white)
+    type_cmd("matset 0 baseColorFactor 1 0 0 1")
+    img1 = v.frame_u8().astype(float)
+    ctr0 = img0[8:16, 8:16].mean(axis=(0, 1))
+    ctr1 = img1[8:16, 8:16].mean(axis=(0, 1))
+    assert abs(ctr1[0] - ctr1[1]) > 25, (ctr0, ctr1)  # red-dominant now
+    assert abs(ctr0[0] - ctr0[1]) < abs(ctr1[0] - ctr1[1])  # more than before
+
+    # matget through the viewer: output captured for the inspector pane
+    type_cmd("matget 0")
+    assert any("baseColorFactor" in l for l in v._last_out), v._last_out
+
+    # camera get+set drives the LIVE view camera
+    type_cmd("cam fov 30")
+    assert abs(np.degrees(v.r.camera.yfov) - 30.0) < 1e-3
+    type_cmd("cam dist 10")
+    assert abs(np.linalg.norm(np.asarray(v.r.camera.eye) -
+                              np.asarray(v.r.camera.center)) - 10.0) < 1e-2
+    type_cmd("cam")
+    assert any(l.startswith("fov 30") for l in v._last_out), v._last_out
+
+    # tab completion: verb names and matset field names
+    assert v.handle_key(":")
+    for ch in "matg":
+        v.handle_key(ch)
+    v.handle_key("\t")
+    assert v._cmdbuf == "matget ", v._cmdbuf  # unique -> completed + space
+    v.handle_key("\x1b")  # cancel
+    assert v.handle_key(":")
+    for ch in "matset 0 irid":
+        v.handle_key(ch)
+    v.handle_key("\t")
+    assert v._cmdbuf.startswith("matset 0 iridescence"), v._cmdbuf
+    assert len(v._candidates) > 1  # ambiguous -> candidates in status line
+    assert "iridescenceIor" in v.status()
+    v.handle_key("\x1b")
+
+    # variant verb parity (no variants in Box: shell reports, stays alive)
+    type_cmd("variants")
+
+
 def test_grid_overlay_math():
     """The grid module's analytic properties: lines composite only where
     the plane is in FRONT and closer than the scene; coverage is 1 on a

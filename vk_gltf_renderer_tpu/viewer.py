@@ -81,6 +81,8 @@ class TerminalViewer:
         self._tree_sel = 0  # index into the DFS node list
         self._cmdbuf = None  # ':' command-mode accumulator
         self._shell = None  # lazy EditShell over the live scene
+        self._last_out = []  # captured output of the last ':' verb
+        self._candidates = []  # tab-completion candidates (status line)
         self._orbit = [0.0, 0.3]  # azimuth, elevation offsets
         self._fit = None
         self._refresh_camera(reset=True)
@@ -149,14 +151,111 @@ class TerminalViewer:
             self._shell = EditShell(self.r.scene)
         return self._shell
 
+    # viewer-local camera verbs (the inspector's camera panel operates on
+    # the LIVE view camera, ui_renderer.cpp camera widget role)
+    def _cmd_cam(self, *args):
+        cam = self.r.camera
+        if not args:
+            eye = " ".join(f"{v:.4g}" for v in cam.eye)
+            ctr = " ".join(f"{v:.4g}" for v in cam.center)
+            print(f"eye {eye}")
+            print(f"center {ctr}")
+            print(f"fov {np.degrees(cam.yfov):.4g}")
+            print(f"dist {self._dist:.4g}")
+            return
+        key, vals = args[0], [float(v) for v in args[1:]]
+        if key == "eye" and len(vals) == 3:
+            # re-derive orbit state so a/d/w/s keep working from the new eye
+            eye = np.asarray(vals)
+            c = np.asarray(cam.center, np.float64)
+            d = eye - c
+            self._dist = float(np.linalg.norm(d))
+            self._orbit = [float(np.arctan2(d[0], d[2])),
+                           float(np.arcsin(np.clip(d[1] / max(self._dist, 1e-9), -1, 1)))]
+        elif key == "center" and len(vals) == 3:
+            self._pan = np.asarray(vals) - np.asarray(self._fit.center, np.float64)
+        elif key == "fov" and len(vals) == 1:
+            from .renderer import CameraState
+
+            self._fit = CameraState(
+                eye=self._fit.eye, center=self._fit.center, up=self._fit.up,
+                yfov=float(np.radians(vals[0])), znear=self._fit.znear,
+                zfar=self._fit.zfar)
+        elif key == "dist" and len(vals) == 1:
+            self._dist = float(vals[0])
+        else:
+            print(f"cam: unknown form {key!r} (eye|center|fov|dist)")
+            return
+        self._refresh_camera()
+
+    #: ':'-mode verbs resolved on the viewer itself, before the edit shell
+    LOCAL_VERBS = ("cam",)
+
     def run_command(self, line: str):
-        """One edit-shell verb against the live scene, then device resync."""
-        self.shell().run_line(line)
-        try:
-            self.r.sync_scene_changes()
-        except Exception as e:
-            print(f"resync failed: {type(e).__name__}: {e}")
-        self.r.reset_frame()
+        """One inspector verb against the live scene (or view camera), then
+        device resync. Output is captured for the viewer pane AND echoed to
+        stdout (scripted mode asserts on it)."""
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            parts = line.split()
+            if parts and parts[0] in self.LOCAL_VERBS:
+                try:
+                    getattr(self, "_cmd_" + parts[0])(*parts[1:])
+                except Exception as e:
+                    print(f"error: {type(e).__name__}: {e}")
+            else:
+                self.shell().run_line(line)
+                try:
+                    self.r.sync_scene_changes()
+                except Exception as e:
+                    print(f"resync failed: {type(e).__name__}: {e}")
+                self.r.reset_frame()
+        self._last_out = buf.getvalue().rstrip("\n").splitlines()
+        if self._last_out:
+            print("\n".join(self._last_out))
+
+    # -------------------------------------------------- ':' tab completion
+    def _verbs(self):
+        """Every completable verb: edit-shell cmd_* + viewer-local."""
+        from .edit_cli import EditShell
+
+        names = [a[4:] for a in dir(EditShell) if a.startswith("cmd_")]
+        return sorted(names + list(self.LOCAL_VERBS))
+
+    LIGHT_KEYS = ("color", "intensity", "range", "type")
+    CAM_KEYS = ("center", "dist", "eye", "fov")
+
+    def _complete(self, buf: str) -> str:
+        """Tab-complete the ':' buffer in place; ambiguity lists candidates
+        in the status line (the inspector's field dropdown role)."""
+        from .edit_cli import EditShell
+
+        parts = buf.split(" ")
+        word = parts[-1]
+        if len(parts) == 1:
+            pool = self._verbs()
+        elif parts[0] == "matset" and len(parts) == 3:
+            pool = sorted(EditShell.MAT_FIELDS)
+        elif parts[0] == "lightset" and len(parts) == 3:
+            pool = list(self.LIGHT_KEYS)
+        elif parts[0] == "cam" and len(parts) == 2:
+            pool = list(self.CAM_KEYS)
+        else:
+            self._candidates = []
+            return buf
+        hits = [p for p in pool if p.startswith(word)]
+        self._candidates = hits if len(hits) > 1 else []
+        if not hits:
+            return buf
+        # extend to the longest common prefix; full word + space if unique
+        import os.path
+
+        common = os.path.commonprefix(hits)
+        new = common + (" " if len(hits) == 1 else "")
+        return " ".join(parts[:-1] + [new]) if len(parts) > 1 else new
 
     # ---------------------------------------------------------- input
     def handle_key(self, k: str) -> bool:
@@ -165,10 +264,16 @@ class TerminalViewer:
         if self._cmdbuf is not None:  # ':' command mode until ';' or newline
             if k in (";", "\n", "\r"):
                 line, self._cmdbuf = self._cmdbuf, None
+                self._candidates = []
                 if line:
                     self.run_command(line)
+            elif k == "\t":
+                self._cmdbuf = self._complete(self._cmdbuf)
+            elif k in ("\x7f", "\b"):
+                self._cmdbuf = self._cmdbuf[:-1]
             elif k == "\x1b":
                 self._cmdbuf = None  # cancel
+                self._candidates = []
             else:
                 self._cmdbuf += k
             return True
@@ -270,9 +375,10 @@ class TerminalViewer:
         dn = " +denoise" if self.denoised else ""
         gr = " +grid" if self.grid else ""
         if self._cmdbuf is not None:
-            return f":{self._cmdbuf}"
+            hint = ("   {" + " ".join(self._candidates[:8]) + "}") if self._candidates else ""
+            return f":{self._cmdbuf}{hint}"
         return (f"[{mode}{dn}{gr}] frame {self.r.frame_idx} | a/d w/s orbit  +/- dolly  "
-                f"p renderer  n denoise  t tree  G grid  :cmd;  r refit  q quit")
+                f"p renderer  n denoise  t tree  G grid  :cmd; (tab completes)  r refit  q quit")
 
 
 def run_interactive(v: TerminalViewer):
@@ -287,8 +393,10 @@ def run_interactive(v: TerminalViewer):
         sys.stdout.write("\x1b[2J")  # clear
         while True:
             img = v.frame_u8()
-            pane = ("\n" + v.tree_pane() + "\x1b[0J") if v.tree else "\x1b[0J"
-            sys.stdout.write("\x1b[H" + _halfblocks(img) + "\n" + v.status() + "\x1b[K" + pane + "\n")
+            pane = ("\n" + v.tree_pane()) if v.tree else ""
+            if v._last_out:  # last ':' verb output (inspector panel role)
+                pane += "\n" + "\n".join(v._last_out[-12:])
+            sys.stdout.write("\x1b[H" + _halfblocks(img) + "\n" + v.status() + "\x1b[K" + pane + "\x1b[0J\n")
             sys.stdout.flush()
             if select.select([sys.stdin], [], [], 0.01)[0]:
                 k = sys.stdin.read(1)
