@@ -138,16 +138,38 @@ def main():
         return bsdf_sample(pbr, -rd, u3, ue)
     run("bsdf_sample", _samp, pbr, rd, seed)
 
-    def _shadow(org, d, dist, seed):
+    def _shadow(org, d, dist, seed, mask):
         from vk_gltf_renderer_tpu.ops.pathtrace import _trace_shadow
-        mask = hits["tri"] >= 0
         return _trace_shadow(flat, bvh, org, d, dist, seed, cfg_t, alive=mask)
-    run("shadow_trace", _shadow, hs["shadow_pos"], dl["direction"], dl["distance"], seed)
+    run("shadow_trace", _shadow, hs["shadow_pos"], dl["direction"],
+        dl["distance"], seed, hits["tri"] >= 0)
+
+    # a bounce-1 closest trace on REAL continuation rays (the frame's slow
+    # trace class: coherent origins, hemispherical directions)
+    def _samp_dir(pbr, rd, seed):
+        u3, seed = rng.rand3(seed)
+        ue, seed = rng.rand2(seed)
+        return bsdf_sample(pbr, -rd, u3, ue)["k2"]
+    d1 = jax.jit(_samp_dir)(pbr, rd, seed)
+    run("trace_bounce1",
+        lambda org, d, mask: trace_closest(bvh, org, d, cfg_t, alive=mask, coherent=True),
+        hs["pos"], d1, hits["tri"] >= 0)
 
     spec = _state_columns_spec(cfg)
     ncols = sum(1 if c is None else c for _, c in spec) + 1  # +key
-    cols = [jnp.asarray(np.random.RandomState(i).rand(n).astype(np.float32))
-            for i in range(ncols - 1)]
+    cols = None
+    for attempt in range(3):  # transient tunnel INVALID_ARGUMENT — retry
+        try:
+            cols = [jnp.asarray(np.random.RandomState(i).rand(n).astype(np.float32))
+                    for i in range(ncols - 1)]
+            jax.block_until_ready(cols)
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            import time
+
+            time.sleep(10)
 
     def _cosort(ro, rd, alive, *cs):
         keys = _sort_keys(bvh, ro, rd, alive)

@@ -56,11 +56,19 @@ def make_rays(wb, n, kind, seed=0):
     return jnp.asarray(ro, jnp.float32), jnp.asarray(rd, jnp.float32)
 
 
-def sort_rays(wb, ro, rd):
-    """Morton sort like trace_closest does in-frame."""
+def sort_rays(wb, ro, rd, dir_first=False):
+    """Morton sort like trace_closest does in-frame. dir_first flips the
+    key composition: direction octant/morton OUTRANKS origin morton, so
+    packets become direction-coherent with scattered origins (the
+    hypothesis: union-of-nodes saturation on bounce rays is direction-
+    driven, so grouping directions prunes better than grouping origins)."""
     from vk_gltf_renderer_tpu.ops.pathtrace import _sort_keys
-    keys = _sort_keys(None if False else type("B", (), {"nodes_self": wb.nodes_self})(), np.asarray(ro), np.asarray(rd), np.ones(ro.shape[0], bool))
-    o = np.argsort(np.asarray(keys))
+    b = type("B", (), {"nodes_self": wb.nodes_self})()
+    keys = np.asarray(_sort_keys(b, np.asarray(ro), np.asarray(rd),
+                                 np.ones(ro.shape[0], bool))).astype(np.uint64)
+    if dir_first:
+        keys = ((keys >> 27) << 27) | ((keys & 0xFFF) << 15) | ((keys >> 12) & 0x7FFF)
+    o = np.argsort(keys)
     return ro[o], rd[o]
 
 
@@ -73,6 +81,8 @@ def main():
     ap.add_argument("--variants", default="packet")
     ap.add_argument("--anyhit", action="store_true")
     ap.add_argument("--sort", action="store_true")
+    ap.add_argument("--dirsort", action="store_true",
+                    help="sort direction-first (octant outranks origin)")
     ap.add_argument("--inner", type=int, default=4)
     ap.add_argument("--entry", action="store_true")
     args = ap.parse_args()
@@ -85,8 +95,8 @@ def main():
 
     for kind in args.kinds.split(","):
         ro, rd = make_rays(wb, args.rays, kind)
-        if args.sort:
-            ro, rd = sort_rays(wb, ro, rd)
+        if args.sort or args.dirsort:
+            ro, rd = sort_rays(wb, ro, rd, dir_first=args.dirsort)
         n = ro.shape[0]
         for variant in args.variants.split(","):
             if variant == "packet":

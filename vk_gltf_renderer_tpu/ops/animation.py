@@ -206,9 +206,14 @@ def refit_world_bvh(wb, new_tris):
     return nodes_f, nodes_self, nodes4_f, new_tris, nodes_fi, tris128, lane_pages, nodes4_fi, nodes16_fi
 
 
-def bake_world_tris(vtx_pos, tri_idx, rn_o2w, wtri_rnode, wtri_tri):
+def bake_world_tris(vtx_pos, tri_idx, rn_o2w, wtri_rnode, wtri_tri, wtri_bary=None):
     """Recompute world-space triangle vertices (the animation rebake):
-    vtx_pos may be post-skin/morph; rn_o2w may have moved."""
+    vtx_pos may be post-skin/morph; rn_o2w may have moved.
+
+    wtri_tri must be the bake SOURCE tri ids (WorldBvh.wtri_src_tri when
+    subtriangle OMM rows exist); wtri_bary [T',6] recombines the parent
+    corners at each row's barycentric corners (identity rows pass through
+    exactly)."""
     idx = tri_idx[wtri_tri]  # [T',3]
     m = rn_o2w[wtri_rnode]  # [T',4,4]
 
@@ -217,8 +222,19 @@ def bake_world_tris(vtx_pos, tri_idx, rn_o2w, wtri_rnode, wtri_tri):
             m[:, :3, 0] * p[:, 0:1] + m[:, :3, 1] * p[:, 1:2] + m[:, :3, 2] * p[:, 2:3] + m[:, :3, 3]
         )
 
-    w0 = xf(vtx_pos[idx[:, 0]])
-    w1 = xf(vtx_pos[idx[:, 1]])
-    w2 = xf(vtx_pos[idx[:, 2]])
+    p0 = vtx_pos[idx[:, 0]]
+    p1 = vtx_pos[idx[:, 1]]
+    p2 = vtx_pos[idx[:, 2]]
+    if wtri_bary is not None:
+        def comb(bu, bv):
+            return (p0 * (1.0 - bu - bv)[:, None] + p1 * bu[:, None]
+                    + p2 * bv[:, None])
+
+        p0, p1, p2 = (comb(wtri_bary[:, 0], wtri_bary[:, 1]),
+                      comb(wtri_bary[:, 2], wtri_bary[:, 3]),
+                      comb(wtri_bary[:, 4], wtri_bary[:, 5]))
+    w0 = xf(p0)
+    w1 = xf(p1)
+    w2 = xf(p2)
     pad = jnp.zeros((w0.shape[0], 7), vtx_pos.dtype)
     return jnp.concatenate([w0, w1, w2, pad], axis=1).astype(jnp.float32)

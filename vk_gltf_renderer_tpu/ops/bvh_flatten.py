@@ -155,6 +155,19 @@ class WorldBvh:
     # 1 mixed, 2 transparent-culled) — the SceneOmm role: OPAQUE rows skip
     # the stochastic-alpha opacity eval entirely
     attr_alpha_class: np.ndarray  # [Ta] i8
+    # subtriangle OMM (ops/omm.classify_subtri + build_world_bvh subtri
+    # emission): MIXED triangles with provably-transparent subdivision
+    # cells are replaced by their non-transparent cells as world geometry
+    # with VIRTUAL tri ids (gid = prim_first + count + j), each owning a
+    # hit-attr row baked at the cell's parent-barycentric corners — the
+    # kernels and the fused hit state need NO changes (the (rnode, tri)
+    # contract addresses the virtual rows like any other). attr_tri holds
+    # the bake SOURCE (parent) tri id; attr_bary the 3 corner (u,v)s
+    # (identity [0,0,1,0,0,1] for ordinary rows). wtri_src_tri/wtri_bary
+    # are the same mapping per BVH tri row, used by the device refit bake.
+    attr_bary: np.ndarray  # [Ta,6] f32
+    wtri_src_tri: np.ndarray  # [T'+pad] i32
+    wtri_bary: np.ndarray  # [T'+pad,6] f32
     # v3 fused BVH4 rows (_packet3_tables): 4 child boxes + codes + axes in
     # one [M,32] row — half the scalar visits of the binary v2 layout
     nodes4_fi: np.ndarray
@@ -652,7 +665,11 @@ def _build_sbvh(tlo, thi, cen, wv, alpha=1e-5, ref_budget=0.5):
     return order, nodes_i, nodes_f, nodes_self
 
 
-def build_world_bvh(flat, tri_class=None) -> WorldBvh:
+IDENT_BARY = np.array([0.0, 0.0, 1.0, 0.0, 0.0, 1.0], np.float32)
+
+
+def build_world_bvh(flat, tri_class=None, subtri_cells=None,
+                    subtri_level=2) -> WorldBvh:
     """Bake instances to world space + SAH/LBVH over all world triangles.
 
     tri_class: optional [sum of visible-node tri counts] int8 in EMIT order
@@ -661,7 +678,15 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
     identical with fewer triangles (the reference's SceneOmm role:
     accelerate alpha-tested traversal only, RENDERING_ARCHITECTURE.md:65-95).
     The fused hit-attr table keeps the FULL emit (hits never land on culled
-    rows), so rn_attr_base addressing is unchanged."""
+    rows), so rn_attr_base addressing is unchanged.
+
+    subtri_cells: optional [same rows, 4**subtri_level] int8 per-cell
+    classes (ops/omm.classify_subtri). MIXED triangles containing provably
+    TRANSPARENT cells are SPLIT: their non-transparent subdivision cells
+    are emitted as world geometry with virtual tri ids and their own
+    hit-attr rows (baked at the cells' parent-barycentric corners, see
+    WorldBvh.attr_bary) — the subtriangle-granular culling of the
+    reference's VkMicromapEXT build (gltf_scene_omm.cpp)."""
     vtx = np.asarray(flat.vtx_pos, np.float64)
     tri_idx = np.asarray(flat.tri_idx)
     rn_o2w = np.asarray(flat.rn_o2w, np.float64)
@@ -670,10 +695,19 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
     pft = np.asarray(flat.prim_first_tri)
     ptc = np.asarray(flat.prim_tri_count)
 
+    sub_bary_tab = None
+    if subtri_cells is not None and tri_class is not None:
+        from .omm import subtri_corners
+
+        sub_bary_tab = subtri_corners(subtri_level).reshape(-1, 6)  # [m,6]
+
     v_chunks, rnode_chunks, tri_chunks = [], [], []
+    wsrc_chunks, wbary_chunks = [], []
     attr_rnode_chunks, attr_tri_chunks = [], []
+    attr_bary_chunks, attr_cls_chunks = [], []
     rn_attr_base = np.zeros(rn_o2w.shape[0], np.int32)
     attr_off = 0
+    cls_off = 0  # row offset into tri_class/subtri_cells (PARENT emit order)
     for i in range(rn_o2w.shape[0]):
         if not rn_visible[i]:
             continue
@@ -682,24 +716,76 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
         ids = np.arange(f, f + c)
         attr_rnode_chunks.append(np.full(c, i, np.int32))
         attr_tri_chunks.append(ids.astype(np.int32))
-        keep = slice(None)
+        attr_bary_chunks.append(np.tile(IDENT_BARY, (c, 1)))
+        keep = np.ones(c, bool)
+        split = np.zeros(c, bool)
+        cells = None
         if tri_class is not None:
-            from .omm import ALPHA_TRANSPARENT
+            from .omm import ALPHA_MIXED, ALPHA_TRANSPARENT
 
-            keep = np.asarray(tri_class[attr_off : attr_off + c]) != ALPHA_TRANSPARENT
-            ids = ids[keep]
-        idx = tri_idx[ids]  # [c',3]
+            cl = np.asarray(tri_class[cls_off : cls_off + c])
+            keep = cl != ALPHA_TRANSPARENT
+            attr_cls_chunks.append(cl.astype(np.int8))
+            if sub_bary_tab is not None:
+                cells = np.asarray(subtri_cells[cls_off : cls_off + c])
+                any_trans = (cells == ALPHA_TRANSPARENT).any(axis=1)
+                all_trans = (cells == ALPHA_TRANSPARENT).all(axis=1)
+                split = (cl == ALPHA_MIXED) & any_trans & ~all_trans
+                # finer cell bounds can prove a whole MIXED tri transparent
+                keep &= ~(split | ((cl == ALPHA_MIXED) & all_trans))
+        else:
+            attr_cls_chunks.append(np.ones(c, np.int8))  # default MIXED
+        kept_ids = ids[keep]
+        idx = tri_idx[kept_ids]  # [c',3]
         m = rn_o2w[i]
         w0 = vtx[idx[:, 0]] @ m[:3, :3].T + m[:3, 3]
         w1 = vtx[idx[:, 1]] @ m[:3, :3].T + m[:3, 3]
         w2 = vtx[idx[:, 2]] @ m[:3, :3].T + m[:3, 3]
         v_chunks.append(np.concatenate([w0, w1, w2], axis=1).astype(np.float32))
-        rnode_chunks.append(np.full(ids.shape[0], i, np.int32))
-        tri_chunks.append(ids.astype(np.int32))
+        rnode_chunks.append(np.full(kept_ids.shape[0], i, np.int32))
+        tri_chunks.append(kept_ids.astype(np.int32))
+        wsrc_chunks.append(kept_ids.astype(np.int32))
+        wbary_chunks.append(np.tile(IDENT_BARY, (kept_ids.shape[0], 1)))
         # fused hit-state addressing: this node's world tris occupy emit
-        # rows [attr_off, attr_off + c) and carry global tri ids [f, f+c)
+        # rows [attr_off, attr_off + c) and carry global tri ids [f, f+c);
+        # virtual subtri rows extend the span with gids f+c, f+c+1, ...
         rn_attr_base[i] = attr_off - f
-        attr_off += c
+        n_virtual = 0
+        if split.any():
+            sids = ids[split]  # parent gids [k]
+            scls = cells[split]  # [k, m]
+            from .omm import ALPHA_TRANSPARENT
+
+            emit_mask = scls != ALPHA_TRANSPARENT
+            kk, cell_ids = np.nonzero(emit_mask)
+            par = sids[kk]  # parent gid per subtri emission [S]
+            bary = sub_bary_tab[cell_ids]  # [S,6]
+            pidx = tri_idx[par]
+            pw0 = vtx[pidx[:, 0]] @ m[:3, :3].T + m[:3, 3]
+            pw1 = vtx[pidx[:, 1]] @ m[:3, :3].T + m[:3, 3]
+            pw2 = vtx[pidx[:, 2]] @ m[:3, :3].T + m[:3, 3]
+
+            def comb(bu, bv):
+                return (pw0 * (1.0 - bu - bv)[:, None] + pw1 * bu[:, None]
+                        + pw2 * bv[:, None])
+
+            s0 = comb(bary[:, 0], bary[:, 1])
+            s1 = comb(bary[:, 2], bary[:, 3])
+            s2 = comb(bary[:, 4], bary[:, 5])
+            v_chunks.append(np.concatenate([s0, s1, s2], axis=1).astype(np.float32))
+            S = par.shape[0]
+            vgid = (f + c + np.arange(S)).astype(np.int32)
+            rnode_chunks.append(np.full(S, i, np.int32))
+            tri_chunks.append(vgid)
+            wsrc_chunks.append(par.astype(np.int32))
+            wbary_chunks.append(bary.astype(np.float32))
+            attr_rnode_chunks.append(np.full(S, i, np.int32))
+            attr_tri_chunks.append(par.astype(np.int32))
+            attr_bary_chunks.append(bary.astype(np.float32))
+            attr_cls_chunks.append(scls[kk, cell_ids].astype(np.int8))
+            n_virtual = S
+        attr_off += c + n_virtual
+        cls_off += c
 
     # emit-order copies survive the BVH reorder below — they drive the
     # fused hit-attr bake (build + device refit rebake). FULL emit, even
@@ -708,23 +794,31 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
                   else np.zeros(0, np.int32))
     attr_tri = (np.concatenate(attr_tri_chunks) if attr_tri_chunks
                 else np.zeros(0, np.int32))
+    attr_bary = (np.concatenate(attr_bary_chunks).astype(np.float32)
+                 if attr_bary_chunks else np.zeros((0, 6), np.float32))
 
     wv = (np.concatenate(v_chunks) if v_chunks
           else np.zeros((0, 9), np.float32))  # [T',9]
     wtri_rnode = np.concatenate(rnode_chunks) if rnode_chunks else np.zeros(0, np.int32)
     wtri_tri = np.concatenate(tri_chunks) if tri_chunks else np.zeros(0, np.int32)
+    wtri_src_tri = np.concatenate(wsrc_chunks) if wsrc_chunks else np.zeros(0, np.int32)
+    wtri_bary = (np.concatenate(wbary_chunks).astype(np.float32)
+                 if wbary_chunks else np.zeros((0, 6), np.float32))
     if wv.shape[0] == 0:  # empty scene (or fully culled): one degenerate tri
         wv = np.full((1, 9), 3e37, np.float32)
         wtri_rnode = np.zeros(1, np.int32)
         wtri_tri = np.zeros(1, np.int32)
+        wtri_src_tri = np.zeros(1, np.int32)
+        wtri_bary = np.tile(IDENT_BARY, (1, 1))
     nt = wv.shape[0]
 
     from .hitstate import bake_hit_attrs_np, narrow_attr_ok
 
     hit_attr, attr_has_uv = bake_hit_attrs_np(flat, attr_rnode, attr_tri,
-                                              narrow=narrow_attr_ok(flat))
-    attr_alpha_class = (np.asarray(tri_class, np.int8) if tri_class is not None
-                        else np.ones(attr_rnode.shape[0], np.int8))  # default MIXED
+                                              narrow=narrow_attr_ok(flat),
+                                              attr_bary=attr_bary)
+    attr_alpha_class = (np.concatenate(attr_cls_chunks) if attr_cls_chunks
+                        else np.zeros(0, np.int8))
 
     v0, v1, v2 = wv[:, 0:3], wv[:, 3:6], wv[:, 6:9]
     tlo = np.minimum(np.minimum(v0, v1), v2)
@@ -744,6 +838,8 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
         tris16[0, :9] = wv[0]
         wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
         wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
+        wtri_src_tri = np.concatenate([wtri_src_tri, np.zeros(LEAF_SIZE, np.int32)])
+        wtri_bary = np.concatenate([wtri_bary, np.tile(IDENT_BARY, (LEAF_SIZE, 1))])
         n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
         lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16, wtri_rnode, wtri_tri)
         nfi, t128, w8r, w8t, t8s, rcode = _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri)
@@ -761,6 +857,7 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
                            attr_rnode.shape[0], wtri_rnode.shape[0] - LEAF_SIZE),
         attr_tri=attr_tri, attr_has_uv=attr_has_uv,
         attr_alpha_class=attr_alpha_class,
+        attr_bary=attr_bary, wtri_src_tri=wtri_src_tri, wtri_bary=wtri_bary,
         nodes4_fi=nfi4, nodes4_sc=_packet3_sidecar(nfi4), root4_code=r4,
         nodes16_fi=nfi16, map16=m16,
         root_code=rcode, num_world_tris=1,
@@ -788,12 +885,16 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
         wv = wv[order]
         wtri_rnode = wtri_rnode[order]
         wtri_tri = wtri_tri[order]
+        wtri_src_tri = wtri_src_tri[order]
+        wtri_bary = wtri_bary[order]
         nrefs = order.shape[0]  # == nt except under SBVH duplication
         refit_levels, portal_roots = _levels_and_portals(nodes_i)
         tris16 = np.zeros((nrefs + LEAF_SIZE, 16), np.float32)
         tris16[:nrefs, :9] = wv
         wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
         wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
+        wtri_src_tri = np.concatenate([wtri_src_tri, np.zeros(LEAF_SIZE, np.int32)])
+        wtri_bary = np.concatenate([wtri_bary, np.tile(IDENT_BARY, (LEAF_SIZE, 1))])
         n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
         lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16, wtri_rnode, wtri_tri)
         nfi, t128, w8r, w8t, t8s, rcode = _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri)
@@ -810,6 +911,7 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
                            attr_rnode.shape[0], wtri_rnode.shape[0] - LEAF_SIZE),
         attr_tri=attr_tri, attr_has_uv=attr_has_uv,
         attr_alpha_class=attr_alpha_class,
+        attr_bary=attr_bary, wtri_src_tri=wtri_src_tri, wtri_bary=wtri_bary,
         nodes4_fi=nfi4, nodes4_sc=_packet3_sidecar(nfi4), root4_code=r4,
         nodes16_fi=nfi16, map16=m16,
         root_code=rcode, num_world_tris=nt,
@@ -834,6 +936,8 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
     tlo, thi = tlo[order], thi[order]
     wtri_rnode = wtri_rnode[order]
     wtri_tri = wtri_tri[order]
+    wtri_src_tri = wtri_src_tri[order]
+    wtri_bary = wtri_bary[order]
 
     # ---- subtree leaf ranges (internal node i of the radix tree covers a
     # contiguous sorted range [range_lo, range_hi])
@@ -1011,6 +1115,8 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
     tris16[:nt, :9] = wv
     wtri_rnode = np.concatenate([wtri_rnode, np.zeros(LEAF_SIZE, np.int32)])
     wtri_tri = np.concatenate([wtri_tri, np.zeros(LEAF_SIZE, np.int32)])
+    wtri_src_tri = np.concatenate([wtri_src_tri, np.zeros(LEAF_SIZE, np.int32)])
+    wtri_bary = np.concatenate([wtri_bary, np.tile(IDENT_BARY, (LEAF_SIZE, 1))])
     n4i, n4f, m4 = build_bvh4(nodes_i, nodes_f, nodes_self)
     lp, lgi, _ = _lane_tables(nodes_i, nodes_self, tris16, wtri_rnode, wtri_tri)
     nfi, t128, w8r, w8t, t8s, rcode = _packet2_tables(nodes_i, nodes_f, tris16, wtri_rnode, wtri_tri)
@@ -1027,6 +1133,7 @@ def build_world_bvh(flat, tri_class=None) -> WorldBvh:
                            attr_rnode.shape[0], wtri_rnode.shape[0] - LEAF_SIZE),
         attr_tri=attr_tri, attr_has_uv=attr_has_uv,
         attr_alpha_class=attr_alpha_class,
+        attr_bary=attr_bary, wtri_src_tri=wtri_src_tri, wtri_bary=wtri_bary,
         nodes4_fi=nfi4, nodes4_sc=_packet3_sidecar(nfi4), root4_code=r4,
         nodes16_fi=nfi16, map16=m16,
         root_code=rcode, num_world_tris=nt,

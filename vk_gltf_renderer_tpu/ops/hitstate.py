@@ -8,6 +8,7 @@ SceneFlat concatenated vertex arrays.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .traverse import cross3, dot3, xform_dir, xform_point
 
@@ -199,8 +200,16 @@ HIT_ATTR_COLS_NARROW = 32
 
 
 def _bake_hit_attrs(xp, vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, attr_has_uv,
-                    narrow=False):
-    """Shared np/jnp implementation (xp = numpy or jax.numpy)."""
+                    narrow=False, attr_bary=None):
+    """Shared np/jnp implementation (xp = numpy or jax.numpy).
+
+    attr_bary: optional [Ta,6] parent-barycentric corner (u,v)s (subtriangle
+    OMM rows, bvh_flatten.WorldBvh.attr_bary). Every per-corner attribute is
+    linear over the triangle, so a subtriangle row is the barycentric
+    recombination of its parent's corner data — interpolating inside the
+    subtriangle then composes to EXACTLY the parent interpolation at the
+    composed barycentrics. Handedness (tangent w) is non-interpolable and
+    keeps the parent's corner-a value (the row already uses only corner a)."""
     idx = tri_idx[attr_tri]  # [Ta,3]
     rn_row = rn_packed[attr_rnode]  # [Ta,32]
     o2w = rn_row[:, :16].reshape(-1, 4, 4)
@@ -208,6 +217,25 @@ def _bake_hit_attrs(xp, vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, at
     va = vtx_packed[idx[:, 0]]
     vb = vtx_packed[idx[:, 1]]
     vc = vtx_packed[idx[:, 2]]
+    if attr_bary is not None:
+        tanw = va[:, 9:10]
+
+        def interp(bu, bv):
+            w = (1.0 - bu - bv)[:, None]
+            return va * w + vb * bu[:, None] + vc * bv[:, None]
+
+        va2 = interp(attr_bary[:, 0], attr_bary[:, 1])
+        vb2 = interp(attr_bary[:, 2], attr_bary[:, 3])
+        vc2 = interp(attr_bary[:, 4], attr_bary[:, 5])
+        if xp is np:
+            va2[:, 9:10] = tanw
+            vb2[:, 9:10] = tanw
+            vc2[:, 9:10] = tanw
+        else:
+            va2 = va2.at[:, 9:10].set(tanw)
+            vb2 = vb2.at[:, 9:10].set(tanw)
+            vc2 = vc2.at[:, 9:10].set(tanw)
+        va, vb, vc = va2, vb2, vc2
 
     def xf_point(p):
         return (
@@ -286,7 +314,7 @@ def narrow_attr_ok(flat) -> bool:
     return untextured and colors_const
 
 
-def bake_hit_attrs_np(flat, attr_rnode, attr_tri, narrow=False):
+def bake_hit_attrs_np(flat, attr_rnode, attr_tri, narrow=False, attr_bary=None):
     """Build-time numpy bake (bvh_flatten.build_world_bvh)."""
     import numpy as np
 
@@ -295,17 +323,19 @@ def bake_hit_attrs_np(flat, attr_rnode, attr_tri, narrow=False):
     rn_packed = np.asarray(flat.rn_packed, np.float32)
     rn_prim = np.asarray(flat.rn_prim)
     has_uv = np.asarray(flat.prim_has_uv0)[rn_prim[attr_rnode]]
+    if attr_bary is not None:
+        attr_bary = np.asarray(attr_bary, np.float32)
     out = _bake_hit_attrs(np, vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, has_uv,
-                          narrow=narrow)
+                          narrow=narrow, attr_bary=attr_bary)
     return out.astype(np.float32), has_uv.astype(np.int32)
 
 
 def bake_hit_attrs(vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri, attr_has_uv,
-                   narrow=False):
+                   narrow=False, attr_bary=None):
     """Refit-time device bake (jit from renderer._refit_device; `narrow`
     must match the build-time table width and be static under jit)."""
     return _bake_hit_attrs(jnp, vtx_packed, tri_idx, rn_packed, attr_rnode, attr_tri,
-                           attr_has_uv, narrow=narrow)
+                           attr_has_uv, narrow=narrow, attr_bary=attr_bary)
 
 
 def get_hit_state_fused(hit_attr, rn_attr_base, hit, ray_dir):

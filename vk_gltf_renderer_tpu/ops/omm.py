@@ -157,6 +157,131 @@ def _tex_alpha_bounds(flat, img_idx, u, v):
     return lo, hi
 
 
+def subtri_corners(level: int = 2):
+    """Barycentric corners of the 4**level regular subdivision cells.
+
+    Returns [4**level, 3, 2] float32: per cell, the parent-(u,v) of its 3
+    corners. Cell enumeration (s = 2**level): upright cell (a, b) has
+    corners (a,b) (a+1,b) (a,b+1) all /s; inverted cell (a, b) has corners
+    (a+1,b) (a+1,b+1) (a,b+1) /s — the same uniform subdivision
+    VK_EXT_opacity_micromap indexes (gltf_scene_omm.cpp:1-391 builds per-
+    micromap subdivision levels; the space-filling bird curve ordering is
+    irrelevant here because cells are only addressed through this table)."""
+    s = 1 << level
+    cells = []
+    for b in range(s):
+        for a in range(s - b):
+            cells.append(((a, b), (a + 1, b), (a, b + 1)))
+            if a + b <= s - 2:
+                cells.append(((a + 1, b), (a + 1, b + 1), (a, b + 1)))
+    out = np.asarray(cells, np.float32) / float(s)
+    assert out.shape[0] == s * s
+    return out
+
+
+def classify_subtri(flat, tri_class, level: int = 2):
+    """Per-cell conservative opacity classes for MIXED rows.
+
+    tri_class: the whole-triangle classes from classify_attr_alpha (same
+    emit order). Returns [Ta, 4**level] int8 — rows that are not MIXED get
+    every cell stamped with the whole-row class; MIXED rows get per-cell
+    classes from the same conservative min/max-mip texture bounds + corner
+    vertex-alpha bounds, evaluated over each cell's (linearly interpolated)
+    UV footprint. A cell is only classified away from MIXED when the bound
+    PROVES it (same argument as the whole-triangle pass), so consuming the
+    cells can never change which hits are possible.
+
+    Reference role: the subdivision-level micromap build of
+    gltf_scene_omm.cpp (VkMicromapEXT triangles at subdivision level 2)."""
+    from .flat import MAT_LAYOUT, _init_mat_layout
+
+    _init_mat_layout()
+    mp = np.asarray(flat.mat_packed)
+
+    def mfield(name):
+        off, w = MAT_LAYOUT[name]
+        return mp[:, off] if w == 1 else mp[:, off : off + w]
+
+    alpha_mode = mfield("alpha_mode").astype(np.int64)
+    cutoff = mfield("alpha_cutoff")
+    bc_a = mfield("base_color_factor")[:, 3]
+    slot = mfield("base_color_texture").astype(np.int64)
+
+    rn_mat = np.asarray(flat.rn_material)
+    rn_prim = np.asarray(flat.rn_prim)
+    pft = np.asarray(flat.prim_first_tri)
+    ptc = np.asarray(flat.prim_tri_count)
+    tri_idx = np.asarray(flat.tri_idx)
+    uv0 = np.asarray(flat.vtx_uv0)
+    uv1 = np.asarray(flat.vtx_uv1)
+    vca = np.asarray(flat.vtx_color)[:, 3]
+
+    ti_index = np.asarray(flat.ti_index)
+    ti_texcoord = np.asarray(flat.ti_texcoord)
+    ti_uvxform = np.asarray(flat.ti_uvxform)
+    rn_visible = np.asarray(flat.rn_visible)
+
+    bary = subtri_corners(level)  # [m,3,2]
+    m_cells = bary.shape[0]
+    w0 = 1.0 - bary[:, :, 0] - bary[:, :, 1]  # [m,3]
+    w1 = bary[:, :, 0]
+    w2 = bary[:, :, 1]
+
+    chunks = []
+    off = 0
+    for i in range(rn_mat.shape[0]):
+        if not rn_visible[i]:
+            continue
+        p = int(rn_prim[i])
+        f, c = int(pft[p]), int(ptc[p])
+        cls_tri = np.asarray(tri_class[off : off + c])
+        off += c
+        cells = np.repeat(cls_tri[:, None], m_cells, axis=1).astype(np.int8)
+        mixed = cls_tri == ALPHA_MIXED
+        mid = int(rn_mat[i])
+        if mixed.any() and alpha_mode[mid] != 0:
+            idx = tri_idx[f : f + c][mixed]  # [k,3]
+            k = idx.shape[0]
+            va = vca[idx]  # [k,3] corner vertex alpha
+            # cell-corner values by barycentric interpolation (linear ->
+            # corner min/max bounds the cell exactly)
+            cva = (va[:, None, 0, None] * w0[None] + va[:, None, 1, None] * w1[None]
+                   + va[:, None, 2, None] * w2[None])  # [k,m,3]
+            va_lo = cva.min(axis=2).ravel()
+            va_hi = cva.max(axis=2).ravel()
+            s_ = int(slot[mid])
+            if s_ > 0 and int(ti_index[s_]) >= 0:
+                uv = uv1 if int(ti_texcoord[s_]) == 1 else uv0
+                xf = ti_uvxform[s_]
+                cu = uv[idx][:, :, 0]  # [k,3] parent corner u
+                cv = uv[idx][:, :, 1]
+                tu = xf[0, 0] * cu + xf[0, 1] * cv + xf[0, 2]
+                tv = xf[1, 0] * cu + xf[1, 1] * cv + xf[1, 2]
+                # cell-corner UVs, flattened to [k*m, 3] rect queries
+                cu_c = (tu[:, None, 0, None] * w0[None] + tu[:, None, 1, None] * w1[None]
+                        + tu[:, None, 2, None] * w2[None]).reshape(-1, 3)
+                cv_c = (tv[:, None, 0, None] * w0[None] + tv[:, None, 1, None] * w1[None]
+                        + tv[:, None, 2, None] * w2[None]).reshape(-1, 3)
+                ta_lo, ta_hi = _tex_alpha_bounds(flat, int(ti_index[s_]), cu_c, cv_c)
+            else:
+                ta_lo = np.ones(k * m_cells, np.float32)
+                ta_hi = np.ones(k * m_cells, np.float32)
+            a_lo = (bc_a[mid] * ta_lo * va_lo).reshape(k, m_cells)
+            a_hi = (bc_a[mid] * ta_hi * va_hi).reshape(k, m_cells)
+            cc = np.full((k, m_cells), ALPHA_MIXED, np.int8)
+            if alpha_mode[mid] == 1:
+                cc[a_lo >= cutoff[mid]] = ALPHA_OPAQUE
+                cc[a_hi < cutoff[mid]] = ALPHA_TRANSPARENT
+            else:
+                cc[a_lo >= 1.0] = ALPHA_OPAQUE
+                cc[a_hi <= 0.0] = ALPHA_TRANSPARENT
+            cells[mixed] = cc
+        chunks.append(cells)
+    if not chunks:
+        return np.zeros((0, m_cells), np.int8)
+    return np.concatenate(chunks)
+
+
 def classify_attr_alpha(flat):
     """Per-(render node, triangle) conservative opacity class over the
     fused hit-attr emit order (row = rn_attr_base[rnode] + tri): int8 array

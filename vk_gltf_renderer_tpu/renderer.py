@@ -211,22 +211,36 @@ class GltfRenderer:
         the Model (render arrays are always derived) then rebuild mirrors."""
         self.scene.parse_scene()
         self.flat = build_scene_flat(self.scene)
-        self.bvh = build_world_bvh(self.flat, tri_class=self._alpha_classes())
+        cls, cells = self._alpha_classes()
+        self.bvh = build_world_bvh(self.flat, tri_class=cls, subtri_cells=cells)
+        self._alpha_cls_cache, self._subtri_cells_cache = cls, cells
         self._anim_tables_cache = None
         self.scene.clear_dirty_flags()
         self._render_fn = None
         self.reset_frame()
 
     def _alpha_classes(self):
-        """Conservative per-triangle opacity classes (ops/omm.py — the
-        SceneOmm role): None when every material is OPAQUE (classification
-        is all-opaque by definition and the BVH needs no cull pass)."""
+        """Conservative opacity classes (ops/omm.py — the SceneOmm role):
+        (tri_class, subtri_cells), both None when every material is OPAQUE
+        (classification is all-opaque by definition and the BVH needs no
+        cull pass). subtri_cells (the level-2 micromap analog: MIXED
+        triangles split, transparent cells culled, gltf_scene_omm.cpp role)
+        requires the fused hit-state path — the virtual rows it emits carry
+        virtual tri ids only the (rnode, tri) -> attr-row contract
+        understands; VKGR_OMM_SUBTRI=0 disables for A/B."""
+        import os
+
         mats = self.scene.model.materials
         if not any(m.get("alphaMode", "OPAQUE") != "OPAQUE" for m in mats):
-            return None
-        from .ops.omm import classify_attr_alpha
+            return None, None
+        from .ops.omm import classify_attr_alpha, classify_subtri
 
-        return classify_attr_alpha(self.flat)
+        cls = classify_attr_alpha(self.flat)
+        cells = None
+        if (os.environ.get("VKGR_OMM_SUBTRI", "1") != "0"
+                and os.environ.get("VKGR_FUSED_HITSTATE", "1") != "0"):
+            cells = classify_subtri(self.flat, cls)
+        return cls, cells
 
     def sync_scene_changes(self) -> bool:
         """Dirty-flag driven surgical update (reference updateSceneChanges
@@ -260,7 +274,10 @@ class GltfRenderer:
                 pass  # device refit done
             else:
                 self.flat = build_scene_flat(self.scene)
-                self.bvh = build_world_bvh(self.flat, tri_class=self._alpha_classes())
+                cls, cells = self._alpha_classes()
+                self.bvh = build_world_bvh(self.flat, tri_class=cls,
+                                           subtri_cells=cells)
+                self._alpha_cls_cache, self._subtri_cells_cache = cls, cells
         elif df & (DirtyFlags.MATERIALS | DirtyFlags.LIGHTS):
             from .ops.flat import refresh_materials
 
@@ -270,11 +287,16 @@ class GltfRenderer:
             # tris, opaque fast path) — the reference rebuilds micromaps on
             # such edits (SceneOmm); here: rebuild when the classes moved
             if df & DirtyFlags.MATERIALS and self.bvh is not None:
-                cls = self._alpha_classes()
-                old = np.asarray(self.bvh.attr_alpha_class)
-                new = (np.ones(old.shape[0], np.int8) if cls is None
-                       else np.asarray(cls, np.int8))
-                if new.shape != old.shape or (new != old).any():
+                cls, cells = self._alpha_classes()
+
+                def _moved(a, b):
+                    if a is None or b is None:
+                        return (a is None) != (b is None)
+                    a, b = np.asarray(a), np.asarray(b)
+                    return a.shape != b.shape or (a != b).any()
+
+                if (_moved(cls, getattr(self, "_alpha_cls_cache", None))
+                        or _moved(cells, getattr(self, "_subtri_cells_cache", None))):
                     self.rebuild_device_scene()
                     return True
         self.scene.clear_dirty_flags()
@@ -392,7 +414,8 @@ class GltfRenderer:
         # rebake world triangles + refit (jitted)
         tris = bake_world_tris(
             vtx_pos, jnp.asarray(self.flat.tri_idx), jnp.asarray(o2w),
-            jnp.asarray(self.bvh.wtri_rnode), jnp.asarray(self.bvh.wtri_tri),
+            jnp.asarray(self.bvh.wtri_rnode), jnp.asarray(self.bvh.wtri_src_tri),
+            wtri_bary=jnp.asarray(self.bvh.wtri_bary),
         )
         nodes_f, nodes_self, nodes4_f, tris, nodes_fi, tris128, lane_pages, nodes4_fi, nodes16_fi = refit_world_bvh(
             self.bvh, tris
@@ -409,6 +432,7 @@ class GltfRenderer:
             vtx_packed, jnp.asarray(self.flat.tri_idx), jnp.asarray(rn_packed),
             jnp.asarray(self.bvh.attr_rnode), jnp.asarray(self.bvh.attr_tri),
             jnp.asarray(self.bvh.attr_has_uv), narrow=narrow,
+            attr_bary=jnp.asarray(self.bvh.attr_bary),
         )
         self.bvh = dataclasses.replace(
             self.bvh, nodes_f=nodes_f, nodes_self=nodes_self, nodes4_f=nodes4_f, tris=tris,
