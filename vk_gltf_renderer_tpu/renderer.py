@@ -500,9 +500,13 @@ class GltfRenderer:
             primary_seed=(os.environ.get("VKGR_PRIMARY_SEED", "0") != "0"
                           and not alpha_any),
             spp_batch=os.environ.get("VKGR_SPP_BATCH", "0") != "0",
-            peel_sort_shadow=os.environ.get("VKGR_PEEL_SORT_SHADOW", "0") != "0",
-            trace_native=os.environ.get("VKGR_TRACE_NATIVE", "0") != "0",
-            loop_sort_shadow=os.environ.get("VKGR_LOOP_SORT_SHADOW", "0") != "0",
+            # round-5 measured matrix (8-frame medians, shader_ball 1080p
+            # depth 5): defaults 7.77 -> peel+native 8.27 -> +loopsort 8.53
+            # Mrays/s.  All three flip default-ON; env =0 restores the old
+            # path for A/B.
+            peel_sort_shadow=os.environ.get("VKGR_PEEL_SORT_SHADOW", "1") != "0",
+            trace_native=os.environ.get("VKGR_TRACE_NATIVE", "1") != "0",
+            loop_sort_shadow=os.environ.get("VKGR_LOOP_SORT_SHADOW", "1") != "0",
             width=self.width,
             height=self.height,
             spp=self.spp,
