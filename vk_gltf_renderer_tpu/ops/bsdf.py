@@ -235,22 +235,39 @@ def _f0_dielectric(pbr):
     return f0
 
 
-def _lobe_weights(pbr, k1):
+def _lobe_gates(features):
+    """Static lobe on/off flags from the scene feature set (the GLTF_USE_*
+    shader-variant analog, scene_feature_detection.cpp). features=None
+    (direct library use, tests) keeps every lobe compiled in."""
+    if features is None:
+        return True, True, True, True
+    return (
+        "transmission" in features,
+        "clearcoat" in features,
+        "sheen" in features,
+        "diffuse_transmission" in features,
+    )
+
+
+def _lobe_weights(pbr, k1, features=None):
     """Sampling probabilities for (diffuse, glossy, transmission, clearcoat,
-    sheen, diffuse_transmission). Fresnel-aware, luminance-weighted."""
+    sheen, diffuse_transmission). Fresnel-aware, luminance-weighted. Lobes
+    absent from the scene feature set compile out to literal 0.0 weights."""
+    use_t, use_c, use_s, use_dt = _lobe_gates(features)
     n_dot_v = jnp.abs(dot3(pbr["N"], k1))
     f0 = _f0_dielectric(pbr)
     f_diel = _schlick1(_luminance(f0), n_dot_v)
     f_metal = _schlick1(_luminance(pbr["base_color"]), n_dot_v)
     m = pbr["metallic"]
-    trans = pbr["transmission"] * (1.0 - m)
-    dt = pbr["diffuse_transmission"] * (1.0 - m) * (1.0 - pbr["transmission"])
+    trans = pbr["transmission"] * (1.0 - m) if use_t else 0.0
+    dt = (pbr["diffuse_transmission"] * (1.0 - m) * (1.0 - pbr["transmission"])
+          if use_dt else 0.0)
     w_glossy = m * f_metal + (1.0 - m) * f_diel
     w_diffuse = (1.0 - m) * (1.0 - trans) * (1.0 - dt) * _luminance(pbr["base_color"]) * (1.0 - f_diel)
-    w_trans = trans * (1.0 - f_diel) * _luminance(pbr["base_color"])
-    w_dt = dt * _luminance(pbr["diffuse_transmission_color"])
-    w_coat = pbr["clearcoat"] * _schlick1(jnp.float32(0.04), n_dot_v)
-    w_sheen = _luminance(pbr["sheen_color"])
+    w_trans = trans * (1.0 - f_diel) * _luminance(pbr["base_color"]) if use_t else 0.0
+    w_dt = dt * _luminance(pbr["diffuse_transmission_color"]) if use_dt else 0.0
+    w_coat = pbr["clearcoat"] * _schlick1(jnp.float32(0.04), n_dot_v) if use_c else 0.0
+    w_sheen = _luminance(pbr["sheen_color"]) if use_s else 0.0
     total = w_diffuse + w_glossy + w_trans + w_coat + w_sheen + w_dt
     total = jnp.maximum(total, 1e-8)
     return (w_diffuse / total, w_glossy / total, w_trans / total, w_coat / total, w_sheen / total, w_dt / total)
@@ -276,10 +293,19 @@ def _sheen_eval(pbr, k1_l, k2_l):
 
 
 # ------------------------------------------------------------- evaluate
-def bsdf_evaluate(pbr, k1, k2):
+def bsdf_evaluate(pbr, k1, k2, features=None):
     """Evaluate reflection lobes for light direction k2 (NEE path,
     gltf_pathtrace.slang:330-351). Returns bsdf_diffuse/bsdf_glossy with
-    cosine included, and the sampling pdf for MIS."""
+    cosine included, and the sampling pdf for MIS.
+
+    `features` is the scene's static feature frozenset (RenderConfig
+    .features): lobes the scene cannot express compile out entirely — the
+    shading analog of the reference's GLTF_USE_* shader variants. None
+    keeps every lobe (library/test use)."""
+    use_t, use_c, use_s, use_dt = _lobe_gates(features)
+    if features is not None and "iridescence" not in features:
+        # drop the key so _fresnel_spec's static gate skips the Airy stack
+        pbr = {k: v for k, v in pbr.items() if k != "iridescence"}
     N, T, B = pbr["N"], pbr["T"], pbr["B"]
     k1_l = _to_local(k1, T, B, N)
     k2_l = _to_local(k2, T, B, N)
@@ -308,75 +334,102 @@ def bsdf_evaluate(pbr, k1, k2):
     # microfacet: f = F D G2 / (4 |n.v| |n.l|); contribution = f * n.l
     glossy = spec  # already f * n.l
 
-    trans = pbr["transmission"] * (1.0 - pbr["metallic"])
-    dt = pbr["diffuse_transmission"] * (1.0 - pbr["metallic"]) * (1.0 - pbr["transmission"])
+    trans = pbr["transmission"] * (1.0 - pbr["metallic"]) if use_t else 0.0
+    dt = (pbr["diffuse_transmission"] * (1.0 - pbr["metallic"]) * (1.0 - pbr["transmission"])
+          if use_dt else 0.0)
     kd = (1.0 - pbr["metallic"]) * (1.0 - trans) * (1.0 - dt)
     f_diel_l = _schlick1(_luminance(f0_d), v_dot_h)
     diffuse = pbr["base_color"] * (kd * (1.0 - f_diel_l) / jnp.pi * jnp.maximum(n_dot_l, 0.0))[..., None]
 
-    # diffuse transmission: lambertian into the opposite hemisphere
-    dt_term = pbr["diffuse_transmission_color"] * (dt / jnp.pi * jnp.maximum(-n_dot_l, 0.0))[..., None]
-    diffuse = diffuse + dt_term
+    if use_dt:
+        # diffuse transmission: lambertian into the opposite hemisphere
+        dt_term = pbr["diffuse_transmission_color"] * (dt / jnp.pi * jnp.maximum(-n_dot_l, 0.0))[..., None]
+        diffuse = diffuse + dt_term
 
-    # sheen adds to glossy
-    sheen = _sheen_eval(pbr, k1_l, k2_l)
-    glossy = glossy + sheen * pbr["_sheen_on"][..., None]
+    if use_s:
+        # sheen adds to glossy
+        sheen = _sheen_eval(pbr, k1_l, k2_l)
+        glossy = glossy + sheen * pbr["_sheen_on"][..., None]
 
-    # clearcoat layer (own normal Nc, isotropic GGX)
-    cc = pbr["clearcoat"]
-    k1_c = _to_local(k1, T, B, pbr["Nc"])
-    k2_c = _to_local(k2, T, B, pbr["Nc"])
-    hc = k1_c + k2_c
-    hc = hc / jnp.maximum(jnp.sqrt(dot3(hc, hc)), 1e-12)[..., None]
-    ac = jnp.maximum(pbr["clearcoat_roughness"] ** 2, _MIN_ALPHA)
-    dc = _ggx_d(hc, ac, ac)
-    g2c = _ggx_g2(k1_c, k2_c, ac, ac)
-    fc = _schlick1(jnp.float32(0.04), jnp.maximum(dot3(k1_c, hc), 0.0)) * cc
-    cc_spec = (fc * dc * g2c / jnp.maximum(4.0 * jnp.abs(k1_c[..., 2]), 1e-8))[..., None]
-    # clearcoat attenuates base (1 - Fc view)
-    atten = 1.0 - (cc * _schlick1(jnp.float32(0.04), n_dot_v))[..., None]
-    glossy = glossy * atten + cc_spec * jnp.maximum(k2_c[..., 2], 0.0)[..., None]
-    diffuse = diffuse * atten
+    if use_c:
+        # clearcoat layer (own normal Nc, isotropic GGX)
+        cc = pbr["clearcoat"]
+        k1_c = _to_local(k1, T, B, pbr["Nc"])
+        k2_c = _to_local(k2, T, B, pbr["Nc"])
+        hc = k1_c + k2_c
+        hc = hc / jnp.maximum(jnp.sqrt(dot3(hc, hc)), 1e-12)[..., None]
+        ac = jnp.maximum(pbr["clearcoat_roughness"] ** 2, _MIN_ALPHA)
+        dc = _ggx_d(hc, ac, ac)
+        g2c = _ggx_g2(k1_c, k2_c, ac, ac)
+        fc = _schlick1(jnp.float32(0.04), jnp.maximum(dot3(k1_c, hc), 0.0)) * cc
+        cc_spec = (fc * dc * g2c / jnp.maximum(4.0 * jnp.abs(k1_c[..., 2]), 1e-8))[..., None]
+        # clearcoat attenuates base (1 - Fc view)
+        atten = 1.0 - (cc * _schlick1(jnp.float32(0.04), n_dot_v))[..., None]
+        glossy = glossy * atten + cc_spec * jnp.maximum(k2_c[..., 2], 0.0)[..., None]
+        diffuse = diffuse * atten
 
     glossy = jnp.where(refl_side[..., None], glossy, jnp.zeros_like(glossy))
 
     # pdf (matches bsdf_sample's strategy)
-    w_d, w_g, w_t, w_c, w_s, w_dt = _lobe_weights(pbr, k1)
+    w_d, w_g, w_t, w_c, w_s, w_dt = _lobe_weights(pbr, k1, features)
     pdf_d = jnp.maximum(n_dot_l, 0.0) / jnp.pi
     pdf_g = _vndf_pdf(k1_l, h, ax, ay) / jnp.maximum(4.0 * v_dot_h, 1e-8)
-    pdf_c = (
-        _vndf_pdf(k1_c, hc, ac, ac) / jnp.maximum(4.0 * jnp.maximum(dot3(k1_c, hc), 0.0), 1e-8)
-    )
-    pdf_s = jnp.maximum(n_dot_l, 0.0) / jnp.pi  # sheen sampled cosine
-    pdf_dt = jnp.maximum(-n_dot_l, 0.0) / jnp.pi
-    pdf = w_d * pdf_d + w_g * jnp.where(refl_side, pdf_g, 0.0) + w_c * jnp.where(k2_c[..., 2] > 0, pdf_c, 0.0) + w_s * pdf_s + w_dt * pdf_dt
-    pdf = jnp.where(refl_side | (dt > 0.0), pdf, 0.0)
+    pdf = w_d * pdf_d + w_g * jnp.where(refl_side, pdf_g, 0.0)
+    if use_c:
+        pdf_c = (
+            _vndf_pdf(k1_c, hc, ac, ac) / jnp.maximum(4.0 * jnp.maximum(dot3(k1_c, hc), 0.0), 1e-8)
+        )
+        pdf = pdf + w_c * jnp.where(k2_c[..., 2] > 0, pdf_c, 0.0)
+    if use_s:
+        pdf_s = jnp.maximum(n_dot_l, 0.0) / jnp.pi  # sheen sampled cosine
+        pdf = pdf + w_s * pdf_s
+    if use_dt:
+        pdf_dt = jnp.maximum(-n_dot_l, 0.0) / jnp.pi
+        pdf = pdf + w_dt * pdf_dt
+    valid_side = (refl_side | (dt > 0.0)) if use_dt else refl_side
+    pdf = jnp.where(valid_side, pdf, 0.0)
 
     return {"bsdf_diffuse": diffuse, "bsdf_glossy": glossy, "pdf": pdf}
 
 
 # --------------------------------------------------------------- sample
-def bsdf_sample(pbr, k1, u, extra_u):
+def bsdf_sample(pbr, k1, u, extra_u, features=None):
     """Sample an outgoing direction (gltf_pathtrace.slang:357-416 contract).
 
     u: [...,3] lobe-selection + direction uniforms; extra_u: [...,2] for
     fresnel reflect/refract choice and sheen phi.
     Returns dict(k2, bsdf_over_pdf[..3], pdf, event[int32]).
+
+    `features`: static scene feature frozenset — lobes the scene cannot
+    express (transmission / clearcoat / sheen / diffuse_transmission /
+    iridescence) compile out entirely, the GLTF_USE_* variant analog.
+    None (default) keeps every lobe.
     """
+    use_t, use_c, use_s, use_dt = _lobe_gates(features)
+    if features is not None and "iridescence" not in features:
+        pbr = {k: v for k, v in pbr.items() if k != "iridescence"}
     N, T, B = pbr["N"], pbr["T"], pbr["B"]
     k1_l = _to_local(k1, T, B, N)
     ax = jnp.maximum(pbr["roughness"][..., 0], _MIN_ALPHA)  # alpha = r^2, used directly
     ay = jnp.maximum(pbr["roughness"][..., 1], _MIN_ALPHA)
     is_smooth = (ax < _IMPULSE_ALPHA) & (ay < _IMPULSE_ALPHA)
 
-    w_d, w_g, w_t, w_c, w_s, w_dt = _lobe_weights(pbr, k1)
+    w_d, w_g, w_t, w_c, w_s, w_dt = _lobe_weights(pbr, k1, features)
     sel = u[..., 0]
+    false_ = jnp.zeros_like(sel, dtype=bool)
     pick_d = sel < w_d
     pick_g = (~pick_d) & (sel < w_d + w_g)
-    pick_t = (~pick_d) & (~pick_g) & (sel < w_d + w_g + w_t)
-    pick_c = (~pick_d) & (~pick_g) & (~pick_t) & (sel < w_d + w_g + w_t + w_c)
-    pick_s = (~pick_d) & (~pick_g) & (~pick_t) & (~pick_c) & (sel < w_d + w_g + w_t + w_c + w_s)
-    pick_dt = (~pick_d) & (~pick_g) & (~pick_t) & (~pick_c) & (~pick_s)
+    pick_t = (~pick_d) & (~pick_g) & (sel < w_d + w_g + w_t) if use_t else false_
+    pick_c = ((~pick_d) & (~pick_g) & (~pick_t) & (sel < w_d + w_g + w_t + w_c)
+              if use_c else false_)
+    pick_s = ((~pick_d) & (~pick_g) & (~pick_t) & (~pick_c) & (sel < w_d + w_g + w_t + w_c + w_s)
+              if use_s else false_)
+    pick_dt = ((~pick_d) & (~pick_g) & (~pick_t) & (~pick_c) & (~pick_s)
+               if use_dt else false_)
+    if not use_dt:
+        # pick_dt was the fp-residue catch-all (weights sum to 1 only up to
+        # rounding); with the lobe compiled out, glossy absorbs the residue
+        pick_g = pick_g | ((~pick_d) & (~pick_g) & (~pick_t) & (~pick_c) & (~pick_s))
 
     u1, u2 = u[..., 1], u[..., 2]
 
@@ -386,7 +439,7 @@ def bsdf_sample(pbr, k1, u, extra_u):
 
     # ---- candidate directions per lobe
     d_diff = _cos_hemisphere(N, T, B, u1, u2)
-    d_dt = -_cos_hemisphere(N, T, B, u1, u2)
+    d_dt = -d_diff if use_dt else None
 
     h_l = _sample_vndf(k1_lf, ax, ay, u1, u2)
     h_l = h_l * jnp.stack([jnp.ones_like(flip), jnp.ones_like(flip), flip], axis=-1)
@@ -398,38 +451,45 @@ def bsdf_sample(pbr, k1, u, extra_u):
     d_refl = 2.0 * dot3(k1, h_w)[..., None] * h_w - k1
     d_refl = d_refl / jnp.maximum(jnp.sqrt(dot3(d_refl, d_refl)), 1e-12)[..., None]
 
-    # refraction through h (dielectric transmission). The transmission lobe
-    # covers ONLY refraction; specular reflection on glass stays with the
-    # glossy lobe (glTF spec: transmission replaces the diffuse lobe, the
-    # F-weighted reflection lobe is common to both). TIR -> absorbed sample
-    # (that energy is carried by the glossy lobe).
-    eta = pbr["ior1"] / jnp.maximum(pbr["ior2"], 1e-6)
-    cos_i = dot3(k1, h_w)
-    sign_i = jnp.sign(cos_i)
-    cos_i_a = jnp.abs(cos_i)
-    sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i_a * cos_i_a)
-    tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
-    d_refr = (-k1) * eta[..., None] + (eta * cos_i_a - cos_t)[..., None] * (h_w * sign_i[..., None])
-    d_refr = d_refr / jnp.maximum(jnp.sqrt(dot3(d_refr, d_refr)), 1e-12)[..., None]
-    f_h = _fresnel_dielectric(cos_i_a, pbr["ior1"], pbr["ior2"])
+    if use_t:
+        # refraction through h (dielectric transmission). The transmission
+        # lobe covers ONLY refraction; specular reflection on glass stays
+        # with the glossy lobe (glTF spec: transmission replaces the diffuse
+        # lobe, the F-weighted reflection lobe is common to both). TIR ->
+        # absorbed sample (that energy is carried by the glossy lobe).
+        eta = pbr["ior1"] / jnp.maximum(pbr["ior2"], 1e-6)
+        cos_i = dot3(k1, h_w)
+        sign_i = jnp.sign(cos_i)
+        cos_i_a = jnp.abs(cos_i)
+        sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i_a * cos_i_a)
+        tir = sin2_t >= 1.0
+        cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+        d_refr = (-k1) * eta[..., None] + (eta * cos_i_a - cos_t)[..., None] * (h_w * sign_i[..., None])
+        d_refr = d_refr / jnp.maximum(jnp.sqrt(dot3(d_refr, d_refr)), 1e-12)[..., None]
+        f_h = _fresnel_dielectric(cos_i_a, pbr["ior1"], pbr["ior2"])
+    else:
+        tir = false_
 
-    # clearcoat reflection (own normal)
-    k1_c = _to_local(k1, T, B, pbr["Nc"])
-    ac = jnp.maximum(pbr["clearcoat_roughness"] ** 2, _MIN_ALPHA)
-    hc_l = _sample_vndf(jnp.where((k1_c[..., 2:] < 0), -k1_c, k1_c), ac, ac, u1, u2)
-    hc_w = _from_local(hc_l, T, B, pbr["Nc"])
-    d_coat = 2.0 * dot3(k1, hc_w)[..., None] * hc_w - k1
-    d_coat = d_coat / jnp.maximum(jnp.sqrt(dot3(d_coat, d_coat)), 1e-12)[..., None]
+    if use_c:
+        # clearcoat reflection (own normal)
+        k1_c = _to_local(k1, T, B, pbr["Nc"])
+        ac = jnp.maximum(pbr["clearcoat_roughness"] ** 2, _MIN_ALPHA)
+        hc_l = _sample_vndf(jnp.where((k1_c[..., 2:] < 0), -k1_c, k1_c), ac, ac, u1, u2)
+        hc_w = _from_local(hc_l, T, B, pbr["Nc"])
+        d_coat = 2.0 * dot3(k1, hc_w)[..., None] * hc_w - k1
+        d_coat = d_coat / jnp.maximum(jnp.sqrt(dot3(d_coat, d_coat)), 1e-12)[..., None]
 
     k2 = (
         jnp.where(pick_d[..., None], d_diff, 0.0)
         + jnp.where(pick_g[..., None], d_refl, 0.0)
-        + jnp.where(pick_t[..., None], d_refr, 0.0)
-        + jnp.where(pick_c[..., None], d_coat, 0.0)
         + jnp.where(pick_s[..., None], d_diff, 0.0)
-        + jnp.where(pick_dt[..., None], d_dt, 0.0)
     )
+    if use_t:
+        k2 = k2 + jnp.where(pick_t[..., None], d_refr, 0.0)
+    if use_c:
+        k2 = k2 + jnp.where(pick_c[..., None], d_coat, 0.0)
+    if use_dt:
+        k2 = k2 + jnp.where(pick_dt[..., None], d_dt, 0.0)
 
     # ---- event classification
     impulse = is_smooth & (pick_g | pick_t)
@@ -451,31 +511,34 @@ def bsdf_sample(pbr, k1, u, extra_u):
     # Reflection-side lobes (diffuse/glossy/coat/sheen/diffuse-transmission)
     # use the combined-mixture estimator: f_total / sum_i(w_i * p_i), with f
     # and pdf from bsdf_evaluate — pdfs match by construction.
-    ev = bsdf_evaluate(pbr, k1, k2)
+    ev = bsdf_evaluate(pbr, k1, k2, features)
     pdf = ev["pdf"]
     f_total = ev["bsdf_diffuse"] + ev["bsdf_glossy"]
     w_reflect = f_total / jnp.maximum(pdf, 1e-12)[..., None]
 
-    # Transmission lobe uses the partitioned estimator f_T / (w_t * p_T):
-    # with VNDF sampling, f_T/p_T = (1 - F(h)) * tint * (G2 / G1), so
-    # bsdf_over_pdf = that / w_t. (Identity holds for refraction like for
-    # reflection; exact for the impulse case where G2/G1 = 1.)
-    g_ratio = jnp.where(
-        is_smooth,
-        1.0,
-        _ggx_g2(k1_lf, _to_local(d_refr, T, B, N) * jnp.stack([jnp.ones_like(flip), jnp.ones_like(flip), flip], axis=-1), ax, ay)
-        / jnp.maximum(_ggx_g1(k1_lf, ax, ay), 1e-8),
-    )
-    tint = pbr["base_color"]
-    w_transmission = tint * ((1.0 - f_h) * g_ratio / jnp.maximum(w_t, 1e-6))[..., None]
-    w_transmission = jnp.where(tir[..., None], 0.0, w_transmission)
+    if use_t:
+        # Transmission lobe uses the partitioned estimator f_T / (w_t * p_T):
+        # with VNDF sampling, f_T/p_T = (1 - F(h)) * tint * (G2 / G1), so
+        # bsdf_over_pdf = that / w_t. (Identity holds for refraction like for
+        # reflection; exact for the impulse case where G2/G1 = 1.)
+        g_ratio = jnp.where(
+            is_smooth,
+            1.0,
+            _ggx_g2(k1_lf, _to_local(d_refr, T, B, N) * jnp.stack([jnp.ones_like(flip), jnp.ones_like(flip), flip], axis=-1), ax, ay)
+            / jnp.maximum(_ggx_g1(k1_lf, ax, ay), 1e-8),
+        )
+        tint = pbr["base_color"]
+        w_transmission = tint * ((1.0 - f_h) * g_ratio / jnp.maximum(w_t, 1e-6))[..., None]
+        w_transmission = jnp.where(tir[..., None], 0.0, w_transmission)
 
-    bsdf_over_pdf = jnp.where(pick_t[..., None], w_transmission, w_reflect)
+        bsdf_over_pdf = jnp.where(pick_t[..., None], w_transmission, w_reflect)
 
-    # pdf for MIS on the NEXT env/light hit (lastSamplePdf): impulse -> DIRAC;
-    # rough transmission -> approximate with the VNDF density (refraction
-    # jacobian folded into the weight above).
-    pdf = jnp.where(pick_t, jnp.where(impulse, DIRAC, w_t * _vndf_pdf(k1_lf, jnp.abs(h_l), ax, ay)), pdf)
+        # pdf for MIS on the NEXT env/light hit (lastSamplePdf): impulse ->
+        # DIRAC; rough transmission -> approximate with the VNDF density
+        # (refraction jacobian folded into the weight above).
+        pdf = jnp.where(pick_t, jnp.where(impulse, DIRAC, w_t * _vndf_pdf(k1_lf, jnp.abs(h_l), ax, ay)), pdf)
+    else:
+        bsdf_over_pdf = w_reflect
     pdf = jnp.where(impulse & pick_g, DIRAC, pdf)
 
     # impulse reflection on smooth glossy: f/p = F (schlick with rgb f0)

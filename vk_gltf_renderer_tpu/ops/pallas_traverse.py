@@ -527,6 +527,30 @@ def _traverse3_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_r
     rdy = rd_ref[0, 1]
     rdz = rd_ref[0, 2]
     tmin = rd_ref[0, 3]
+    visits, t_best, rn_best, tri_best, u_best, v_best = _traverse3_core(
+        nodes4_fi_ref, tris128_ref, stack_ref,
+        rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
+        root_code=root_code, anyhit=anyhit, entry_ref=entry_ref, sc_ref=sc_ref)
+
+    out_ref[0, 0] = t_best
+    out_ref[0, 1] = rn_best
+    out_ref[0, 2] = tri_best
+    out_ref[0, 3] = u_best
+    out_ref[0, 4] = v_best
+    if count_visits:
+        sub = rox.shape[0]
+        out_ref[0, 5] = jnp.full((sub, LANE), 1.0) * visits.astype(jnp.float32)
+
+
+def _traverse3_core(nodes4_fi_ref, tris128_ref, stack_ref,
+                    rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
+                    root_code=0, anyhit=False, entry_ref=None, sc_ref=None):
+    """Value-based v3 traversal core: rays in registers in, hit tuple out.
+
+    Factored out of _traverse3_body so a kernel can run SEVERAL traversals
+    per launch (the megakernel experiment, ops/megakernel.py): the stack is
+    reset on entry, node/tri tables stay VMEM-resident across calls.
+    Returns (visits, t_best, rn_best, tri_best, u_best, v_best)."""
     sub = rox.shape[0]
 
     def inv(d):
@@ -681,14 +705,7 @@ def _traverse3_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_r
     _, visits, t_best, rn_best, tri_best, u_best, v_best = jax.lax.while_loop(
         lambda s: s[0] > 0, body, state
     )
-
-    out_ref[0, 0] = t_best
-    out_ref[0, 1] = rn_best
-    out_ref[0, 2] = tri_best
-    out_ref[0, 3] = u_best
-    out_ref[0, 4] = v_best
-    if count_visits:
-        out_ref[0, 5] = jnp.full((sub, LANE), 1.0) * visits.astype(jnp.float32)
+    return visits, t_best, rn_best, tri_best, u_best, v_best
 
 
 def _traverse5_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_ref,

@@ -985,7 +985,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
             & ((dot3(dl["direction"], hs["nrm"]) > 0.0) | (pbr["diffuse_transmission"] > 0.0))
             & (dl["pdf"] != 0.0)
         )
-        ev = bsdf_evaluate(pbr, -rd, dl["direction"])
+        ev = bsdf_evaluate(pbr, -rd, dl["direction"], cfg.features)
         light_mis = jnp.where(
             dl["pdf"] == DIRAC, 1.0, dl["pdf"] / jnp.maximum(dl["pdf"] + ev["pdf"], 1e-20)
         )
@@ -1015,7 +1015,7 @@ def path_trace_batch(flat, bvh, env, ro, rd, seed, cfg: RenderConfig, pixel_angl
             pbr["ior2"] = jnp.where(state["chroma"] >= 0, jnp.maximum(pbr["ior2"] + shift, 1.01), pbr["ior2"])
         u3b, seed = rng.rand3(seed)
         ue, seed = rng.rand2(seed)
-        samp = bsdf_sample(pbr, -rd, u3b, ue)
+        samp = bsdf_sample(pbr, -rd, u3b, ue, cfg.features)
         throughput = jnp.where(lane_hit[..., None], throughput * samp["bsdf_over_pdf"], throughput)
         state["last_pdf"] = jnp.where(lane_hit, samp["pdf"], state["last_pdf"])
         new_dir = samp["k2"]
