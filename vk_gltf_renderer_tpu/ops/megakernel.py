@@ -66,7 +66,9 @@ def _lcg(seed):
 
 def _rand(seed):
     seed = _lcg(seed)
-    return (seed >> jnp.uint32(8)).astype(jnp.float32) * _INV_2_24, seed
+    # top 24 bits; via int32 (Mosaic has no uint32->f32 cast; value < 2^24)
+    u24 = (seed >> jnp.uint32(8)).astype(jnp.int32)
+    return u24.astype(jnp.float32) * _INV_2_24, seed
 
 
 def _cube_dir(seed):
