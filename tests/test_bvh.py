@@ -912,3 +912,49 @@ def test_primary_seed_reverify_matches_trace():
     tt = (e2 * q).sum(1) * invd
     truth = ok & (uu >= 0) & (vv >= 0) & (uu + vv <= 1) & (tt > 0)
     np.testing.assert_array_equal(np.asarray(valid2), truth)
+
+
+def test_packet_v9_interleaved_matches_v2():
+    """The v9 WAYS-way interleaved kernel (independent per-way stacks/leaf
+    queues over row-sliced sub-packets) must return identical hits to v2 —
+    closest AND any-hit, 2-way and 4-way. Sub-packets traverse different
+    node sets than the whole packet, but per-ray results are traversal-
+    order independent."""
+    import jax.numpy as jnp
+
+    from vk_gltf_renderer_tpu.models import Scene
+    from vk_gltf_renderer_tpu.models.editor import SceneEditor
+    from vk_gltf_renderer_tpu.ops.bvh_flatten import build_world_bvh
+    from vk_gltf_renderer_tpu.ops.flat import build_scene_flat
+    from vk_gltf_renderer_tpu.ops.pallas_traverse import intersect_rays_packet_soa
+
+    sc = Scene()
+    sc.load("/root/reference/resources/Box.glb")
+    ed = SceneEditor(sc)
+    ed.add_primitive("sphere", segments=8)
+    nid = ed.add_primitive("cube")
+    ed.set_translation(nid, [2.0, 0.5, -1.0])
+    sc.parse_scene()
+    wb = build_world_bvh(build_scene_flat(sc))
+
+    rng = np.random.default_rng(23)
+    n = 1024
+    lo, hi = wb.nodes_self[0, 0:3], wb.nodes_self[0, 3:6]
+    c = (lo + hi) / 2
+    r = float(np.linalg.norm(hi - lo))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro = jnp.asarray(c + d * r)
+    rd = jnp.asarray(-d)
+    args = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+            jnp.zeros(n), jnp.full(n, 1e32)]
+    h2 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v2")
+    assert np.asarray(h2["tri"] >= 0).sum() > 200
+    for kern in ("v9", "v9x4"):
+        h9 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel=kern)
+        for k in ("t", "rnode", "tri", "u", "v"):
+            np.testing.assert_allclose(np.asarray(h2[k]), np.asarray(h9[k]),
+                                       atol=1e-5, err_msg=f"{kern}:{k}")
+    a2 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v2", anyhit=True)
+    a9 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v9", anyhit=True)
+    assert (np.asarray(a2["tri"] >= 0) == np.asarray(a9["tri"] >= 0)).all()

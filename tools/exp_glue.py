@@ -138,23 +138,6 @@ def main():
         return bsdf_sample(pbr, -rd, u3, ue)
     run("bsdf_sample", _samp, pbr, rd, seed)
 
-    def _shadow(org, d, dist, seed, mask):
-        from vk_gltf_renderer_tpu.ops.pathtrace import _trace_shadow
-        return _trace_shadow(flat, bvh, org, d, dist, seed, cfg_t, alive=mask)
-    run("shadow_trace", _shadow, hs["shadow_pos"], dl["direction"],
-        dl["distance"], seed, hits["tri"] >= 0)
-
-    # a bounce-1 closest trace on REAL continuation rays (the frame's slow
-    # trace class: coherent origins, hemispherical directions)
-    def _samp_dir(pbr, rd, seed):
-        u3, seed = rng.rand3(seed)
-        ue, seed = rng.rand2(seed)
-        return bsdf_sample(pbr, -rd, u3, ue)["k2"]
-    d1 = jax.jit(_samp_dir)(pbr, rd, seed)
-    run("trace_bounce1",
-        lambda org, d, mask: trace_closest(bvh, org, d, cfg_t, alive=mask, coherent=True),
-        hs["pos"], d1, hits["tri"] >= 0)
-
     spec = _state_columns_spec(cfg)
     ncols = sum(1 if c is None else c for _, c in spec) + 1  # +key
     cols = None
@@ -186,7 +169,29 @@ def main():
         return outs, seed
     run("rng_block", _rngblk, seed)
 
-    tot = sum(v for k, v in res.items() if k not in ("trace_primary", "shadow_trace"))
+    # trace stages LAST: a Mosaic kernel fault poisons the process's device
+    # client (every later transfer throws INVALID_ARGUMENT — observed
+    # 2026-08-19: the full-width unsorted shadow trace passed standalone in
+    # tools/exp_shadowbug.py but an earlier-fault cascade killed the rest
+    # of this probe), so nothing may run after them.
+    def _shadow(org, d, dist, seed, mask):
+        from vk_gltf_renderer_tpu.ops.pathtrace import _trace_shadow
+        return _trace_shadow(flat, bvh, org, d, dist, seed, cfg_t, alive=mask)
+    run("shadow_trace", _shadow, hs["shadow_pos"], dl["direction"],
+        dl["distance"], seed, hits["tri"] >= 0)
+
+    # a bounce-1 closest trace on REAL continuation rays (the frame's slow
+    # trace class: coherent origins, hemispherical directions)
+    def _samp_dir(pbr, rd, seed):
+        u3, seed = rng.rand3(seed)
+        ue, seed = rng.rand2(seed)
+        return bsdf_sample(pbr, -rd, u3, ue)["k2"]
+    d1 = jax.jit(_samp_dir)(pbr, rd, seed)
+    run("trace_bounce1",
+        lambda org, d, mask: trace_closest(bvh, org, d, cfg_t, alive=mask, coherent=True),
+        hs["pos"], d1, hits["tri"] >= 0)
+
+    tot = sum(v for k, v in res.items() if k not in ("trace_primary", "shadow_trace", "trace_bounce1"))
     print(f"\nglue total (ex traces): {tot:.2f} ms per full-width bounce")
     print(f"live fraction after bounce 0: {float(jnp.mean(alive.astype(jnp.float32))):.3f}")
 

@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 sys.path.insert(0, "/root/repo")
 
 SUB, LANE = 8, 128
-N = 2048  # BVH4 nodes
+N = 512  # BVH4 nodes (>512 rows -> 64KB SMEM sidecar block crashes the
+# v5e Mosaic compile helper; 512 keeps the [N,8] i32 sidecar at 16KB)
 
 
 def make_tables(seed=0):
@@ -131,25 +132,30 @@ def make_kernel(variant, visits, sub):
         ix, iy, iz = rox * 0.5 + 1.0, roy * 0.5 + 1.0, roz * 0.5 + 1.0
         t_best = jnp.full((sub, LANE), 1e30)
 
-        if variant == "d":
-            h = sub // 2
-            rox2, roy2, roz2 = rox[h:], roy[h:], roz[h:]
-            ix2, iy2, iz2 = ix[h:], iy[h:], iz[h:]
-            rox1, roy1, roz1 = rox[:h], roy[:h], roz[:h]
-            ix1, iy1, iz1 = ix[:h], iy[:h], iz[:h]
+        if variant in ("d", "e", "q"):
+            ways = {"d": 2, "e": 4, "q": 8}[variant]
+            h = sub // ways
+            parts = []
+            for w in range(ways):
+                sl = slice(w * h, (w + 1) * h)
+                parts.append((rox[sl], roy[sl], roz[sl], ix[sl], iy[sl], iz[sl]))
             tb = jnp.full((h, LANE), 1e30)
 
             def body(i, st):
-                e1, sp1, e2, sp2 = st
-                e1, sp1 = _visit("b", fi_ref, sc_ref, e1, rox1, roy1, roz1,
-                                 ix1, iy1, iz1, tb, stack_ref, sp1)
-                e2, sp2 = _visit("b", fi_ref, sc_ref, e2, rox2, roy2, roz2,
-                                 ix2, iy2, iz2, tb, stack_ref, sp2)
-                return e1, sp1, e2, sp2
+                out = []
+                for w in range(ways):
+                    e_w, sp_w = st[2 * w], st[2 * w + 1]
+                    px, py, pz, jx, jy, jz = parts[w]
+                    e_w, sp_w = _visit("b", fi_ref, sc_ref, e_w, px, py, pz,
+                                       jx, jy, jz, tb, stack_ref, sp_w)
+                    out += [e_w, sp_w]
+                return tuple(out)
 
-            e1, sp1, e2, sp2 = jax.lax.fori_loop(
-                0, visits // 2, body, (jnp.int32(0), jnp.int32(0), jnp.int32(1), jnp.int32(100)))
-            out_ref[0, 0] = jnp.zeros((sub, LANE)) + (e1 + e2 + sp1 + sp2).astype(jnp.float32)
+            init = tuple(x for w in range(ways)
+                         for x in (jnp.int32(w), jnp.int32(w * (200 // ways))))
+            st = jax.lax.fori_loop(0, visits // ways, body, init)
+            tot = sum(st[0::2]) + sum(st[1::2])
+            out_ref[0, 0] = jnp.zeros((sub, LANE)) + tot.astype(jnp.float32)
         else:
             def body(i, st):
                 e, sp = st

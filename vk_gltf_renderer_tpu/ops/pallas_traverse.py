@@ -1234,6 +1234,249 @@ def traverse_packets8(nodes4_fi, tris128, rays_ro, rays_rd, root_code, interpret
     )(nodes4_fi, tris128, rays_ro, rays_rd)
 
 
+def _traverse9_body(nodes4_fi_ref, tris128_ref, ro_ref, rd_ref, out_ref,
+                    stack_ref, lq_ref, root_code=0, anyhit=False, ways=2):
+    """v9: WAYS-way interleaved v8 (leaf-queue dual-pop over BVH4 rows).
+
+    The measured wall of every packet kernel is the per-visit SCALAR chain
+    (pop -> row fetch -> packed any() reduction -> pushes, ~0.33 us on the
+    v5e, tools/exp_visit.py variant b). v9 splits the launch packet into
+    WAYS independent sub-packets, each with its OWN stack, leaf queue, hit
+    state and octant signs, and runs their v8 visit bodies back-to-back in
+    ONE while-loop iteration. The bodies are fully branchless (v8's masked
+    dual-pop — no lax.cond), so Mosaic's scheduler overlaps the WAYS
+    independent scalar chains under each other's vector work.
+
+    Measured on the probe (exp_visit, 2026-08-19, v5e): 317 ns/visit
+    1-way -> 241 (2-way) -> 215 (4-way) -> 202 (8-way). Sub-packets also
+    see SMALLER traversal unions than the full packet (rows are sliced
+    from the Morton/octant-sorted order, so each sub-packet is more
+    coherent than their union) at unchanged total vector width.
+
+    A way whose stack AND queue are empty keeps popping masked-off visits
+    until all ways finish; sorted packets drain at similar rates so the
+    tail waste is small.
+
+    Reference role: SER/RT-core latency hiding across rays
+    (raytracer_interface.h.slang:69-228) — the packet-level analog.
+    """
+    sub = ro_ref[0, 0].shape[0]
+    h = sub // ways
+
+    def inv(d):
+        return jnp.where(jnp.abs(d) < 1e-20, jnp.where(d >= 0, 1e30, -1e30), 1.0 / d)
+
+    # per-way ray registers, octant signs, seeds
+    W = []
+    for w in range(ways):
+        rs = slice(w * h, (w + 1) * h)  # static per-way row window
+        rox = ro_ref[0, 0, rs]
+        roy = ro_ref[0, 1, rs]
+        roz = ro_ref[0, 2, rs]
+        tmax = ro_ref[0, 3, rs]
+        rdx = rd_ref[0, 0, rs]
+        rdy = rd_ref[0, 1, rs]
+        rdz = rd_ref[0, 2, rs]
+        tmin = rd_ref[0, 3, rs]
+        sx = jnp.sum(jnp.where(rdx >= 0, 1, -1)) >= 0
+        sy = jnp.sum(jnp.where(rdy >= 0, 1, -1)) >= 0
+        sz = jnp.sum(jnp.where(rdz >= 0, 1, -1)) >= 0
+        W.append(dict(rox=rox, roy=roy, roz=roz, tmax=tmax,
+                      rdx=rdx, rdy=rdy, rdz=rdz, tmin=tmin,
+                      ix=inv(rdx), iy=inv(rdy), iz=inv(rdz),
+                      sx=sx, sy=sy, sz=sz, sbase=w * STACK, qbase=w * LQ_CAP))
+        # slot-0 seeding per way (v8 invariants: masked-off pops must read
+        # in-bounds codes of the right sign)
+        stack_ref[w * STACK] = max(root_code, 0)
+        lq_ref[w * LQ_CAP] = min(root_code, -1)
+
+    if root_code >= 0:
+        sp0, lq0 = jnp.int32(1), jnp.int32(0)
+    else:
+        sp0, lq0 = jnp.int32(0), jnp.int32(1)
+
+    def tri_tests(wd, row, t_best, rn_best, tri_best, u_best, v_best, count):
+        tv = tris128_ref[pl.ds(row, 1), :]
+        rox, roy, roz = wd["rox"], wd["roy"], wd["roz"]
+        rdx, rdy, rdz = wd["rdx"], wd["rdy"], wd["rdz"]
+        tmin = wd["tmin"]
+        for c in range(LEAF_SIZE):
+            o = c * 16
+            v0x, v0y, v0z = tv[0, o + 0], tv[0, o + 1], tv[0, o + 2]
+            e1x, e1y, e1z = tv[0, o + 3] - v0x, tv[0, o + 4] - v0y, tv[0, o + 5] - v0z
+            e2x, e2y, e2z = tv[0, o + 6] - v0x, tv[0, o + 7] - v0y, tv[0, o + 8] - v0z
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = (c < count) & (jnp.abs(det) >= 1e-12)
+            inv_det = 1.0 / jnp.where(jnp.abs(det) >= 1e-12, det, 1.0)
+            tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+            uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hit = ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) & (tt > tmin) & (tt < t_best)
+            t_best = jnp.where(hit, jnp.float32(-1.0) if anyhit else tt, t_best)
+            rn_best = jnp.where(hit, tv[0, o + 9], rn_best)
+            tri_best = jnp.where(hit, tv[0, o + 10], tri_best)
+            u_best = jnp.where(hit, uu, u_best)
+            v_best = jnp.where(hit, vv, v_best)
+        return t_best, rn_best, tri_best, u_best, v_best
+
+    def visit_way(wd, sp, lq, t_best, rn_best, tri_best, u_best, v_best):
+        """One masked v8 dual-pop visit for one way (verbatim v8 logic with
+        stack/queue indices offset into the way's SMEM region)."""
+        sb, qb = wd["sbase"], wd["qbase"]
+        rox, roy, roz = wd["rox"], wd["roy"], wd["roz"]
+        ix, iy, iz = wd["ix"], wd["iy"], wd["iz"]
+
+        take_i = (sp > 0) & (lq < LQ_HIGH)
+        e = jnp.maximum(stack_ref[sb + jnp.maximum(sp - 1, 0)], 0)
+        sp = sp - jnp.where(take_i, 1, 0)
+        take_l = lq > 0
+        le = lq_ref[qb + jnp.maximum(lq - 1, 0)]
+        lq = lq - jnp.where(take_l, 1, 0)
+
+        f = nodes4_fi_ref[pl.ds(e, 1), :]
+
+        def slab(o):
+            t0x = (f[0, o + 0] - rox) * ix
+            t1x = (f[0, o + 3] - rox) * ix
+            t0y = (f[0, o + 1] - roy) * iy
+            t1y = (f[0, o + 4] - roy) * iy
+            t0z = (f[0, o + 2] - roz) * iz
+            t1z = (f[0, o + 5] - roz) * iz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), t_best),
+            )
+            return tnear <= tfar
+
+        h0 = slab(0)
+        h1 = slab(6)
+        h2 = slab(12)
+        h3 = slab(18)
+
+        code = -le - 1
+        row = jnp.maximum(code // 16, 0)
+        cnt = jnp.where(take_l, code - row * 16, 0)
+        t_best, rn_best, tri_best, u_best, v_best = tri_tests(
+            wd, row, t_best, rn_best, tri_best, u_best, v_best, cnt
+        )
+
+        p01 = jnp.sum(h0.astype(jnp.int32) * 65536 + h1.astype(jnp.int32))
+        p23 = jnp.sum(h2.astype(jnp.int32) * 65536 + h3.astype(jnp.int32))
+        a0 = (p01 >= 65536) & take_i
+        a1 = ((p01 & 65535) > 0) & take_i
+        a2 = (p23 >= 65536) & take_i
+        a3 = ((p23 & 65535) > 0) & take_i
+        c0 = f[0, 24].astype(jnp.int32)
+        c1 = f[0, 25].astype(jnp.int32)
+        c2 = f[0, 26].astype(jnp.int32)
+        c3 = f[0, 27].astype(jnp.int32)
+        ax0, ax1, ax2 = (f[0, 28].astype(jnp.int32),
+                         f[0, 29].astype(jnp.int32),
+                         f[0, 30].astype(jnp.int32))
+
+        def sign_of(axis):
+            return jnp.where(axis == 0, wd["sx"], jnp.where(axis == 1, wd["sy"], wd["sz"]))
+
+        s0 = sign_of(ax0)
+        s1 = sign_of(ax1)
+        s2 = sign_of(ax2)
+
+        ln_id = jnp.where(s1, c0, c1)
+        lf_id = jnp.where(s1, c1, c0)
+        ln_a = jnp.where(s1, a0, a1)
+        lf_a = jnp.where(s1, a1, a0)
+        rn_id = jnp.where(s2, c2, c3)
+        rf_id = jnp.where(s2, c3, c2)
+        rn_a = jnp.where(s2, a2, a3)
+        rf_a = jnp.where(s2, a3, a2)
+
+        p1_id = jnp.where(s0, rf_id, lf_id)
+        p1_a = jnp.where(s0, rf_a, lf_a)
+        p2_id = jnp.where(s0, rn_id, ln_id)
+        p2_a = jnp.where(s0, rn_a, ln_a)
+        p3_id = jnp.where(s0, lf_id, rf_id)
+        p3_a = jnp.where(s0, lf_a, rf_a)
+        p4_id = jnp.where(s0, ln_id, rn_id)
+        p4_a = jnp.where(s0, ln_a, rn_a)
+
+        for pid, pa in ((p1_id, p1_a), (p2_id, p2_a), (p3_id, p3_a), (p4_id, p4_a)):
+            is_leaf = pid < 0
+            stack_ref[sb + sp] = pid
+            sp = sp + jnp.where(pa & (~is_leaf), 1, 0)
+            lq_ref[qb + lq] = pid
+            lq = lq + jnp.where(pa & is_leaf, 1, 0)
+
+        return sp, lq, t_best, rn_best, tri_best, u_best, v_best
+
+    def body(state):
+        out = []
+        for w in range(ways):
+            out.extend(visit_way(W[w], *state[7 * w:7 * w + 7]))
+        return tuple(out)
+
+    def cond(state):
+        busy = (state[0] > 0) | (state[1] > 0)
+        for w in range(1, ways):
+            busy = busy | (state[7 * w] > 0) | (state[7 * w + 1] > 0)
+        return busy
+
+    state = ()
+    for w in range(ways):
+        state = state + (
+            sp0, lq0, W[w]["tmax"],
+            jnp.full((h, LANE), -1.0), jnp.full((h, LANE), -1.0),
+            jnp.zeros((h, LANE)), jnp.zeros((h, LANE)),
+        )
+    state = jax.lax.while_loop(cond, body, state)
+
+    for k in range(5):
+        out_ref[0, k] = jnp.concatenate(
+            [state[7 * w + 2 + k] for w in range(ways)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tiles", "anyhit",
+                                              "root_code", "ways"))
+def traverse_packets9(nodes4_fi, tris128, rays_ro, rays_rd, root_code,
+                      interpret=False, tiles=1, anyhit=False, ways=2):
+    """v9 kernel dispatch (WAYS-way interleaved leaf-queue dual-pop); same
+    I/O as traverse_packets3."""
+    g = rays_ro.shape[0]
+    sub = tiles * SUB
+    assert sub % ways == 0, (sub, ways)
+    kernel = functools.partial(_traverse9_body, root_code=root_code,
+                               anyhit=anyhit, ways=ways)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(nodes4_fi.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris128.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 5, sub, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 5, sub, LANE), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((STACK * ways,), jnp.int32),
+                        pltpu.SMEM((LQ_CAP * ways,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(nodes4_fi, tris128, rays_ro, rays_rd)
+
+
 def _traverse6_body(nodes16_ref, tris128_ref, ro_ref, rd_ref, out_ref, stack_ref,
                     anyhit=False):
     """v6 packet traversal: dense BVH16 rows (bvh_flatten._packet6_tables).
@@ -1596,6 +1839,13 @@ def intersect_rays_packet_soa(
         out = traverse_packets8(
             wb.nodes4_fi, wb.tris128, ro_p, rd_p, wb.root4_code,
             interpret=interpret, tiles=tiles, anyhit=anyhit,
+        )
+    elif kernel in ("v9", "v9x4"):
+        # sub = tiles*8 rows is always divisible by 2 and 4
+        ways = 4 if kernel == "v9x4" else 2
+        out = traverse_packets9(
+            wb.nodes4_fi, wb.tris128, ro_p, rd_p, wb.root4_code,
+            interpret=interpret, tiles=tiles, anyhit=anyhit, ways=ways,
         )
     elif kernel in ("v3", "v5", "v7"):
         entry = (
