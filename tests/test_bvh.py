@@ -950,7 +950,7 @@ def test_packet_v9_interleaved_matches_v2():
             jnp.zeros(n), jnp.full(n, 1e32)]
     h2 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel="v2")
     assert np.asarray(h2["tri"] >= 0).sum() > 200
-    for kern in ("v9", "v9x4"):
+    for kern in ("v9", "v9x4", "v9x8"):
         h9 = intersect_rays_packet_soa(wb, *args, interpret=True, tiles=1, kernel=kern)
         for k in ("t", "rnode", "tri", "u", "v"):
             np.testing.assert_allclose(np.asarray(h2[k]), np.asarray(h9[k]),

@@ -114,11 +114,11 @@ def main():
                         wb, ro, rd, coherent=True, max_tiles=args.tiles, anyhit=args.anyhit,
                         inner_steps=args.inner,
                     )
-            elif variant in ("p2", "p3", "p5", "p6", "p7", "p8", "p9", "p9x4"):
+            elif variant in ("p2", "p3", "p5", "p6", "p7", "p8", "p9", "p9x4", "p9x8"):
                 from vk_gltf_renderer_tpu.ops.pallas_traverse import intersect_rays_packet_soa
 
                 kern = {"p2": "v2", "p3": "v3", "p5": "v5", "p6": "v6", "p7": "v7",
-                        "p8": "v8", "p9": "v9", "p9x4": "v9x4"}[variant]
+                        "p8": "v8", "p9": "v9", "p9x4": "v9x4", "p9x8": "v9x8"}[variant]
 
                 def run(ro, rd, kern=kern):
                     return intersect_rays_packet_soa(

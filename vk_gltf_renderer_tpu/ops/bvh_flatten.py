@@ -1170,7 +1170,9 @@ def vmem_bytes(wb: WorldBvh, kernel: str = "v2") -> int:
         from .lane_traverse import FIELDS
 
         return FIELDS * 128 * 4
-    rows = wb.nodes4_fi.shape[0] if kernel in ("v3", "v5", "v7", "v8") else wb.nodes_fi.shape[0]
+    rows = (wb.nodes4_fi.shape[0]
+            if kernel in ("v3", "v5", "v7", "v8", "v9", "v9x4")
+            else wb.nodes_fi.shape[0])
     return rows * 128 * 4 + wb.tris128.nbytes
 
 

@@ -1840,9 +1840,10 @@ def intersect_rays_packet_soa(
             wb.nodes4_fi, wb.tris128, ro_p, rd_p, wb.root4_code,
             interpret=interpret, tiles=tiles, anyhit=anyhit,
         )
-    elif kernel in ("v9", "v9x4"):
-        # sub = tiles*8 rows is always divisible by 2 and 4
-        ways = 4 if kernel == "v9x4" else 2
+    elif kernel in ("v9", "v9x4", "v9x8"):
+        # sub = tiles*8 rows is always divisible by 2 and 4; 8-way needs
+        # tiles >= 8 so each way keeps at least one full (8,128) tile
+        ways = {"v9": 2, "v9x4": 4, "v9x8": 8}[kernel]
         out = traverse_packets9(
             wb.nodes4_fi, wb.tris128, ro_p, rd_p, wb.root4_code,
             interpret=interpret, tiles=tiles, anyhit=anyhit, ways=ways,
