@@ -594,3 +594,34 @@ def test_primary_seed_compact_packet(monkeypatch):
     assert (np.asarray(aux_on["first_tri"]) >= 0).any()
     assert (np.asarray(aux_on["first_rnode"]) == np.asarray(aux_off["first_rnode"])).all()
     np.testing.assert_allclose(img_on, img_off, atol=2e-5)
+
+
+def test_invalid_argument_recovery_two_rungs(monkeypatch):
+    """on_render's failure ladder: first INVALID_ARGUMENT rotates the
+    compile cache and retries; a second fault on the retry downgrades the
+    session to the kernel-free wavefront path instead of dying (the
+    reference's compile-fallback role, renderer_pathtracer.cpp:1129-1178)."""
+    r = GltfRenderer(width=16, height=16, spp=1, max_depth=2)
+    r.create_scene("/root/reference/resources/Box.glb")
+
+    real_ensure = GltfRenderer._ensure_render_fn
+    calls = {"n": 0}
+
+    def flaky_ensure(self):
+        fn = real_ensure(self)
+        if calls["n"] >= 2:
+            return fn
+
+        def bomb(*a, **k):
+            calls["n"] += 1
+            raise RuntimeError("INVALID_ARGUMENT: TPU backend error (test)")
+
+        return bomb
+
+    monkeypatch.setattr(GltfRenderer, "_ensure_render_fn", flaky_ensure)
+    aux = r.on_render()
+    assert calls["n"] == 2
+    assert r._traversal_fallback == "wavefront"
+    assert r._config().traversal == "wavefront"
+    img = r.image_linear()
+    assert np.isfinite(img).all() and img.mean() > 0.0

@@ -465,6 +465,11 @@ class GltfRenderer:
         alpha_any = any(m.get("alphaMode", "OPAQUE") != "OPAQUE" for m in self.scene.model.materials)
         on_tpu = jax.devices()[0].platform != "cpu"
         default = "packet" if on_tpu else "wavefront"
+        if getattr(self, "_traversal_fallback", None):
+            # second-rung failure recovery (on_render): a packet-kernel
+            # variant faulted twice on this hardware — pin the kernel-free
+            # wavefront path for the rest of the session
+            default = self._traversal_fallback
         # kernel ladder: v3-everywhere (fastest measured: round-4 matrix,
         # NEXT.md §0 — primary v3 beat v2 303.3 vs 326.1 ms once fused
         # hit-state landed) while v3 fits VMEM; v6-everywhere (dense BVH16
@@ -645,7 +650,27 @@ class GltfRenderer:
             clear_render_fn_cache()
             self._render_fn = None
             fn = self._ensure_render_fn()
-            accum, aux = fn(self.flat, self.bvh, self._env_arrays(), frame)
+            try:
+                accum, aux = fn(self.flat, self.bvh, self._env_arrays(), frame)
+            except Exception as e2:
+                # second rung: not cache poisoning — the packet-kernel
+                # variant itself faults on this hardware. Downgrade to the
+                # kernel-free wavefront path (pure XLA) for the session
+                # rather than dying (the reference's TLAS-rebuild-on-device-
+                # lost analog, renderer.cpp:1699-1721 spirit).
+                if "INVALID_ARGUMENT" not in repr(e2):
+                    raise
+                import sys
+
+                sys.stderr.write(
+                    "renderer: packet kernel faulted twice; falling back to "
+                    "wavefront traversal for this session\n")
+                self._traversal_fallback = "wavefront"
+                compile_cache.rotate()
+                clear_render_fn_cache()
+                self._render_fn = None
+                fn = self._ensure_render_fn()
+                accum, aux = fn(self.flat, self.bvh, self._env_arrays(), frame)
         self.accum = accum  # device-resident; no host round-trip per frame
         self.total_samples += self.spp
         self.frame_idx += 1
