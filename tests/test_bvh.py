@@ -345,9 +345,10 @@ def test_vmem_budget_traversal_selection(monkeypatch):
     monkeypatch.setattr(bvh_flatten, "VMEM_TABLE_BUDGET", 1 << 30)
     cfg = r._config()
     assert cfg.traversal == "packet"
-    # v3-everywhere is the measured round-4 default (NEXT.md §0)
+    # measured round-5 split: v3 primaries + v9 interleaved bounce loop
+    # (NEXT.md §-2)
     assert cfg.primary_kernel == "v3"
-    assert cfg.packet_kernel == "v3"
+    assert cfg.packet_kernel == "v9"
     # middle rung: only the v6 table fits -> packet stays on v6 everywhere.
     # (On the 12-tri Box both tables pad to the same minimum, so force the
     # rung by faking the fits decision rather than the budget.)

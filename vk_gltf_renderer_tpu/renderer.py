@@ -476,8 +476,14 @@ class GltfRenderer:
         # rows, zero Mosaic padding — ~4x the v3 ceiling) while only v6
         # fits; HBM wavefront beyond (the budgeted-BLAS analog,
         # renderer.cpp:1699-1721) — automatic
+        # round-5 measured split: v9 (2-way interleaved dual-pop) wins the
+        # bounce loop 8.94 vs 8.63 Mrays/s on shader_ball 1080p; v9 as the
+        # PRIMARY kernel measured 9.29 there but hangs the textured helmet
+        # stand-in at 1080p (2026-08-19 A/B, fresh caches: v3/v3 passes at
+        # 4.01, v9-primary never completes) — primaries stay v3 until that
+        # is understood.
         primary_default = "v3"
-        loop_default = "v3"
+        loop_default = "v9"
         if on_tpu and self.bvh is not None:
             from .ops.bvh_flatten import fits_vmem
 
