@@ -136,3 +136,137 @@ def test_apply_delta_roundtrip_through_editor():
     np.testing.assert_allclose(s, [2.0, 2.0, 2.0], atol=1e-9)
     t, r, s = gizmo.apply_delta(ed, nid, {"scale": [3.0, 3.0, 3.0]}, scale_axis=1)
     np.testing.assert_allclose(s, [2.0, 6.0, 2.0], atol=1e-9)
+
+
+# ---------------------------------------------------------------- rendering
+# Gizmo handle RENDERING (ops/gizmo_draw.py) — the visual half the
+# reference draws in gizmo_visuals.slang:1-118. Drawn over a flat gray
+# frame with a known camera; assertions are on where each colored handle
+# lands on screen and on the hover highlight.
+
+
+def _overlay(mode, active=None, eye=(2.0, 1.5, 4.0), size=1.0, hw=96):
+    from vk_gltf_renderer_tpu.ops.gizmo_draw import gizmo_overlay
+
+    img = np.full((hw, hw, 3), 0.2, np.float32)
+    return gizmo_overlay(img, eye, (0, 0, 0), (0, 1, 0), np.radians(45.0),
+                         np.zeros(3), np.eye(3), mode, size=size,
+                         active=active)
+
+
+def _dominant(img, chan, thresh=0.25):
+    """Mask of pixels where channel `chan` exceeds both others by thresh."""
+    others = [c for c in range(3) if c != chan]
+    return (img[..., chan] > img[..., others[0]] + thresh) & (
+        img[..., chan] > img[..., others[1]] + thresh)
+
+
+def test_gizmo_overlay_translate_axes_colors_and_placement():
+    out = _overlay(Mode.TRANSLATE)
+    h, w = out.shape[:2]
+    red, green, blue = (_dominant(out, c) for c in range(3))
+    # all three axis handles drawn
+    assert red.sum() > 10 and green.sum() > 10 and blue.sum() > 10
+    # +Y is up -> green pixels live in the UPPER half of the frame
+    ys, _ = np.nonzero(green)
+    assert ys.mean() < h / 2
+    # pixels away from the gizmo are untouched
+    assert np.allclose(out[0, 0], 0.2) and np.allclose(out[-1, -1], 0.2)
+    # plane quads: translucent fills exist (blended, not pure axis color)
+    filled = ((out > 0.21).any(-1) & ~(red | green | blue)).sum()
+    assert filled > 20
+
+
+def test_gizmo_overlay_projection_matches_pick_math():
+    """The drawn +X tip must land where _Camera.project puts pivot+X*size;
+    a camera ray through that pixel must PICK the X axis — drawn geometry
+    and grab geometry agree (the whole point of sharing constants)."""
+    from vk_gltf_renderer_tpu.ops.gizmo_draw import _Camera
+
+    eye = (2.0, 1.5, 4.0)
+    cam = _Camera(eye, (0, 0, 0), (0, 1, 0), np.radians(45.0), 96, 96)
+    (tip,), (front,) = cam.project(np.array([[0.9, 0.0, 0.0]]))
+    assert front
+    out = _overlay(Mode.TRANSLATE)
+    x, y = int(round(tip[0])), int(round(tip[1]))
+    patch = out[max(y - 2, 0):y + 3, max(x - 2, 0):x + 3]
+    assert _dominant(patch, 0).any()  # red shaft/arrow at the projected tip
+    # and the pick math agrees: a ray through that pixel grabs AXIS_X
+    d = np.array([0.9, 0.0, 0.0]) - np.asarray(eye, float)
+    ro, rd = np.asarray(eye, float), d / np.linalg.norm(d)
+    assert gizmo.pick_handle(ro, rd, np.zeros(3), np.eye(3), Mode.TRANSLATE) == AXIS_X
+
+
+def test_gizmo_overlay_highlight_and_modes():
+    # active X handle -> yellow (R and G high, B low), plain red gone
+    out = _overlay(Mode.TRANSLATE, active=AXIS_X)
+    yellow = ((out[..., 0] > 0.8) & (out[..., 1] > 0.7) & (out[..., 2] < 0.5))
+    assert yellow.sum() > 10
+    # rotate: rings only — no filled plane quads, three ring colors present
+    rings = _overlay(Mode.ROTATE)
+    for c in range(3):
+        assert _dominant(rings, c).sum() > 10
+    # the Z ring (blue) encircles the pivot: blue pixels on both sides
+    from vk_gltf_renderer_tpu.ops.gizmo_draw import _Camera
+
+    cam = _Camera((2.0, 1.5, 4.0), (0, 0, 0), (0, 1, 0), np.radians(45.0), 96, 96)
+    (c0,), _ = cam.project(np.zeros((1, 3)))
+    blue = _dominant(rings, 2)
+    xs = np.nonzero(blue)[1]
+    assert (xs < c0[0]).any() and (xs > c0[0]).any()
+    # scale: center uniform-cube drawn near the projected pivot
+    sc = _overlay(Mode.SCALE)
+    y0, x0 = int(round(c0[1])), int(round(c0[0]))
+    patch = sc[max(y0 - 3, 0):y0 + 4, max(x0 - 3, 0):x0 + 4]
+    assert (patch > 0.6).all(-1).any()  # whitish center cube
+
+
+def test_viewer_gizmo_keys_and_verbs():
+    """Viewer wiring: 'g' cycles gizmo modes (drawn on the frame), the
+    ':gizmo' verb controls space and hover-pick, and the overlay actually
+    changes displayed pixels (gizmo_transform_vk display role)."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from vk_gltf_renderer_tpu.viewer import TerminalViewer
+
+    v = TerminalViewer("/root/reference/resources/Box.glb", size=32,
+                       render_system=1)
+    base = v.frame_u8().astype(float)
+
+    assert v.handle_key("t")  # tree pane selects node 0
+    assert v.handle_key("g")
+    assert v.gizmo_mode is not None and "+gizmo:translate" in v.status()
+    with_gizmo = v.frame_u8().astype(float)
+    assert np.abs(with_gizmo - base).max() > 10  # handles visibly drawn
+
+    def type_cmd(line):
+        assert v.handle_key(":")
+        for ch in line:
+            assert v.handle_key(ch)
+        assert v.handle_key(";")
+
+    # pick through the pixel under the +X tip -> highlight AXIS_X
+    from vk_gltf_renderer_tpu.ops.gizmo_draw import _Camera, auto_size
+
+    frame = v._gizmo_frame()
+    assert frame is not None
+    _, pivot, axes, size = frame
+    cam = v.r.camera
+    c = _Camera(cam.eye, cam.center, cam.up, cam.yfov, 32, 32)
+    (tip,), (front,) = c.project(pivot[None] + axes[0][None] * size * 0.6)
+    assert front
+    type_cmd(f"gizmo pick {tip[0]:.2f} {tip[1]:.2f}")
+    assert v.gizmo_active == AXIS_X
+    assert any("pick -> 0" in ln for ln in v._last_out)
+
+    type_cmd("gizmo space local")
+    assert v.gizmo_space == "local"
+    type_cmd("gizmo off")
+    assert v.gizmo_mode is None and v.gizmo_active is None
+    # 'g' cycles translate -> rotate -> scale -> off
+    for expect in ("translate", "rotate", "scale"):
+        v.handle_key("g")
+        assert v.gizmo_mode.value == expect
+    v.handle_key("g")
+    assert v.gizmo_mode is None

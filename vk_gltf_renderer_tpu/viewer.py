@@ -18,6 +18,9 @@ Keys:
   ] / [      tree: select next / previous node (silhouette-highlighted)
   x          tree: toggle selected node's visibility
   G          toggle the reference grid overlay (gizmo grid role)
+  g          cycle the transform gizmo on the selected node:
+             off -> translate -> rotate -> scale (handles drawn on the
+             frame, gizmo_visuals.slang role; :gizmo space world|local)
   :CMD;      run any edit-shell verb on the live scene (rename, reparent,
              matset, lightset, translate, undo, ... — see edit_cli);
              terminated by ';', e.g.  :rename 2 Hood;  :reparent 4 0;
@@ -78,6 +81,9 @@ class TerminalViewer:
         self.denoised = False
         self.grid = False
         self.tree = False
+        self.gizmo_mode = None  # None | gizmo.Mode — drawn on the frame
+        self.gizmo_space = "world"
+        self.gizmo_active = None  # highlighted handle id (hover feedback)
         self._tree_sel = 0  # index into the DFS node list
         self._cmdbuf = None  # ':' command-mode accumulator
         self._shell = None  # lazy EditShell over the live scene
@@ -188,8 +194,72 @@ class TerminalViewer:
             return
         self._refresh_camera()
 
+    def _cmd_gizmo(self, *args):
+        """Gizmo control verb: `gizmo` prints state; `gizmo translate|
+        rotate|scale|off`; `gizmo space world|local`; `gizmo pick <px> <py>`
+        highlights the handle under a pixel (hover feedback, and the id it
+        prints is what begin_drag/drag_delta take)."""
+        from . import gizmo as gz
+
+        if not args:
+            mode = self.gizmo_mode.value if self.gizmo_mode else "off"
+            print(f"gizmo {mode} space={self.gizmo_space} active={self.gizmo_active}")
+            return
+        key = args[0]
+        if key in ("translate", "rotate", "scale"):
+            self.gizmo_mode = gz.Mode(key)
+        elif key == "off":
+            self.gizmo_mode = None
+            self.gizmo_active = None
+        elif key == "space" and len(args) == 2 and args[1] in ("world", "local"):
+            self.gizmo_space = args[1]
+        elif key == "pick" and len(args) == 3 and self.gizmo_mode:
+            frame = self._gizmo_frame()
+            if frame is None:
+                print("gizmo: no selected node")
+                return
+            nid, pivot, axes, size = frame
+            ro, rd = self._pixel_ray(float(args[1]), float(args[2]))
+            self.gizmo_active = gz.pick_handle(ro, rd, pivot, axes,
+                                               self.gizmo_mode, size=size)
+            print(f"gizmo pick -> {self.gizmo_active}")
+        else:
+            print("gizmo: translate|rotate|scale|off | space world|local | pick px py")
+
+    def _pixel_ray(self, px: float, py: float):
+        """Camera ray through a pixel center — grid.py's mapping inverted
+        (shared convention with ops/gizmo_draw._Camera.project)."""
+        cam = self.r.camera
+        eye = np.asarray(cam.eye, np.float64)
+        fwd = np.asarray(cam.center, np.float64) - eye
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross(fwd, np.asarray(cam.up, np.float64))
+        right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        h = w = self.r.width
+        t = np.tan(cam.yfov * 0.5)
+        cx = ((px + 0.5) / w - 0.5) * 2.0 * t * (w / h)
+        cy = (0.5 - (py + 0.5) / h) * 2.0 * t
+        d = fwd + cx * right + cy * up
+        return eye, d / np.linalg.norm(d)
+
+    def _gizmo_frame(self):
+        """(node_id, pivot, axes, world size) for the selected node."""
+        from . import gizmo as gz
+        from .ops.gizmo_draw import auto_size
+
+        nodes = self._dfs_nodes()
+        if not nodes:
+            return None
+        nid = nodes[self._tree_sel][0]
+        pivot, axes = gz.handle_frame(
+            self.r.scene, nid,
+            gz.Space.LOCAL if self.gizmo_space == "local" else gz.Space.WORLD)
+        cam = self.r.camera
+        return nid, pivot, axes, auto_size(cam.eye, pivot, cam.yfov)
+
     #: ':'-mode verbs resolved on the viewer itself, before the edit shell
-    LOCAL_VERBS = ("cam",)
+    LOCAL_VERBS = ("cam", "gizmo")
 
     def run_command(self, line: str):
         """One inspector verb against the live scene (or view camera), then
@@ -243,6 +313,8 @@ class TerminalViewer:
             pool = list(self.LIGHT_KEYS)
         elif parts[0] == "cam" and len(parts) == 2:
             pool = list(self.CAM_KEYS)
+        elif parts[0] == "gizmo" and len(parts) == 2:
+            pool = ["off", "pick", "rotate", "scale", "space", "translate"]
         else:
             self._candidates = []
             return buf
@@ -300,6 +372,14 @@ class TerminalViewer:
             return True
         if k == "G":
             self.grid = not self.grid
+            return True
+        if k == "g":
+            from .gizmo import Mode
+
+            cycle = [None, Mode.TRANSLATE, Mode.ROTATE, Mode.SCALE]
+            self.gizmo_mode = cycle[(cycle.index(self.gizmo_mode) + 1) % len(cycle)]
+            if self.gizmo_mode is None:
+                self.gizmo_active = None
             return True
         if k in ("q", "\x1b"):
             return False
@@ -368,12 +448,24 @@ class TerminalViewer:
                 depth = np.where(solid, d, np.inf)
             img = grid_overlay(img, cam.eye, cam.center, cam.up, cam.yfov,
                                scene_depth=depth)
+        if self.gizmo_mode is not None:
+            frame = self._gizmo_frame()
+            if frame is not None:
+                from .ops.gizmo_draw import gizmo_overlay
+
+                _, pivot, axes, size = frame
+                cam = self.r.camera
+                img = gizmo_overlay(img, cam.eye, cam.center, cam.up, cam.yfov,
+                                    pivot, axes, self.gizmo_mode, size=size,
+                                    active=self.gizmo_active)
         return np.asarray(np.clip(img * 255.0, 0, 255), np.uint8)
 
     def status(self) -> str:
         mode = "preview" if self.r.render_system == 1 else "pathtrace"
         dn = " +denoise" if self.denoised else ""
         gr = " +grid" if self.grid else ""
+        if self.gizmo_mode is not None:
+            gr += f" +gizmo:{self.gizmo_mode.value}"
         if self._cmdbuf is not None:
             hint = ("   {" + " ".join(self._candidates[:8]) + "}") if self._candidates else ""
             return f":{self._cmdbuf}{hint}"
