@@ -668,3 +668,76 @@ def test_edit_cli_inspector_verbs(capsys, triangle_model):
     assert sv.model.meshes[0]["primitives"][0]["material"] == 1
     shv.run_line("undo")
     assert sv.model.meshes[0]["primitives"][0]["material"] == 0
+
+def test_viewer_renderer_settings_and_aov_verbs():
+    """ui_renderer.cpp panel parity: ':rset' edits live renderer settings
+    (display-side ones take effect without losing accumulation; jit-keyed
+    ones reset), and ':aov' swaps the displayed image to a debug guide
+    buffer (the reference's debug-render-mode combo)."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import numpy as np
+
+    from vk_gltf_renderer_tpu.viewer import TerminalViewer
+
+    v = TerminalViewer("/root/reference/resources/Box.glb", size=24)
+
+    def type_cmd(line):
+        assert v.handle_key(":")
+        for ch in line:
+            assert v.handle_key(ch)
+        assert v.handle_key(";")
+
+    base = v.frame_u8().astype(float)
+
+    # listing prints every field
+    type_cmd("rset")
+    listed = "\n".join(v._last_out)
+    for f in ("depth", "tonemapper", "exposure", "firefly", "aov"):
+        assert f in listed, listed
+
+    # display-side edit: exposure doubles -> image brightens, NO reset
+    samp = v.r.total_samples
+    type_cmd("rset exposure 2.5")
+    assert v.r.exposure == 2.5 and v.r.total_samples == samp > 0
+    bright = v.frame_u8().astype(float)
+    assert bright.mean() > base.mean() + 1.0
+
+    # tonemapper validation + switch
+    type_cmd("rset tonemapper nosuch")
+    assert any("must be one of" in l for l in v._last_out)
+    type_cmd("rset tonemapper none")
+    assert v.r.tonemapper == "none"
+
+    # jit-keyed edit resets accumulation
+    v.frame_u8()
+    assert v.r.total_samples > 0
+    type_cmd("rset depth 2")
+    assert v.r.max_depth == 2 and v.r.total_samples == 0
+
+    # AOV debug views: normal view differs from beauty and is a valid image
+    type_cmd("aov normal")
+    assert "+aov:normal" in v.status()
+    nrm = v.frame_u8().astype(float)
+    assert nrm.shape == base.shape and np.isfinite(nrm).all()
+    for name in ("albedo", "depth", "solid", "objectid", "roughness"):
+        type_cmd(f"aov {name}")
+        img = v.frame_u8()
+        assert img.shape == base.shape and img.max() > 0, name
+    type_cmd("aov off")
+    assert v.aov is None
+
+    # tab completion reaches rset fields and tonemapper operators
+    assert v.handle_key(":")
+    for ch in "rset expo":
+        v.handle_key(ch)
+    v.handle_key("\t")
+    assert v._cmdbuf == "rset exposure ", v._cmdbuf
+    v.handle_key("\x1b")
+    assert v.handle_key(":")
+    for ch in "rset tonemapper ag":
+        v.handle_key(ch)
+    v.handle_key("\t")
+    assert v._cmdbuf == "rset tonemapper agx ", v._cmdbuf
+    v.handle_key("\x1b")

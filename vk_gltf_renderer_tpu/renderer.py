@@ -150,6 +150,7 @@ class GltfRenderer:
         self._ibl_key = None
         self.animate = False
         self.firefly_clamp = 10.0
+        self.exposure = 1.0  # display exposure (ui_renderer tonemap panel)
         self.env_intensity = 1.0
         self.env_rotation = 0.0
         self.adaptive: AdaptiveSampler | None = None  # set to enable
@@ -752,7 +753,8 @@ class GltfRenderer:
         from .ops.tonemap import tonemap
         import jax.numpy as jnp
 
-        img = tonemap(jnp.asarray(self.image_linear()), self.tonemapper)
+        img = tonemap(jnp.asarray(self.image_linear()), self.tonemapper,
+                      self.exposure)
         return np.asarray(img)
 
     def image_denoised(self, *, temporal: bool = True, iterations: int = 4) -> np.ndarray:
@@ -824,7 +826,8 @@ class GltfRenderer:
         if self.upscale > 1 and self._history_hi is not None:
             from .ops.tonemap import tonemap
 
-            img = np.asarray(tonemap(self._history_hi[..., :3], self.tonemapper))
+            img = np.asarray(tonemap(self._history_hi[..., :3], self.tonemapper,
+                                     self.exposure))
         elif self.selection:
             img = self.image_with_silhouette()
         else:

@@ -24,6 +24,9 @@ Keys:
   :CMD;      run any edit-shell verb on the live scene (rename, reparent,
              matset, lightset, translate, undo, ... — see edit_cli);
              terminated by ';', e.g.  :rename 2 Hood;  :reparent 4 0;
+             viewer-local verbs: :cam (live camera), :rset (renderer
+             settings panel: depth/spp/tonemapper/exposure/...), :aov
+             (debug guide-buffer views), :gizmo (handles + space + pick)
   q / Esc    quit
 
 Scripted mode (CI / no TTY): --keys "aadw+p q" replays a key sequence,
@@ -84,6 +87,7 @@ class TerminalViewer:
         self.gizmo_mode = None  # None | gizmo.Mode — drawn on the frame
         self.gizmo_space = "world"
         self.gizmo_active = None  # highlighted handle id (hover feedback)
+        self.aov = None  # None = beauty; else a debug AOV view name
         self._tree_sel = 0  # index into the DFS node list
         self._cmdbuf = None  # ':' command-mode accumulator
         self._shell = None  # lazy EditShell over the live scene
@@ -194,6 +198,103 @@ class TerminalViewer:
             return
         self._refresh_camera()
 
+    #: live renderer settings the inspector's render panel edits
+    #: (ui_renderer.cpp sliders/combos) — name -> (attr, parse, needs_reset)
+    RSET_FIELDS = {
+        "depth": ("max_depth", int, True),
+        "spp": ("spp", int, True),
+        "tonemapper": ("tonemapper", str, False),
+        "exposure": ("exposure", float, False),
+        "firefly": ("firefly_clamp", float, True),
+        "aperture": ("aperture", float, True),
+        "focal": ("focal_distance", float, True),
+        "envIntensity": ("env_intensity", float, True),
+        "envRotation": ("env_rotation", float, True),
+    }
+
+    def _cmd_rset(self, *args):
+        """Renderer-settings panel verb (ui_renderer.cpp role): `rset`
+        lists every live setting; `rset <field> <value>` edits it. Fields
+        that key the jit variant (depth/spp/...) reset accumulation; the
+        display-side ones (tonemapper/exposure) re-display instantly —
+        exactly the reference panel's recompile-vs-pushconstant split."""
+        if not args:
+            for name in sorted(self.RSET_FIELDS):
+                attr, _, _ = self.RSET_FIELDS[name]
+                print(f"{name} {getattr(self.r, attr)}")
+            print(f"aov {self.aov or 'off'}")
+            return
+        name = args[0]
+        spec = self.RSET_FIELDS.get(name)
+        if spec is None:
+            print(f"rset: unknown field {name!r} (rset lists fields)")
+            return
+        attr, parse, needs_reset = spec
+        if len(args) != 2:
+            print(f"{name} {getattr(self.r, attr)}")
+            return
+        if name == "tonemapper":
+            from .ops.tonemap import OPERATORS
+
+            if args[1] not in OPERATORS:
+                print(f"rset: tonemapper must be one of {' '.join(OPERATORS)}")
+                return
+        try:
+            setattr(self.r, attr, parse(args[1]))
+        except ValueError as e:
+            print(f"rset: {e}")
+            return
+        if needs_reset:
+            self.r.reset_frame()
+        print(f"{name} {getattr(self.r, attr)}")
+
+    #: debug AOV views (the reference's debug-render-mode combo,
+    #: shaderio DebugMethod role) — rendered from the frame's aux buffers
+    AOV_NAMES = ("albedo", "normal", "roughness", "depth", "solid", "objectid")
+
+    def _cmd_aov(self, *args):
+        if not args or args[0] in ("off", "beauty"):
+            self.aov = None
+            print("aov off")
+            return
+        if args[0] not in self.AOV_NAMES:
+            print(f"aov: one of {' '.join(self.AOV_NAMES)} | off")
+            return
+        self.aov = args[0]
+        print(f"aov {self.aov}")
+
+    def _aov_image(self) -> np.ndarray | None:
+        """[H,W,3] float display of the selected debug AOV."""
+        aux = getattr(self.r, "_last_aux", None)
+        if aux is None or self.aov is None:
+            return None
+        h = w = self.r.width
+
+        def buf(key, ch=3):
+            return np.asarray(aux[key], np.float32).reshape(
+                (h, w, ch) if ch > 1 else (h, w))
+
+        if self.aov == "albedo":
+            return buf("albedo")
+        if self.aov == "normal":
+            return buf("normal") * 0.5 + 0.5
+        if self.aov == "roughness":
+            return np.repeat(buf("roughness", 1)[..., None], 3, axis=-1)
+        if self.aov == "solid":
+            return np.repeat(buf("solid", 1)[..., None], 3, axis=-1)
+        if self.aov == "depth":
+            pos = buf("first_pos")
+            solid = buf("solid", 1) > 0.5
+            d = np.linalg.norm(pos - np.asarray(self.r.camera.eye, np.float32), axis=-1)
+            dmax = d[solid].max() if solid.any() else 1.0
+            g = np.where(solid, 1.0 - d / max(dmax, 1e-9), 0.0)
+            return np.repeat(g[..., None], 3, axis=-1)
+        # objectid: hash render-node id to a stable pseudo-color
+        rid = np.asarray(aux["first_rnode"]).reshape(h, w).astype(np.int64)
+        u = ((rid + 1) * 2654435761) & 0xFFFFFF  # +1: id 0 must not be black
+        col = np.stack([(u >> 16) & 255, (u >> 8) & 255, u & 255], -1) / 255.0
+        return np.where((rid >= 0)[..., None], col, 0.0).astype(np.float32)
+
     def _cmd_gizmo(self, *args):
         """Gizmo control verb: `gizmo` prints state; `gizmo translate|
         rotate|scale|off`; `gizmo space world|local`; `gizmo pick <px> <py>`
@@ -259,7 +360,7 @@ class TerminalViewer:
         return nid, pivot, axes, auto_size(cam.eye, pivot, cam.yfov)
 
     #: ':'-mode verbs resolved on the viewer itself, before the edit shell
-    LOCAL_VERBS = ("cam", "gizmo")
+    LOCAL_VERBS = ("aov", "cam", "gizmo", "rset")
 
     def run_command(self, line: str):
         """One inspector verb against the live scene (or view camera), then
@@ -315,6 +416,14 @@ class TerminalViewer:
             pool = list(self.CAM_KEYS)
         elif parts[0] == "gizmo" and len(parts) == 2:
             pool = ["off", "pick", "rotate", "scale", "space", "translate"]
+        elif parts[0] == "rset" and len(parts) == 2:
+            pool = sorted(self.RSET_FIELDS)
+        elif parts[0] == "rset" and len(parts) == 3 and parts[1] == "tonemapper":
+            from .ops.tonemap import OPERATORS
+
+            pool = sorted(OPERATORS)
+        elif parts[0] == "aov" and len(parts) == 2:
+            pool = sorted(self.AOV_NAMES) + ["off"]
         else:
             self._candidates = []
             return buf
@@ -433,7 +542,11 @@ class TerminalViewer:
     # ---------------------------------------------------------- frames
     def frame_u8(self) -> np.ndarray:
         self.r.on_render()
-        img = self.r.image_denoised() if self.denoised else self.r.image_tonemapped()
+        img = None
+        if self.aov is not None:
+            img = self._aov_image()  # debug AOV display (ui_renderer combo)
+        if img is None:
+            img = self.r.image_denoised() if self.denoised else self.r.image_tonemapped()
         img = np.asarray(img, np.float32)
         if self.grid:
             from .ops.grid import grid_overlay
@@ -466,6 +579,8 @@ class TerminalViewer:
         gr = " +grid" if self.grid else ""
         if self.gizmo_mode is not None:
             gr += f" +gizmo:{self.gizmo_mode.value}"
+        if self.aov is not None:
+            gr += f" +aov:{self.aov}"
         if self._cmdbuf is not None:
             hint = ("   {" + " ".join(self._candidates[:8]) + "}") if self._candidates else ""
             return f":{self._cmdbuf}{hint}"
