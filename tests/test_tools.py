@@ -741,3 +741,78 @@ def test_viewer_renderer_settings_and_aov_verbs():
     v.handle_key("\t")
     assert v._cmdbuf == "rset tonemapper agx ", v._cmdbuf
     v.handle_key("\x1b")
+
+def test_viewer_animation_timeline(triangle_model):
+    """ui_animation.cpp panel parity: ':timeline' plays/pauses/scrubs the
+    live animation in the viewer ('A' key = play button), playback advances
+    per rendered frame at the selected speed, and scrub moves the node."""
+    import os
+
+    import numpy as np
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    # translation animation 0->(4,0,0) over [0,1] s on node 0 (the suite's
+    # standard synthetic channel, test_animation.py pattern)
+    g = triangle_model.gltf
+    buf = triangle_model.buffers[0]
+    times = np.array([0.0, 1.0], np.float32)
+    vals = np.array([[0, 0, 0], [4, 0, 0]], np.float32)
+    off_t = len(buf); buf.extend(times.tobytes())
+    off_v = len(buf); buf.extend(vals.tobytes())
+    g["buffers"][0]["byteLength"] = len(buf)
+    g["bufferViews"] += [
+        {"buffer": 0, "byteOffset": off_t, "byteLength": times.nbytes},
+        {"buffer": 0, "byteOffset": off_v, "byteLength": vals.nbytes},
+    ]
+    g["accessors"] += [
+        {"bufferView": len(g["bufferViews"]) - 2, "componentType": 5126,
+         "count": 2, "type": "SCALAR", "min": [0], "max": [1]},
+        {"bufferView": len(g["bufferViews"]) - 1, "componentType": 5126,
+         "count": 2, "type": "VEC3"},
+    ]
+    g["animations"] = [{
+        "samplers": [{"input": len(g["accessors"]) - 2,
+                      "output": len(g["accessors"]) - 1,
+                      "interpolation": "LINEAR"}],
+        "channels": [{"sampler": 0, "target": {"node": 0, "path": "translation"}}],
+    }]
+    from vk_gltf_renderer_tpu.models.gltf import save_model
+
+    path = "/tmp/viewer_anim_test.gltf"
+    save_model(triangle_model, path)
+
+    from vk_gltf_renderer_tpu.viewer import TerminalViewer
+
+    v = TerminalViewer(path, size=16, render_system=1)
+
+    def type_cmd(line):
+        assert v.handle_key(":")
+        for ch in line:
+            assert v.handle_key(ch)
+        assert v.handle_key(";")
+
+    type_cmd("timeline")
+    assert any("paused" in l for l in v._last_out), v._last_out
+
+    # scrub to t=0.5 -> node world x == 2 (LERP midpoint)
+    type_cmd("timeline time 0.5")
+    assert any("t=0.500" in l for l in v._last_out), v._last_out
+    np.testing.assert_allclose(
+        v.r.scene.render_nodes[0].world_matrix[:3, 3], [2, 0, 0], atol=1e-6)
+
+    # play at 6x: each rendered frame advances 0.1 s
+    type_cmd("timeline play 6")
+    assert v.r.animate and v.r.anim_speed == 6.0
+    t0 = v.r.scene.animations[0].current_time
+    v.frame_u8()
+    t1 = v.r.scene.animations[0].current_time
+    assert abs((t1 - t0) - 0.1) < 1e-6, (t0, t1)
+    assert "+anim:" in v.status()
+
+    # 'A' key toggles pause (the play button)
+    assert v.handle_key("A")
+    assert not v.r.animate
+    type_cmd("timeline select 0")
+    type_cmd("timeline speed 1")
+    assert v.r.anim_speed == 1.0

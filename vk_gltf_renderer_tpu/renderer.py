@@ -149,6 +149,7 @@ class GltfRenderer:
         self._ibl = None  # prefiltered IBL products (preview renderer)
         self._ibl_key = None
         self.animate = False
+        self.anim_speed = 1.0  # playback rate multiplier (ui_animation panel)
         self.firefly_clamp = 10.0
         self.exposure = 1.0  # display exposure (ui_renderer tonemap panel)
         self.env_intensity = 1.0
@@ -632,7 +633,7 @@ class GltfRenderer:
             from .models.animation import update_animation
 
             info = self.scene.animations[self.scene.current_animation]
-            info.increment_time(1.0 / 60.0)
+            info.increment_time(self.anim_speed / 60.0)
             update_animation(self.scene, self.scene.current_animation)
         self.sync_scene_changes()
         fn = self._ensure_render_fn()

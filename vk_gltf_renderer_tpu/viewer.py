@@ -18,6 +18,8 @@ Keys:
   ] / [      tree: select next / previous node (silhouette-highlighted)
   x          tree: toggle selected node's visibility
   G          toggle the reference grid overlay (gizmo grid role)
+  A          animation play/pause (ui_animation's play button; :timeline
+             scrubs/selects/sets speed)
   g          cycle the transform gizmo on the selected node:
              off -> translate -> rotate -> scale (handles drawn on the
              frame, gizmo_visuals.slang role; :gizmo space world|local)
@@ -295,6 +297,49 @@ class TerminalViewer:
         col = np.stack([(u >> 16) & 255, (u >> 8) & 255, u & 255], -1) / 255.0
         return np.where((rid >= 0)[..., None], col, 0.0).astype(np.float32)
 
+    def _cmd_timeline(self, *args):
+        """Animation timeline panel verb (ui_animation.cpp role): `timeline`
+        prints playback state; `timeline play [speed] | pause | speed S |
+        select IDX | time T`. Playback advances speed/60 s per rendered
+        frame on the renderer's device-resident skin/morph path; `time`
+        scrubs the LIVE scene (the slider) without an undo entry — the
+        undoable scrub stays on the edit shell's `anim` verb."""
+        scene = self.r.scene
+        if not scene.animations:
+            print("timeline: scene has no animations")
+            return
+        if not args:
+            info = scene.animations[scene.current_animation]
+            state = "playing" if self.r.animate else "paused"
+            print(f"timeline {state} anim={scene.current_animation} "
+                  f"{info.name!r} t={info.current_time:.3f} "
+                  f"range=[{info.start:.3f},{info.end:.3f}] "
+                  f"speed={self.r.anim_speed:g}")
+            return
+        key = args[0]
+        if key == "play":
+            if len(args) == 2:
+                self.r.anim_speed = float(args[1])
+            self.r.animate = True
+        elif key == "pause":
+            self.r.animate = False
+        elif key == "speed" and len(args) == 2:
+            self.r.anim_speed = float(args[1])
+        elif key == "select" and len(args) == 2:
+            scene.current_animation = int(args[1]) % len(scene.animations)
+        elif key == "time" and len(args) == 2:
+            from .models.animation import update_animation
+
+            info = scene.animations[scene.current_animation]
+            info.current_time = float(args[1])
+            update_animation(scene, scene.current_animation)
+            self.r.sync_scene_changes()
+            self.r.reset_frame()
+        else:
+            print("timeline: play [speed] | pause | speed S | select IDX | time T")
+            return
+        self._cmd_timeline()  # echo the new state
+
     def _cmd_gizmo(self, *args):
         """Gizmo control verb: `gizmo` prints state; `gizmo translate|
         rotate|scale|off`; `gizmo space world|local`; `gizmo pick <px> <py>`
@@ -360,7 +405,7 @@ class TerminalViewer:
         return nid, pivot, axes, auto_size(cam.eye, pivot, cam.yfov)
 
     #: ':'-mode verbs resolved on the viewer itself, before the edit shell
-    LOCAL_VERBS = ("aov", "cam", "gizmo", "rset")
+    LOCAL_VERBS = ("aov", "cam", "gizmo", "rset", "timeline")
 
     def run_command(self, line: str):
         """One inspector verb against the live scene (or view camera), then
@@ -424,6 +469,8 @@ class TerminalViewer:
             pool = sorted(OPERATORS)
         elif parts[0] == "aov" and len(parts) == 2:
             pool = sorted(self.AOV_NAMES) + ["off"]
+        elif parts[0] == "timeline" and len(parts) == 2:
+            pool = ["pause", "play", "select", "speed", "time"]
         else:
             self._candidates = []
             return buf
@@ -481,6 +528,11 @@ class TerminalViewer:
             return True
         if k == "G":
             self.grid = not self.grid
+            return True
+        if k == "A":
+            # play/pause toggle (ui_animation's play button)
+            if self.r.scene.animations:
+                self.r.animate = not self.r.animate
             return True
         if k == "g":
             from .gizmo import Mode
@@ -581,6 +633,9 @@ class TerminalViewer:
             gr += f" +gizmo:{self.gizmo_mode.value}"
         if self.aov is not None:
             gr += f" +aov:{self.aov}"
+        if self.r.animate and self.r.scene.animations:
+            info = self.r.scene.animations[self.r.scene.current_animation]
+            gr += f" +anim:{info.current_time:.2f}s"
         if self._cmdbuf is not None:
             hint = ("   {" + " ".join(self._candidates[:8]) + "}") if self._candidates else ""
             return f":{self._cmdbuf}{hint}"
