@@ -625,3 +625,37 @@ def test_invalid_argument_recovery_two_rungs(monkeypatch):
     assert r._config().traversal == "wavefront"
     img = r.image_linear()
     assert np.isfinite(img).all() and img.mean() > 0.0
+
+
+def test_deferred_fault_caught_by_recovery():
+    """Async dispatch defers runtime faults to the next READBACK — the
+    BENCH_r04 escape: the helmet's INVALID_ARGUMENT raised at the caller's
+    sync, bypassing on_render's rungs entirely. on_render now validates the
+    FIRST frame of every freshly-built executable with a scalar readback
+    inside the recovery try, so a fault that only materializes at sync time
+    still triggers the cache-rotate rung and the frame completes."""
+    r = GltfRenderer(width=16, height=16, spp=1, max_depth=2)
+    r.create_scene("/root/reference/resources/Box.glb")
+    r.on_render()  # real fn built + validated
+
+    class DeferredFault:
+        """aux['rays'] stand-in whose readback (float()) faults — the
+        tunnel-deferred INVALID_ARGUMENT shape."""
+
+        def __float__(self):
+            raise RuntimeError("INVALID_ARGUMENT: TPU backend error (deferred)")
+
+    def poisoned(flat, bvh, env, frame):
+        return r.accum, {"rays": DeferredFault()}
+
+    # install a poisoned executable exactly as a stale cache entry would be:
+    # same cfg (so _ensure_render_fn keeps it), unvalidated
+    r._render_fn = poisoned
+    r._cfg = r._config()
+    r._fn_validated = False
+    aux = r.on_render()  # must recover (rung 1 rebuilds the real fn), not raise
+    assert float(aux["rays"]) > 0
+    # rung 1 sufficed — no session-wide wavefront downgrade
+    assert getattr(r, "_traversal_fallback", None) is None
+    img = r.image_linear()
+    assert np.isfinite(img).all() and img.mean() > 0.0

@@ -548,6 +548,12 @@ class GltfRenderer:
         cfg = self._config()
         if self._render_fn is None or cfg != self._cfg:
             self._cfg = cfg
+            # new executable: its first frame must be SYNCED inside
+            # on_render's recovery try (async dispatch defers runtime
+            # faults to the next readback — without this, a poisoned cache
+            # entry or faulting kernel raises in the CALLER, exactly how
+            # BENCH_r04's helmet crash bypassed the recovery)
+            self._fn_validated = False
             if self.render_system == 1:
                 from .ops.preview import make_preview_fn
 
@@ -641,8 +647,22 @@ class GltfRenderer:
         import time as _time
 
         t0 = _time.perf_counter()
+
+        def _invoke(f):
+            accum, aux = f(self.flat, self.bvh, self._env_arrays(), frame)
+            if not getattr(self, "_fn_validated", True):
+                # first frame of a freshly-built executable: force a scalar
+                # readback HERE so async-deferred runtime faults raise
+                # inside the recovery try below, not at some later caller's
+                # sync (how BENCH_r04's helmet INVALID_ARGUMENT bypassed
+                # the rungs). One ~26 ms readback per compile, not per
+                # frame.
+                float(aux["rays"])
+                self._fn_validated = True
+            return accum, aux
+
         try:
-            accum, aux = fn(self.flat, self.bvh, self._env_arrays(), frame)
+            accum, aux = _invoke(fn)
         except Exception as e:  # poisoned persistent-cache entry: a crashed
             # compile leaves an executable that loads but fails with
             # INVALID_ARGUMENT at run time. Rotate to a fresh cache dir,
@@ -659,7 +679,7 @@ class GltfRenderer:
             self._render_fn = None
             fn = self._ensure_render_fn()
             try:
-                accum, aux = fn(self.flat, self.bvh, self._env_arrays(), frame)
+                accum, aux = _invoke(fn)
             except Exception as e2:
                 # second rung: not cache poisoning — the packet-kernel
                 # variant itself faults on this hardware. Downgrade to the
@@ -678,7 +698,7 @@ class GltfRenderer:
                 clear_render_fn_cache()
                 self._render_fn = None
                 fn = self._ensure_render_fn()
-                accum, aux = fn(self.flat, self.bvh, self._env_arrays(), frame)
+                accum, aux = _invoke(fn)
         self.accum = accum  # device-resident; no host round-trip per frame
         self.total_samples += self.spp
         self.frame_idx += 1
