@@ -59,9 +59,15 @@ def main() -> int:
         try:
             proc = subprocess.run(
                 [sys.executable, "-m", "vk_gltf_renderer_tpu.bench_impl"],
-                cwd=HERE, env=env, capture_output=True, text=True, timeout=1800,
+                cwd=HERE, env=env, capture_output=True, text=True, timeout=2700,
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as exc:
+            # salvage a result line if one was already printed before the hang
+            out = exc.stdout.decode() if isinstance(exc.stdout, bytes) else (exc.stdout or "")
+            for line in reversed(out.splitlines()):
+                if line.startswith("{") and '"metric"' in line:
+                    last_line = line
+                    break
             sys.stderr.write(f"bench attempt {attempt + 1} timed out; retrying\n")
             continue
         for line in reversed(proc.stdout.splitlines()):

@@ -88,12 +88,42 @@ def _measure(scene_path: str, width: int, height: int, spp: int, depth: int,
     }
 
 
+def _measure_subprocess(scene_path: str, timeout_s: int) -> dict:
+    """Measure one scene in a bounded child process.
+
+    The round-4 capture showed a textured-scene compile can HANG the TPU
+    worker (not fault), which would otherwise stall the whole bench past
+    the driver's patience; a child + timeout converts that into an error
+    entry while the primary numbers still publish."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["VKGR_BENCH_ONLY_SCENE"] = scene_path
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "vk_gltf_renderer_tpu.bench_impl"],
+            env=env, capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"scene measurement timed out after {timeout_s}s (hang)"}
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("{") and '"mrays"' in line:
+            return json.loads(line)
+    return {"error": f"rc={proc.returncode}: {proc.stderr[-300:]}"}
+
+
 def main() -> int:
     width = int(os.environ.get("VKGR_BENCH_W", 1920))
     height = int(os.environ.get("VKGR_BENCH_H", 1080))
     spp, depth = 1, 5
     warmup = 2
     timed_frames = int(os.environ.get("VKGR_BENCH_FRAMES", 20))
+
+    only = os.environ.get("VKGR_BENCH_ONLY_SCENE")
+    if only:
+        print(json.dumps(_measure(only, width, height, spp, depth, warmup,
+                                   timed_frames)))
+        return 0
 
     primary = _measure(SCENE, width, height, spp, depth, warmup, timed_frames)
 
@@ -113,15 +143,13 @@ def main() -> int:
     helmet = _helmet_standin()
     helmet_failed = False
     if helmet is not None:
-        try:
-            detail["helmet_standin"] = _measure(
-                helmet, width, height, spp, depth, warmup, timed_frames)
-        except Exception as exc:
-            # a textured-scene failure is a BENCH failure (every BASELINE
-            # config is textured): nonzero exit routes it into bench.py's
-            # fresh-cache retry instead of burying it in the detail string
-            detail["helmet_standin"] = {"error": str(exc)[:300]}
-            helmet_failed = True
+        # a textured-scene failure is a BENCH failure (every BASELINE
+        # config is textured): nonzero exit routes it into bench.py's
+        # fresh-cache retry instead of burying it in the detail string
+        res = _measure_subprocess(
+            helmet, timeout_s=int(os.environ.get("VKGR_BENCH_SCENE2_TIMEOUT", 1200)))
+        detail["helmet_standin"] = res
+        helmet_failed = "error" in res
 
     result = {
         "metric": "Mrays_per_sec",
